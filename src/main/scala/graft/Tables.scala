@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+  *
+  * All engine queries take `(SparkSession, sfDir)` and read only through
+  * here, so the same code runs at any scale factor. At cluster scale the
+  * same call reads a partitioned table directory; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
+    * by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate
+    * to microseconds — exactly what DuckDB does on read, so the oracle
+    * sees identical values. Integer `div`, never `/` (a double would lose
+    * precision above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline operators (BASELINE.json mandate; not in
+  * the reference): deduplication, text analysis, similarity search over
+  * the driver's `documents` / `embeddings` tables. Wave 1 holds the
+  * oracle-checkable baselines; the scale paths (MinHash-LSH banding,
+  * IVF-bucketed ANN) build on these in graft.ext.* as they land.
+  */
+object Extensions {
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q30
+    Query(
+      "q30_dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(sha2(col("text"), 256).as("fingerprint"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_id"), col("fingerprint"), col("n_copies"))
+          .orderBy(col("canonical_id")),
+      Some("""
+        SELECT MIN(doc_id) AS canonical_id, SHA256(text) AS fingerprint,
+          COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY SHA256(text)
+        ORDER BY canonical_id"""),
+      "exact content dedup: SHA-256 fingerprint + hash groupBy; at scale a single shuffle on the digest, never on raw text"),
+
+    // ---------------------------------------------------------------- q31
+    Query(
+      "q31_text_stats",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+            graft.Num.r4((col("n_chars") - size(toks).cast("long") + lit(1L)) /
+              size(toks).cast("long")).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars,
+          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+          FLOOR(((n_chars - CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) + 1)
+            / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) * 10000 + 0.500001) / 10000 AS avg_token_len
+        FROM documents ORDER BY doc_id"""),
+      "token counting + vocabulary stats per document (text-analysis baseline)"),
+
+    // ---------------------------------------------------------------- q32
+    Query(
+      "q32_quality_score",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val stops = filter(toks, t => t === "the" || t === "a")
+        val stopRatio = size(stops).cast("double") / nTok
+        val ttr = size(array_distinct(toks)).cast("double") / nTok
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.Num.r4(stopRatio).as("stop_ratio"),
+            graft.Num.r4(ttr).as("type_token_ratio"),
+            when(col("n_chars") < 100, "short")
+              .when(stopRatio > lit(0.08), "stopword_heavy")
+              .otherwise("ok").as("quality_bucket"),
+            when(size(stops) > 0, "en").otherwise("other").as("guessed_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n_tok,
+            CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop,
+            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS n_dist
+          FROM documents)
+        SELECT doc_id,
+          FLOOR((n_stop / n_tok) * 10000 + 0.500001) / 10000 AS stop_ratio,
+          FLOOR((n_dist / n_tok) * 10000 + 0.500001) / 10000 AS type_token_ratio,
+          CASE WHEN n_chars < 100 THEN 'short'
+               WHEN n_stop / n_tok > 0.08 THEN 'stopword_heavy'
+               ELSE 'ok' END AS quality_bucket,
+          CASE WHEN n_stop > 0 THEN 'en' ELSE 'other' END AS guessed_lang
+        FROM t ORDER BY doc_id"""),
+      "quality scoring + stopword-based language heuristic (text-analysis baseline)"),
+
+    // ---------------------------------------------------------------- q33
+    Query(
+      "q33_knn_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+        val normV = sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        val normQ = sqrt(aggregate(transform(col("qv"), x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot / (normV * normQ)).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("rn"), col("neighbor_id"),
+            graft.Num.r4(col("cos")).as("cosine"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+            LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+        SELECT query_id, rn, neighbor_id, FLOOR((cos) * 10000 + 0.500001) / 10000 AS cosine
+        FROM ranked WHERE rn <= 5
+        ORDER BY query_id, rn"""),
+      "brute-force top-k cosine ANN baseline: probes broadcast, corpus scanned once, per-probe top-k via ranking window"))
+}
