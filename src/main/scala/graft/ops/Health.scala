@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object Health {
 
   /** Two-sided z for 95% confidence — the reference's
-    * `confidencePercentage = 95.0` (flink_statements.tf:196,310). */
-  val Z95 = 1.959963984540054
+    * `confidencePercentage = 95.0` (flink_statements.tf:196,310).
+    * Derived from the same quantile function the Aggregators use, and
+    * interpolated verbatim into the oracle SQL, so every path shares one
+    * bit-identical constant. */
+  val Z95: Double = graft.functions.Stats.normalQuantile(0.975)
 
   /** Epoch microseconds of 2024-01-01T00:00:00Z, the driver dataset's
     * origin; only used to keep regression x values small. */

@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.{Query, Tables}
+import graft.functions.MLFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's four statements (flink_statements.tf:117,
@@ -192,5 +194,105 @@ object HealthQueries {
         FROM f
         WHERE n >= 30 AND slope IS NOT NULL AND fc < 40.0
         ORDER BY user_id, event_id"""),
-      "statement [4b] heartbeat_alerts: forecast threshold filter (F2)"))
+      "statement [4b] heartbeat_alerts: forecast threshold filter (F2)"),
+
+    // ---------------------------------------------------------------- q26
+    // Same semantics as q22 but computed by the custom typed
+    // AnomalyAggregator (Welford + leave-last-out) instead of built-in
+    // window functions — proving the reference-shaped
+    // ML_DETECT_ANOMALIES(value) call form is oracle-exact too.
+    Query(
+      "q26_ml_detect_udaf",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val detect = MLFunctions.detectAnomalies(30, 95.0)
+        Tables.events(s, d)
+          .withColumn("report", detect(col("value")).over(w))
+          .select(col("user_id"), col("event_id"),
+            col("report.is_anomaly").as("is_anomaly"),
+            graft.Num.r4(col("report.expected")).as("expected"),
+            graft.Num.r4(col("report.lower")).as("lower"),
+            graft.Num.r4(col("report.upper")).as("upper"),
+            col("report.n_training").as("n_training"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, event_id, value,
+            AVG(value) OVER w AS mu,
+            STDDEV_SAMP(value) OVER w AS sigma,
+            COUNT(value) OVER w AS n_training
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id,
+          (n_training >= 30 AND sigma IS NOT NULL AND sigma > 0
+             AND ABS(value - mu) > $Z * sigma) AS is_anomaly,
+          FLOOR((mu) * 10000 + 0.500001) / 10000 AS expected,
+          CASE WHEN n_training >= 30 AND sigma IS NOT NULL AND sigma > 0
+            THEN FLOOR((mu - $Z * sigma) * 10000 + 0.500001) / 10000 END AS lower,
+          CASE WHEN n_training >= 30 AND sigma IS NOT NULL AND sigma > 0
+            THEN FLOOR((mu + $Z * sigma) * 10000 + 0.500001) / 10000 END AS upper,
+          n_training
+        FROM s ORDER BY user_id, event_id"""),
+      "M1 as custom typed Aggregator (udaf over cumulative frame), oracle-exact vs z-score SQL"),
+
+    // ---------------------------------------------------------------- q27
+    // Same semantics as q24 but via the custom ForecastAggregator
+    // (co-moment OLS state) with its ARRAY<ROW> output exploded — the
+    // reference's ML_FORECAST + UNNEST shape (X2).
+    Query(
+      "q27_ml_forecast_udaf",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fcast = MLFunctions.forecast(30, 1, 95.0)
+        Tables.events(s, d)
+          .withColumn("x", Health.tsDays(col("ts")))
+          .withColumn("forecasts", fcast(col("x"), col("value")).over(w))
+          .select(col("user_id"), col("event_id"), col("value"),
+            explode(col("forecasts")).as("fc"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            graft.Num.r6(col("fc.forecast_timestamp")).as("forecast_timestamp"),
+            graft.Num.r4(col("fc.forecast_value")).as("forecast_value"),
+            graft.Num.r4(col("fc.lower_bound")).as("lower_bound"),
+            graft.Num.r4(col("fc.upper_bound")).as("upper_bound"),
+            graft.Num.r4(col("fc.rmse")).as("rmse"),
+            graft.Num.r4(col("fc.aic")).as("aic"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, event_id, ts, value,
+            $XDAYS AS x,
+            COUNT(value) OVER w AS n,
+            REGR_SLOPE(value, $XDAYS) OVER w AS slope,
+            AVG($XDAYS) OVER w AS avg_x,
+            AVG(value) OVER w AS avg_y,
+            STDDEV_SAMP(value) OVER w AS sd_y,
+            CORR(value, $XDAYS) OVER w AS r,
+            MIN($XDAYS) OVER w AS min_x,
+            MAX($XDAYS) OVER w AS max_x
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        f AS (
+          SELECT user_id, event_id, value,
+            x + (max_x - min_x) / (n - 1) AS fts,
+            avg_y + slope * (x + (max_x - min_x) / (n - 1) - avg_x) AS fc,
+            (COALESCE(sd_y * sd_y, 0.0) * (n - 1) / n) * (1.0 - COALESCE(r * r, 0.0)) AS mse,
+            n, slope
+          FROM s)
+        SELECT user_id, event_id, value,
+          FLOOR((fts) * 1000000 + 0.500001) / 1000000 AS forecast_timestamp,
+          FLOOR((fc) * 10000 + 0.500001) / 10000 AS forecast_value,
+          FLOOR((fc - $Z * SQRT(mse)) * 10000 + 0.500001) / 10000 AS lower_bound,
+          FLOOR((fc + $Z * SQRT(mse)) * 10000 + 0.500001) / 10000 AS upper_bound,
+          FLOOR((SQRT(mse)) * 10000 + 0.500001) / 10000 AS rmse,
+          FLOOR((CASE WHEN mse > 0 THEN n * LN(mse) + 4.0 END) * 10000 + 0.500001) / 10000 AS aic
+        FROM f
+        WHERE n >= 30 AND slope IS NOT NULL
+        ORDER BY user_id, event_id"""),
+      "M2 as custom typed Aggregator with exploded ARRAY<ROW> output, oracle-exact vs REGR_* SQL"))
 }

