@@ -42,7 +42,8 @@ object Num {
 
 object Registry {
   def all: Seq[Query] =
-    ops.Relational.queries ++ ops.HealthQueries.queries ++ ext.Extensions.queries
+    ops.Relational.queries ++ ops.Temporal.queries ++
+      ops.HealthQueries.queries ++ ext.Extensions.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators absent from the reference but required for full
+  * engine coverage (SURVEY.md §2.2): analytic lag/lead, as-of joins,
+  * session windows, cube/grouping-sets.
+  */
+object Temporal {
+
+  /** Scalable as-of join: instead of a per-probe range scan (quadratic)
+    * or an interval join, union the probe and quote streams with a tag
+    * and carry the latest quote forward with `last(_, ignoreNulls)` over
+    * a per-key ordered frame — one shuffle on the key, one sort, linear
+    * work, identical to how a 100 TB backfill would do it. Quote rows
+    * sort before probe rows at equal timestamps, so a probe matches a
+    * quote at its exact own time (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+    * semantics). */
+  def asofJoin(probes: DataFrame, quotes: DataFrame, key: String, ts: String,
+      tieBreak: String, quoteCols: Seq[(String, String)]): DataFrame = {
+    val pSide = probes.withColumn("is_probe", lit(1))
+    val qSide0 = quotes.select(
+      (Seq(col(key), col(ts), lit(0).as("is_probe"), lit(null).cast("long").as(tieBreak)) ++
+        quoteCols.map { case (src, dst) => col(src).as(s"__q_$dst") }): _*)
+    val qSide = pSide.columns.foldLeft(qSide0) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(pSide.schema(c).dataType))
+    }
+    val pFull = quoteCols.foldLeft(pSide) { case (df, (_, dst)) =>
+      df.withColumn(s"__q_$dst", lit(null).cast(qSide0.schema(s"__q_$dst").dataType))
+    }
+    val unioned = pFull.select(qSide.columns.map(col): _*).unionByName(qSide)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("is_probe"), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = quoteCols.foldLeft(unioned) { case (df, (_, dst)) =>
+      df.withColumn(dst, last(col(s"__q_$dst"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("is_probe") === 1)
+      .drop("is_probe")
+      .drop(quoteCols.map { case (_, dst) => s"__q_$dst" }: _*)
+  }
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q11
+    Query(
+      "q11_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+          LAG(value) OVER w AS prev_value,
+          LEAD(value) OVER w AS next_value,
+          value - LAG(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id"""),
+      "analytic lag/lead + first difference per key"),
+
+    // ---------------------------------------------------------------- q17
+    Query(
+      "q17_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(coalesce(col("l_returnflag"), lit("ZZZ")),
+            coalesce(col("l_linestatus"), lit("ZZZ"))),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY COALESCE(l_returnflag, 'ZZZ'), COALESCE(l_linestatus, 'ZZZ')"""),
+      "full cube (all grouping sets)"),
+
+    // ---------------------------------------------------------------- q18
+    Query(
+      "q18_asof_join",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        asofJoin(
+          events.select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          purchases, "user_id", "ts", "event_id",
+          Seq("ts" -> "last_purchase_ts", "value" -> "last_purchase_value"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("last_purchase_ts"), col("last_purchase_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT e.user_id, e.event_id, e.value,
+          p.ts AS last_purchase_ts, p.value AS last_purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.user_id, e.event_id"""),
+      "as-of join: latest purchase at-or-before each event, via union + last(ignoreNulls) carry-forward (linear, one shuffle)"),
+
+    // ---------------------------------------------------------------- q19
+    Query(
+      "q19_session_windows",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "1 day").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            (col("sw.end") - expr("INTERVAL 1 DAY")).as("session_last"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM g
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      "session windows (1-day inactivity gap); oracle via gaps-and-islands"))
+}
