@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Health
+import graft.sim.Simulator
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The reference's implicit acceptance fixture (SURVEY.md §5): patient
+  * 1's injected bradycardia must raise heartbeat alerts — for patient 1
+  * only, never during warm-up — and the streaming pipeline must agree
+  * with the batch ops on identical input. */
+class StreamingHealthSpec extends SparkSpec {
+
+  override protected def extraConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private val WindowMs = 5000L
+  private val MinTrain = 20
+  private val Threshold = 40.0
+
+  private lazy val sim = new Simulator(seed = 11L, tickSeconds = 1.0, patients = 5)
+  private lazy val vitals: Seq[VitalPoint] = sim.run(300.0).map { e =>
+    VitalPoint(e.patient_id, e.event_time, e.vitals.heart_rate.toDouble)
+  }
+
+  private lazy val scoredRows = {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val scored = StreamingHealth.score(mem.toDF(), watermarkDelay = "5 seconds",
+      windowMs = WindowMs, minTraining = MinTrain, alertThreshold = Threshold,
+      originMs = sim.originMs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt").toString
+    val q = scored.toDF().writeStream.format("memory").queryName("scored")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // feed in event-time order but in several batches so the watermark
+      // ratchets between them (out-of-order WITHIN a batch is exercised
+      // separately below); then a far-future sentinel closes everything
+      vitals.grouped(400).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // watermark ratchets between batches: the first sentinel batch
+      // raises it, the second lets timers fire against the raised value
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(999,
+          new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("scored").collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(10)) None else Some(r.getDouble(10)), r.getBoolean(14))
+    }.toSeq // (patient, window_start, n, avg, flagged, forecast, alert)
+  }
+
+  test("golden scenario: bradycardia alerts fire, for patient 1 only") {
+    val alerts = scoredRows.filter(_._7)
+    assert(alerts.nonEmpty, "expected bradycardia alerts")
+    assert(alerts.forall(_._1 == 1),
+      s"alerts for unexpected patients: ${alerts.map(_._1).distinct}")
+  }
+
+  test("golden scenario: no alert before the forecaster is warm") {
+    val minAlertStart = sim.originMs + (MinTrain - 1).toLong * WindowMs
+    assert(scoredRows.filter(_._7).forall(_._2 >= minAlertStart))
+  }
+
+  test("no window flags anomalous during detector warm-up") {
+    // warm-up = first MinTrain windows per patient
+    val byPatient = scoredRows.groupBy(_._1)
+    byPatient.foreach { case (_, rows) =>
+      val warmup = rows.sortBy(_._2).take(MinTrain)
+      assert(warmup.forall(!_._5))
+    }
+  }
+
+  test("every complete window is emitted exactly once per patient") {
+    (1 to 5).foreach { p =>
+      val rows = scoredRows.filter(_._1 == p)
+      assert(rows.map(_._2).distinct.size == rows.size, s"dup windows for $p")
+      assert(rows.size == 60, s"patient $p emitted ${rows.size} windows")
+    }
+  }
+
+  test("streaming output equals the batch ops on identical input") {
+    import spark.implicits._
+    val df = vitals.toDF()
+    val windowed = Health.windowedAvg(df, "patient_id", "event_time", "value", "5 seconds")
+    val flagged = Health.detectAnomalies(windowed, "patient_id", "window_start",
+      "avg_value", "window_start", minTraining = MinTrain)
+    val batch = flagged.select(col("patient_id"),
+      unix_millis(col("window_start")).as("ms"), col("n_events"),
+      col("avg_value"), col("report.is_anomaly").as("flag"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(batch.size == scoredRows.size)
+    scoredRows.foreach { case (p, ms, n, avg, flag, _, _) =>
+      val (bn, bavg, bflag) = batch((p, ms))
+      assert(bn == n, s"count mismatch at ($p,$ms)")
+      assert(math.abs(bavg - avg) < 1e-9, s"avg mismatch at ($p,$ms)")
+      assert(bflag == flag, s"flag mismatch at ($p,$ms)")
+    }
+  }
+
+  test("out-of-order arrival within the watermark is folded correctly") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val scored = StreamingHealth.score(mem.toDF(), watermarkDelay = "60 seconds",
+      windowMs = WindowMs, minTraining = 3, alertThreshold = 0.0,
+      originMs = sim.originMs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt").toString
+    val q = scored.toDF().writeStream.format("memory").queryName("ooo")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // shuffle arrival order within 25 s blocks — within the 60 s
+    // watermark delay, so nothing is legitimately droppable
+    val rnd = new scala.util.Random(5)
+    val blocks = vitals
+      .filter(v => v.patient_id == 2 && v.event_time.getTime < sim.originMs + 100_000)
+      .sortBy(_.event_time.getTime).grouped(25).map(rnd.shuffle(_)).toSeq
+    try {
+      blocks.foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(999,
+          new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ooo").filter(col("patient_id") === 2)
+      .select("window_start_ms", "n_events", "observed_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val expected = vitals
+      .filter(v => v.patient_id == 2 && v.event_time.getTime < sim.originMs + 100_000)
+      .groupBy(v => v.event_time.getTime - Math.floorMod(
+        v.event_time.getTime - sim.originMs, WindowMs))
+      .map { case (s, vs) => (s, vs.size.toLong, vs.map(_.value).sum / vs.size) }
+      .toSeq.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)).toSeq == expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9)
+    }
+  }
+}
