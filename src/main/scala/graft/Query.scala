@@ -43,7 +43,8 @@ object Num {
 object Registry {
   def all: Seq[Query] =
     ops.Relational.queries ++ ops.Temporal.queries ++
-      ops.HealthQueries.queries ++ ext.Extensions.queries
+      ops.HealthQueries.queries ++ ext.Extensions.queries ++
+      ext.Dedup.queries ++ ext.Similarity.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

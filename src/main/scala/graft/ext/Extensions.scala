@@ -134,5 +134,32 @@ object Extensions {
         SELECT query_id, rn, neighbor_id, FLOOR((cos) * 10000 + 0.500001) / 10000 AS cosine
         FROM ranked WHERE rn <= 5
         ORDER BY query_id, rn"""),
-      "brute-force top-k cosine ANN baseline: probes broadcast, corpus scanned once, per-probe top-k via ranking window"))
+      "brute-force top-k cosine ANN baseline: probes broadcast, corpus scanned once, per-probe top-k via ranking window"),
+
+    // ---------------------------------------------------------------- q38
+    Query(
+      "q38_bigram_freq",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - lit(1)),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+          .otherwise(array())
+        Tables.documents(s, d)
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        bg AS (
+          SELECT unnest([array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]) AS bigram
+          FROM toks)
+        SELECT bigram, COUNT(*) AS n
+        FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20"""),
+      "corpus-wide top-20 bigram frequencies (n-gram text analysis)"))
 }

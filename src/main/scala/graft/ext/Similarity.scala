@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Three tiers, by scale:
+  *  - [[cosine]]/q33: brute-force probe×corpus — exact, one corpus scan,
+  *    right when probes are few (broadcast) or as the ground truth;
+  *  - q37: all-pairs threshold join — exact, O(n²); the correctness
+  *    baseline the approximate paths are measured against;
+  *  - [[lshBuckets]]/q39: random-hyperplane LSH — sign-bit bucket join,
+  *    shuffles only (bucket, id) pairs, then exact re-rank within
+  *    buckets. The 100 TB path: candidate generation never cross-joins.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns (codegen'd
+    * higher-order functions, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` from a seeded RNG
+    * so Spark and tests agree; broadcast as a literal array. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Per-table sign-bit LSH buckets: standard (L tables × k bits)
+    * scheme — a vector lands in one bucket per table; two vectors are
+    * candidates if ANY table agrees on all k bits. Returns an array of
+    * L bucket ids (table index packed into the high bits). */
+  def lshBuckets(v: Column, planes: Array[Array[Double]], tables: Int): Column = {
+    val bitsPerTable = planes.length / tables
+    val buckets = (0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        val p = planes(t * bitsPerTable + b)
+        val planeCol = array(p.map(lit): _*)
+        when(aggregate(zip_with(v, planeCol, (x, y) => x * y),
+          lit(0.0), (s, x) => s + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong << 32)
+    }
+    array(buckets: _*)
+  }
+
+  /** Approximate top-k neighbors: union of per-table bucket joins +
+    * exact cosine re-rank. Corpus is replicated L times into its bucket
+    * index (the classic LSH index build); candidates are the union over
+    * tables, deduplicated before re-ranking. Tune k-bits ~ log2(n) and
+    * L for the recall target; at 100 TB the bucket join shuffles only
+    * (bucket, id, vector) rows, never the n² cross product. */
+  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      planes: Array[Array[Double]], tables: Int = 8): DataFrame = {
+    val cBuck = corpus
+      .withColumn("bucket", explode(lshBuckets(col("v"), planes, tables)))
+    val pBuck = probes
+      .withColumn("bucket", explode(lshBuckets(col("qv"), planes, tables)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cBuck.join(pBuck, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .join(corpus, col("neighbor_id") === corpus("vec_id"))
+      .join(probes.select(col("query_id").as("qid"), col("qv")),
+        col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q37
+    Query(
+      "q37_embedding_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cosine(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") > 0.4)
+          .select(col("vec_a"), col("vec_b"), graft.Num.r4(col("cos")).as("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.500001) / 10000 AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) > 0.4
+        ORDER BY vec_a, vec_b"""),
+      "embedding near-duplicate pairs (cosine > 0.4), exact all-pairs baseline"),
+
+    // ---------------------------------------------------------------- q39
+    // Approximate — deliberately no SQL oracle (driver records the
+    // rows-only check); recall vs the exact baseline is asserted in
+    // SimilaritySpec instead.
+    Query(
+      "q39_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        annTopK(emb, broadcast(probes), k = 5, hyperplanes(32, 64), tables = 8)
+          .select(col("query_id"), col("rn"), col("neighbor_id"),
+            graft.Num.r4(col("cos")).as("cosine"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      None,
+      "approximate top-k cosine via random-hyperplane LSH buckets + 1-bit multi-probe + exact re-rank"))
+}
