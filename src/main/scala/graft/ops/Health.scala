@@ -48,7 +48,8 @@ object Health {
     * Postgres dim is semantically a stream-to-static equi inner join;
     * the dim side is broadcast so no shuffle touches the fact stream. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "inner").drop(dimKey)
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "inner")
+      .drop(dim(dimKey)) // by reference: same-named event key must survive
 
   /** [2a] Tumbling event-time window aggregate (W1+A1):
     * `TUMBLE(..., INTERVAL '1' SECOND)` + `AVG(vitals.heart_rate)`.
