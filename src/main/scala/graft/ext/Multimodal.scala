@@ -1,0 +1,123 @@
+package graft.ext
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque BINARY columns with typed metadata, processed in
+  * partition-sized batches.
+  *
+  * The actual codecs (JPEG decode, audio resample, video frame-grab)
+  * are NOT in this container, so the decode kernels are STUBBED with
+  * deterministic fakes — clearly marked below — while everything
+  * Spark-side is real and tested: the schema shape, the binary column
+  * flow, the `mapPartitions` batch execution (the JVM twin of
+  * `mapInPandas`: one iterator per partition so a real codec would
+  * amortize model/codec init per batch, not per row), partitioning, and
+  * the feature-vector hand-off into the similarity operators.
+  */
+object Multimodal {
+
+  final case class Asset(asset_id: Long, modality: String, content: Array[Byte])
+  final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+      channels: Int, features: Array[Float])
+  final case class FrameSample(asset_id: Long, frame_index: Int,
+      frame_bytes: Array[Byte])
+
+  /** Deterministic synthetic assets derived from the documents table —
+    * stand-ins for real blobs so the pipeline is runnable anywhere. */
+  def syntheticAssets(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val modality = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      Asset(id, modality, text.getBytes("UTF-8"))
+    }
+  }
+
+  // ======================================================= STUB KERNELS
+  // STUB: a real implementation decodes the codec (e.g. via TwelveMonkeys
+  // / javacv); this deterministic fake derives plausible values from the
+  // bytes so shapes, determinism, and plumbing are testable.
+  private def stubDecodeImage(content: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(content)
+    (64 + math.abs(h % 512), 64 + math.abs((h / 512) % 512), 3)
+  }
+
+  // STUB: stands in for an embedding model; real path would batch-invoke
+  // an ONNX/JNI session per partition.
+  private def stubFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Array.tabulate(dim) { i =>
+      val d = md.digest(content ++ Array(i.toByte))
+      (java.nio.ByteBuffer.wrap(d, 0, 4).getInt.toFloat / Int.MaxValue)
+    }
+  }
+  // =====================================================================
+
+  /** Batched image decode + feature extraction: one iterator per
+    * partition (codec/model init amortizes across the batch, exactly the
+    * `mapInPandas` batch shape). */
+  def decodeAndFeaturize(assets: Dataset[Asset], dim: Int = 16): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    assets.mapPartitions { batch =>
+      // per-partition (NOT per-row) setup would open the codec here
+      batch.map { a =>
+        val (w, h, c) = stubDecodeImage(a.content)
+        ImageFeatures(a.asset_id, w, h, c, stubFeatures(a.content, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video assets: emit every `stride`-th frame
+    * (STUB frames = byte slices; a real codec seeks keyframes). */
+  def sampleFrames(assets: Dataset[Asset], stride: Int = 8,
+      maxFrames: Int = 4): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    assets.filter(_.modality == "video").flatMap { a =>
+      val nFrames = math.max(1, a.content.length / stride)
+      (0 until math.min(maxFrames, nFrames)).map { i =>
+        val from = i * stride
+        FrameSample(a.asset_id, i,
+          a.content.slice(from, math.min(from + stride, a.content.length)))
+      }
+    }
+  }
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q40
+    Query(
+      "q40_multimodal_meta",
+      (s, d) => {
+        val assets = syntheticAssets(Tables.documents(s, d)).toDF()
+        assets.select(col("asset_id"), col("modality"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("fingerprint"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+          CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+          MD5(text) AS fingerprint
+        FROM documents ORDER BY asset_id"""),
+      "typed metadata over opaque binary assets (octet length + content fingerprint)"),
+
+    // ---------------------------------------------------------------- q41
+    // Approximate/opaque kernels — rows-only check; determinism and
+    // shape are asserted in MultimodalSpec.
+    Query(
+      "q41_image_features",
+      (s, d) => {
+        val feats = decodeAndFeaturize(syntheticAssets(Tables.documents(s, d)))
+        feats.toDF().select(col("asset_id"), col("width"), col("height"),
+          col("channels"), size(col("features")).as("dim"))
+          .orderBy(col("asset_id"))
+      },
+      None,
+      "batched binary decode + feature extraction via mapPartitions (stubbed codec, real plumbing)"))
+}
