@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named
+  * queries (or a summary line for all) so shuffle counts, pushed
+  * filters, scan schemas and broadcast choices can be reviewed. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = args.toSet
+    Registry.all.filter(q => wanted.isEmpty || wanted(q.name)).foreach { q =>
+      val df = q.run(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      if (wanted.nonEmpty) {
+        println(s"==== ${q.name} ====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } else {
+        val s = plan.toString()
+        def n(pat: String) = pat.r.findAllIn(s).size
+        println(f"${q.name}%-28s exchanges=${n("Exchange")}%2d " +
+          f"sorts=${n("(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ")}%2d " +
+          f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
+          f"codegen=${n("WholeStageCodegen")}%2d scans=${n("FileScan|Scan parquet")}%2d")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,7 +47,8 @@ object Dedup {
 
   /** (doc_id, shingle) pairs, distinct — the single raw-text shuffle. */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(n)).as("sh")).distinct()
+    docs.repartition(col("doc_id")) // text files are few; spread the explode
+      .select(col("doc_id"), explode(shingles(n)).as("sh")).distinct()
 
   /** MinHash signatures: K modular permutations of the shingle hash,
     * MIN per doc — one narrow aggregate after the shingle shuffle. */
@@ -99,7 +100,8 @@ object Dedup {
   /** SimHash fingerprint over distinct tokens: per bit, majority vote of
     * the token hashes' bit values; 32 packed bits. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(col("doc_id"), explode(toks).as("t")).distinct()
+    val tokens = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("t")).distinct()
       .select(col("doc_id"), h60(col("t")).as("h"))
     val votes = tokens.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
@@ -140,8 +142,19 @@ object Dedup {
       "q35_lsh_neardup_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = lshCandidates(minhashSignatures(docs))
-        jaccard(pairs, docShingles(docs))
+        // hash shingles ONCE, persist, and run both the signature
+        // aggregation and the Jaccard verification over the hashed ids —
+        // one raw-text pass, and the verification join shuffles longs,
+        // not shingle strings
+        val hashed = docShingles(docs)
+          .select(col("doc_id"), hp(col("sh")).as("sh"))
+          .persist()
+        val sigs = hashed
+          .groupBy(col("doc_id"))
+          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+            (1 until K).map(k =>
+              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+        jaccard(lshCandidates(sigs), hashed)
           .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
             col("n_b"), graft.Num.r4(col("jaccard")).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))

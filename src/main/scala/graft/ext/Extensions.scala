@@ -99,19 +99,13 @@ object Extensions {
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)
-        val normV = sqrt(aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x))
-        val normQ = sqrt(aggregate(transform(col("qv"), x => x * x),
-          lit(0.0), (acc, x) => acc + x))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))
         emb.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (dot / (normV * normQ)).as("cos"))
+            Similarity.cosine(col("v"), col("qv")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("query_id"), col("rn"), col("neighbor_id"),
@@ -146,6 +140,7 @@ object Extensions {
             i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
           .otherwise(array())
         Tables.documents(s, d)
+          .repartition(col("doc_id"))
           .select(explode(bigrams).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))

