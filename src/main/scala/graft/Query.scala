@@ -44,8 +44,9 @@ object Registry {
   def all: Seq[Query] =
     ops.Relational.queries ++ ops.Temporal.queries ++
       ops.HealthQueries.queries ++ ops.Misc.queries ++
-      ext.Extensions.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Multimodal.queries
+      ops.Analytics.queries ++ ext.Extensions.queries ++
+      ext.Dedup.queries ++ ext.Similarity.queries ++
+      ext.Multimodal.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
