@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Emission semantics of the built-in streaming operators under
+  * MemoryStream, cross-checked against batch results on the same data. */
+class StreamingOpsSpec extends SparkSpec {
+
+  override protected def extraConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private val origin = 1704067200000L
+  private def ts(sec: Long) = new java.sql.Timestamp(origin + sec * 1000)
+
+  private def runToTable(df: DataFrame, name: String)(feed: => Unit): DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  test("native tumbling window agg emits exactly the closed windows") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val out = runToTable(
+      StreamingOps.windowedAgg(mem.toDF().withColumnRenamed("event_time", "et"),
+        "patient_id", "et", "value", "10 seconds", watermarkDelay = "5 seconds"),
+      "tumble") {
+      mem.addData((0 until 40).map(i => VitalPoint(1, ts(i), i.toDouble)))
+      // watermark ratchet + sentinel to close the tail
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(9, ts(10000 + i), 0.0))
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val rows = out.filter(col("patient_id") === 1)
+      .select("window_start", "n_events", "avg_value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(10L, 10L, 10L, 10L))
+    assert(rows.head._3 == 4.5) // avg of 0..9
+  }
+
+  test("stream-stream join pairs events within tolerance, same key only") {
+    import spark.implicits._
+    val memL = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val memR = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val out = runToTable(
+      StreamingOps.streamStreamJoin(memL.toDF(), memR.toDF(), "patient_id",
+        toleranceSeconds = 5), "ssjoin") {
+      memL.addData(VitalPoint(1, ts(10), 1.0), VitalPoint(2, ts(10), 2.0))
+      memR.addData(VitalPoint(1, ts(12), 10.0), // within 5 s, same key -> match
+        VitalPoint(1, ts(30), 11.0),            // outside tolerance
+        VitalPoint(3, ts(11), 12.0))            // different key
+      spark.streams.active.foreach(_.processAllAvailable())
+    }
+    val rows = out.select("patient_id", "value", "r_value").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 1.0, 10.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark drops replays, keeps distinct points") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val out = runToTable(
+      StreamingOps.dedupWithinWatermark(mem.toDF(),
+        Seq("patient_id", "event_time"), "event_time"), "dedup") {
+      mem.addData(VitalPoint(1, ts(1), 5.0), VitalPoint(1, ts(1), 5.0),
+        VitalPoint(1, ts(2), 6.0))
+      spark.streams.active.foreach(_.processAllAvailable())
+      mem.addData(VitalPoint(1, ts(1), 5.0), // replay within watermark
+        VitalPoint(2, ts(2), 7.0))
+      spark.streams.active.foreach(_.processAllAvailable())
+    }
+    val rows = out.collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime))
+    assert(rows.length == 3, s"got ${rows.toSeq}")
+    assert(rows.toSet == Set((1, ts(1).getTime), (1, ts(2).getTime), (2, ts(2).getTime)))
+  }
+
+  test("streaming session windows merge within gap and split across it") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val out = runToTable(
+      StreamingOps.sessionAgg(mem.toDF().withColumnRenamed("event_time", "et"),
+        "patient_id", "et", "value", "10 seconds", "5 seconds"), "sess") {
+      // session 1: t=0,5,9; gap > 10s; session 2: t=30
+      mem.addData(VitalPoint(1, ts(0), 1.0), VitalPoint(1, ts(5), 2.0),
+        VitalPoint(1, ts(9), 3.0), VitalPoint(1, ts(30), 4.0))
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(9, ts(10000 + i), 0.0))
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val rows = out.filter(col("patient_id") === 1)
+      .select("session_start", "n_events", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((ts(0).getTime, 3L, 6.0), (ts(30).getTime, 1L, 4.0)))
+  }
+}
