@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: native SQL functions for the engine's custom
+  * Catalyst expressions. Install at session build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * [[GraftExtensions.install]] registers the same functions on an
+  * already-running session (useful in shells and tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration on an existing session: the native SQL
+    * functions plus the M1/M2 udafs. */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    functions.MLFunctions.register(spark)
+  }
+}

@@ -44,7 +44,8 @@ object Registry {
   def all: Seq[Query] =
     ops.Relational.queries ++ ops.Temporal.queries ++
       ops.HealthQueries.queries ++ ops.Misc.queries ++
-      ops.Analytics.queries ++ ext.Extensions.queries ++
+      ops.Analytics.queries ++ ops.Relational2.queries ++
+      ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries
 
