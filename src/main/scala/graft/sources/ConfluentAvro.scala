@@ -125,4 +125,17 @@ object ConfluentAvro {
       .load()
       .select(decodeHealthEvent(col("value")).as("e"))
       .select(col("e.*"))
+
+  /** S3 — the Kafka CTAS sink shape (flink_statements.tf:117,173,253,
+    * 299): re-frame rows as Confluent Avro and append to a topic.
+    * `df` must carry the HealthEvent columns. */
+  def kafkaHealthSink(df: DataFrame, servers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(encodeHealthEvent(org.apache.spark.sql.functions.struct(
+        col("event_id"), col("patient_id"), col("device_metadata"),
+        col("vitals"), col("event_time"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
 }

@@ -50,6 +50,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Avro encode works as a column over struct rows (sink shape)") {
+    val df = events.take(100).toSeq.toDF()
+    val encoded = df.select(ConfluentAvro.encodeHealthEvent(struct(
+      col("event_id"), col("patient_id"), col("device_metadata"),
+      col("vitals"), col("event_time"))).as("value"))
+    val decoded = encoded.select(ConfluentAvro.decodeHealthEvent(col("value")).as("e"))
+      .select(col("e.event_id")).collect().map(_.getString(0)).toSet
+    assert(decoded == events.take(100).map(_.event_id).toSet)
+  }
+
   test("Avro decode works as a column over a binary DataFrame") {
     val payloads = events.take(200).map(e => Tuple1(ConfluentAvro.encode(e)))
     val df = payloads.toSeq.toDF("value")
