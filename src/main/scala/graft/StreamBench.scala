@@ -1,0 +1,50 @@
+package graft
+
+import graft.sim.Simulator
+import graft.streaming.{StreamingHealth, VitalPoint}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming throughput benchmark: drive the full fused pipeline
+  * (watermark → bucket → detect → forecast → alert) with simulator
+  * events through MemoryStream and report sustained events/s. The
+  * reference's deployed configuration ingests 50 events/s
+  * (BASELINE.md); this prints our single-node margin over that. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val patients = args.headOption.map(_.toInt).getOrElse(100)
+    val seconds = args.lift(1).map(_.toDouble).getOrElse(600.0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sim = new Simulator(seed = 1L, tickSeconds = 0.2, patients = patients)
+    val vitals = sim.run(seconds).map(e =>
+      VitalPoint(e.patient_id, e.event_time, e.vitals.heart_rate.toDouble))
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val scored = StreamingHealth.score(mem.toDF(), watermarkDelay = "2 seconds",
+      windowMs = 1000L, minTraining = 30, originMs = sim.originMs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "sb").toString
+    val q = scored.toDF().writeStream.format("memory").queryName("sb")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val t0 = System.nanoTime()
+    vitals.grouped(math.max(1, vitals.size / 20)).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val n = vitals.size
+    val out = spark.table("sb").count()
+    println(f"""{"metric":"stream_events_per_sec","value":${n / elapsed}%.0f,"events":$n,"elapsed_sec":$elapsed%.2f,"windows_emitted":$out,"patients":$patients}""")
+    spark.stop()
+  }
+}
