@@ -67,7 +67,7 @@ object Pipeline {
         col("vitals.heart_rate").cast("double").as("value")),
       watermarkDelay, WindowMs, minTraining,
       alertThreshold = AlertThresholdBpm,
-      originMs = 1704067200000L)
+      originMs = Health.OriginMs)
     (enriched, scored)
   }
 }

@@ -145,7 +145,10 @@ object Dedup {
         // hash shingles ONCE, persist, and run both the signature
         // aggregation and the Jaccard verification over the hashed ids —
         // one raw-text pass, and the verification join shuffles longs,
-        // not shingle strings
+        // not shingle strings. The persist is session-lifetime by design
+        // (the query builder cannot see the caller's action); it is
+        // bounded — two longs per distinct (doc, shingle) — and keyed by
+        // plan, so different scale factors never cross-contaminate.
         val hashed = docShingles(docs)
           .select(col("doc_id"), hp(col("sh")).as("sh"))
           .persist()

@@ -99,17 +99,18 @@ object Extensions {
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // rank on the ROUNDED cosine (tie-break by id) so the ordering
+        // is floating-point-stable across engines
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
         emb.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Similarity.cosine(col("v"), col("qv")).as("cos"))
+            graft.Num.r4(Similarity.cosine(col("v"), col("qv"))).as("cosine"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select(col("query_id"), col("rn"), col("neighbor_id"),
-            graft.Num.r4(col("cos")).as("cosine"))
+          .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rn"))
       },
       Some("""
@@ -117,15 +118,15 @@ object Extensions {
           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
         pairs AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
-            LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
-                                   CAST(q.embedding AS DOUBLE[])) AS cos
+            FLOOR((LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[]))) * 10000 + 0.500001) / 10000 AS cosine
           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         ranked AS (
-          SELECT query_id, neighbor_id, cos,
+          SELECT query_id, neighbor_id, cosine,
             ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id) AS rn
+                               ORDER BY cosine DESC, neighbor_id) AS rn
           FROM pairs)
-        SELECT query_id, rn, neighbor_id, FLOOR((cos) * 10000 + 0.500001) / 10000 AS cosine
+        SELECT query_id, rn, neighbor_id, cosine
         FROM ranked WHERE rn <= 5
         ORDER BY query_id, rn"""),
       "brute-force top-k cosine ANN baseline: probes broadcast, corpus scanned once, per-probe top-k via ranking window"),

@@ -87,21 +87,23 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        // threshold on the ROUNDED cosine so a pair straddling 0.4 by a
+        // few ulps cannot appear in one engine and not the other
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cosine(col("a.v"), col("b.v")).as("cos"))
-          .filter(col("cos") > 0.4)
-          .select(col("vec_a"), col("vec_b"), graft.Num.r4(col("cos")).as("cosine"))
+            graft.Num.r4(cosine(col("a.v"), col("b.v"))).as("cosine"))
+          .filter(col("cosine") > 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some("""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.500001) / 10000 AS cosine
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) > 0.4
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.500001) / 10000 AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine
+        FROM pairs WHERE cosine > 0.4
         ORDER BY vec_a, vec_b"""),
       "embedding near-duplicate pairs (cosine > 0.4), exact all-pairs baseline"),
 

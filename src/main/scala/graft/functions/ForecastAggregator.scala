@@ -43,14 +43,15 @@ final case class RegState(
 }
 
 /** One forecast step — exactly the reference's 6-field UNNEST row
-  * (flink_statements.tf:325-332). */
+  * (flink_statements.tf:325-332). AIC is None for a perfect fit
+  * (mse = 0), matching the SQL baseline's `CASE WHEN mse > 0` NULL. */
 final case class ForecastRow(
     forecast_timestamp: Double,
     forecast_value: Double,
     lower_bound: Double,
     upper_bound: Double,
     rmse: Double,
-    aic: Double)
+    aic: Option[Double])
 
 /** M2 — `ML_FORECAST(value, ts, config)` parity baseline (reference:
   * flink_statements.tf:305-316; pinned semantics SURVEY.md §7.3): OLS
@@ -79,7 +80,7 @@ class ForecastAggregator(minTrainingSize: Int, horizon: Int,
     val sse = math.max(0.0, b.mYY - b.mXY * b.mXY / b.mXX)
     val mse = sse / b.n
     val rmse = math.sqrt(mse)
-    val aic = if (mse > 0) b.n * math.log(mse) + 4.0 else Double.NegativeInfinity
+    val aic = if (mse > 0) Some(b.n * math.log(mse) + 4.0) else None
     val step = (b.maxX - b.minX) / (b.n - 1)
     Array.tabulate(horizon) { h =>
       val xh = b.maxX + (h + 1) * step

@@ -21,11 +21,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, false) ||
-      left.dataType == ArrayType(DoubleType, true))
+    def ok(t: DataType) =
+      t == ArrayType(DoubleType, containsNull = false) ||
+        t == ArrayType(DoubleType, containsNull = true)
+    if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"dot_product needs ARRAY<DOUBLE>, got ${left.dataType} / ${right.dataType}")
+      s"dot_product needs ARRAY<DOUBLE> on both sides, got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

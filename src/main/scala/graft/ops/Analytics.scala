@@ -51,7 +51,7 @@ object Analytics {
           .orderBy(col("event_type"))
       },
       Some {
-        val x = "(epoch_us(ts) - 1704067200000000) / 86400000000.0"
+        val x = s"(epoch_us(ts) - ${Health.OriginUs}) / 86400000000.0"
         s"""
         SELECT event_type,
           ${Num.sql("VAR_SAMP(value)", 4)} AS var_s,

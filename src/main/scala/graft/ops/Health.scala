@@ -37,8 +37,12 @@ object Health {
   val Z95: Double = graft.functions.Stats.normalQuantile(0.975)
 
   /** Epoch microseconds of 2024-01-01T00:00:00Z, the driver dataset's
-    * origin; only used to keep regression x values small. */
+    * origin; only used to keep regression x values small. The SINGLE
+    * source for every path (oracle SQL interpolates it, the simulator
+    * and streaming processor derive [[OriginMs]]) — the bit-identical
+    * parity between engines depends on there being one copy. */
   val OriginUs = 1704067200000000L
+  val OriginMs: Long = OriginUs / 1000L
 
   /** ts -> fractional days since 2024-01-01 (exact int64 µs division). */
   def tsDays(ts: Column): Column = (unix_micros(ts) - lit(OriginUs)) / lit(86400000000.0)

@@ -17,7 +17,7 @@ object HealthQueries {
   private val Z = Health.Z95
   /** SQL fragment: exact fractional days since 2024-01-01 (matches
     * [[Health.tsDays]] bit-for-bit: integer epoch µs then one divide). */
-  private val XDAYS = "(epoch_us(ts) - 1704067200000000) / 86400000000.0"
+  private val XDAYS = s"(epoch_us(ts) - ${Health.OriginUs}) / 86400000000.0"
 
   def queries: Seq[Query] = Seq(
     // ---------------------------------------------------------------- q20

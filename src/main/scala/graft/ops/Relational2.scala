@@ -14,8 +14,9 @@ object Relational2 {
     * one key would otherwise serialize a whole shuffle partition. The
     * result is identical to the direct aggregation (its oracle IS the
     * plain GROUP BY). */
-  def saltedSum(df: DataFrame, key: String, value: String, salt: Int): DataFrame =
-    df.withColumn("__salt", pmod(crc32(col("event_id").cast("string")), lit(salt)))
+  def saltedSum(df: DataFrame, key: String, value: String, salt: Int,
+      saltSource: String): DataFrame =
+    df.withColumn("__salt", pmod(crc32(col(saltSource).cast("string")), lit(salt)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(col(value)).as("ps"))
       .groupBy(col(key))
@@ -122,7 +123,8 @@ object Relational2 {
     Query(
       "q58_salted_agg",
       (s, d) =>
-        saltedSum(Tables.events(s, d), "event_type", "value", salt = 16)
+        saltedSum(Tables.events(s, d), "event_type", "value", salt = 16,
+          saltSource = "event_id")
           .select(col("event_type"), col("n"),
             Num.r4(col("sum_value")).as("sum_value"))
           .orderBy(col("event_type")),

@@ -23,7 +23,8 @@ object Temporal {
       tieBreak: String, quoteCols: Seq[(String, String)]): DataFrame = {
     val pSide = probes.withColumn("is_probe", lit(1))
     val qSide0 = quotes.select(
-      (Seq(col(key), col(ts), lit(0).as("is_probe"), lit(null).cast("long").as(tieBreak)) ++
+      (Seq(col(key), col(ts), lit(0).as("is_probe"),
+        lit(null).cast(probes.schema(tieBreak).dataType).as(tieBreak)) ++
         quoteCols.map { case (src, dst) => col(src).as(s"__q_$dst") }): _*)
     val qSide = pSide.columns.foldLeft(qSide0) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(pSide.schema(c).dataType))

@@ -29,8 +29,9 @@ final class Simulator(seed: Long = 42L, tickSeconds: Double = 0.2,
   val tempGrid: Vector[Float] = (0 to 10).map(i => 35.0f + 0.5f * i).toVector
   val deviceTypes = Vector("wearable_v4", "wearable_v3", "wearable_v2")
 
-  /** Origin of virtual time (epoch ms); arbitrary but fixed. */
-  val originMs: Long = 1704067200000L // 2024-01-01T00:00:00Z
+  /** Origin of virtual time (epoch ms): the engine-wide 2024-01-01
+    * origin ([[graft.ops.Health.OriginMs]]). */
+  val originMs: Long = graft.ops.Health.OriginMs
 
   // bradycardia injection parameters (health_simulator.py:110-129)
   val bradyPatient = 1

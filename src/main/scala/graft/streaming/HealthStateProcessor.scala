@@ -63,6 +63,7 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
   @transient private var bucket: ValueState[BucketAcc] = _
   @transient private var model: ValueState[WelfordState] = _
   @transient private var trend: ValueState[RegState] = _
+  @transient private var armedTimer: ValueState[Long] = _
 
   private val z = Stats.normalQuantile(0.5 + confidencePercentage / 200.0)
 
@@ -71,16 +72,25 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
     bucket = getHandle.getValueState("bucket", Encoders.product[BucketAcc], TTLConfig.NONE)
     model = getHandle.getValueState("model", Encoders.product[WelfordState], TTLConfig.NONE)
     trend = getHandle.getValueState("trend", Encoders.product[RegState], TTLConfig.NONE)
+    armedTimer = getHandle.getValueState("armedTimer", Encoders.scalaLong, TTLConfig.NONE)
   }
+
+  private def bucketStartOf(ts: Long): Long =
+    ts - java.lang.Math.floorMod(ts - originMs, windowMs)
 
   override def handleInputRows(key: Int, rows: Iterator[VitalPoint],
       timerValues: TimerValues): Iterator[HealthScore] = {
     val wm = timerValues.getCurrentWatermarkInMs
-    // the watermark asserts no event <= wm will still arrive; one that
-    // does is late beyond the allowed delay and is dropped (the
-    // reference's Flink default silently drops late rows too,
-    // SURVEY.md §2.2) — folding it would reopen a closed window
-    rows.filter(_.event_time.getTime > wm).foreach(pending.appendValue)
+    // Late-data semantics: Spark's stateful operators drop rows with
+    // ts <= watermark BEFORE the processor sees them (verified by
+    // StreamingHealthSpec's late-event test), so every delivered row is
+    // on-time by construction — slightly stricter than Flink's TUMBLE
+    // rule (drop only once the window fired), and equivalent to the
+    // reference's drop-late default for any in-delay arrival. The guard
+    // below is defense-in-depth only: it would refuse any row whose
+    // window already fired, so a closed window can never reopen.
+    rows.filter(p => bucketStartOf(p.event_time.getTime) + windowMs > wm)
+      .foreach(pending.appendValue)
     drainAndRearm(key, wm)
   }
 
@@ -97,7 +107,21 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
     val nextDue =
       Option(bucket.get()).map(_.startMs + windowMs) ++
         pending.get().map(_.event_time.getTime).minOption
-    nextDue.minOption.foreach(t => getHandle.registerTimer(math.max(t, watermarkMs + 1)))
+    val prev = if (armedTimer.exists()) Some(armedTimer.get()) else None
+    nextDue.minOption match {
+      case Some(t0) =>
+        val t = math.max(t0, watermarkMs + 1)
+        // keep exactly one pending timer per key — re-arming every batch
+        // without deleting would grow timer state with batch count
+        if (!prev.contains(t)) {
+          prev.filter(_ > watermarkMs).foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+          armedTimer.update(t)
+        }
+      case None =>
+        prev.filter(_ > watermarkMs).foreach(getHandle.deleteTimer)
+        armedTimer.clear()
+    }
     out.iterator
   }
 
@@ -114,8 +138,7 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
 
     val out = Seq.newBuilder[HealthScore]
     ripe.sortBy(_.event_time.getTime).foreach { p =>
-      val ts = p.event_time.getTime
-      val start = ts - java.lang.Math.floorMod(ts - originMs, windowMs)
+      val start = bucketStartOf(p.event_time.getTime)
       Option(bucket.get()) match {
         case Some(b) if b.startMs == start =>
           bucket.update(BucketAcc(b.startMs, b.sum + p.value, b.count + 1))

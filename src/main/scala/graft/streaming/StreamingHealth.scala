@@ -36,7 +36,7 @@ object StreamingHealth {
   def score(events: DataFrame, watermarkDelay: String,
       windowMs: Long = DefaultWindowMs, minTraining: Int = 30,
       confidencePercentage: Double = 95.0, alertThreshold: Double = 40.0,
-      originMs: Long = 1704067200000L): Dataset[HealthScore] = {
+      originMs: Long = Health.OriginMs): Dataset[HealthScore] = {
     val spark = events.sparkSession
     import spark.implicits._
     events

@@ -108,6 +108,43 @@ class StreamingHealthSpec extends SparkSpec {
     }
   }
 
+  test("late events are dropped at the watermark; a closed window never reopens") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val scored = StreamingHealth.score(mem.toDF(), watermarkDelay = "2 seconds",
+      windowMs = 10000L, minTraining = 999, alertThreshold = 0.0,
+      originMs = sim.originMs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt").toString
+    val q = scored.toDF().writeStream.format("memory").queryName("late")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def at(sec: Long, v: Double) =
+      VitalPoint(7, new java.sql.Timestamp(sim.originMs + sec * 1000), v)
+    try {
+      mem.addData(at(1, 10.0), at(6, 20.0)); q.processAllAvailable()
+      // watermark is now 6s-2s=4s: an event at t=2 is late (ts <= wm).
+      // Spark's stateful-operator late-row filter drops it BEFORE the
+      // processor — engine semantics this test pins down.
+      mem.addData(at(2, 30.0)); q.processAllAvailable()
+      // close window [0,10): push watermark past 10s
+      mem.addData(at(15, 40.0)); q.processAllAvailable()
+      mem.addData(at(30, 50.0)); q.processAllAvailable()
+      // watermark now 28s: window [0,10) fired long ago -> event at t=3
+      // is beyond-late and must be dropped, not reopen the window
+      mem.addData(at(3, 60.0)); q.processAllAvailable()
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(999,
+          new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("late").filter(col("patient_id") === 7)
+      .select("window_start_ms", "n_events", "observed_value").collect()
+      .map(r => (r.getLong(0) - sim.originMs, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 2L, 15.0), (10000L, 1L, 40.0), (30000L, 1L, 50.0)),
+      s"got ${rows.toSeq}")
+  }
+
   test("out-of-order arrival within the watermark is folded correctly") {
     import spark.implicits._
     val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
