@@ -80,6 +80,48 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around centroids, search only the `nprobe` nearest cells per
+    * probe. Centroids here are deterministic (a fixed sample of the
+    * corpus — at scale they would come from a k-means fit job); the
+    * cell assignment is one corpus scan, the probe-side cell choice is
+    * tiny, and the candidate join shuffles only the probed cells. */
+  def ivfCells(vectors: DataFrame, centroids: Array[(Long, Array[Double])],
+      vecCol: String, top: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    // nearest-centroid by cosine: scores as an array, argmax via
+    // array_position(max); ties resolved to the lowest centroid id
+    val scores = array(centroids.map { case (_, c) =>
+      val cCol = array(c.map(lit): _*)
+      dot(col(vecCol), cCol) / (sqrt(dot(col(vecCol), col(vecCol))) *
+        math.sqrt(c.map(x => x * x).sum))
+    }: _*)
+    val idxs = sequence(lit(0), lit(centroids.length - 1))
+    // struct(-score, idx): default array_sort gives score desc, idx asc
+    val rankedCells = slice(transform(
+      array_sort(zip_with(scores, idxs,
+        (s, i) => struct((-s).as("neg"), i.as("idx")))),
+      x => x.getField("idx")), 1, top)
+    vectors.withColumn("cell", explode(rankedCells))
+  }
+
+  /** Approximate top-k via IVF: corpus assigned to 1 cell each, probes
+    * fan out to `nprobe` cells, exact cosine re-rank inside. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val cCells = ivfCells(corpus, centroids, "v", top = 1)
+    val pCells = ivfCells(probes, centroids, "qv", top = nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cCells.join(pCells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def queries: Seq[Query] = Seq(
     // ---------------------------------------------------------------- q37
     Query(

@@ -20,9 +20,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or a documented reason") {
-    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.forall(_.nonEmpty)) // placeholder: all have oracles so far
+  test("registry sanity: unique names, oracles only for checkable ops") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    // the only oracle-less queries are the approximate/opaque ones
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set("q39_ann_lsh", "q41_image_features", "q42_approx_distinct"),
+      s"unexpected oracle-less queries: $noOracle")
+    // every oracle references only tables the driver registers
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    Registry.all.flatMap(_.oracle).foreach { sql =>
+      "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).foreach { m =>
+        val t = m.group(1).toLowerCase
+        // allow CTE names and subqueries; flag only obvious typos of
+        // base tables (heuristic: 'lineitems', 'event' etc.)
+        assert(!Set("lineitems", "event", "order", "customers").contains(t),
+          s"suspicious table name '$t'")
+      }
+    }
   }
 
   test("q20 enrichment preserves event row count (FK is total)") {

@@ -62,6 +62,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("IVF ANN reaches >= 0.5 mean recall@5 with nprobe=4 of 16 cells") {
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // deterministic centroids: a fixed spread of corpus vectors
+    val centroids = emb.filter(col("vec_id") % 31 === 0).limit(16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val approx = Similarity.ivfTopK(emb, probes, 5, centroids, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = graft.Registry.queries("q33_knn_cosine")(spark, sf())
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@5 = $mean")
+  }
+
   test("q35 on the driver corpus is consistent: all candidate pairs verified") {
     val df = graft.Registry.queries("q35_lsh_neardup_pairs")(spark, sf())
     // every emitted pair must have sane jaccard bounds
