@@ -47,7 +47,7 @@ object Registry {
       ops.Analytics.queries ++ ops.Relational2.queries ++
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++ ext.TextRank.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

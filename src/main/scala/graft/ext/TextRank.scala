@@ -1,0 +1,111 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting and generic column profiling — the remaining
+  * text-analysis / data-quality utilities of a training-data pipeline. */
+object TextRank {
+
+  /** (doc_id, term, tf, df, tfidf) for every term occurrence count —
+    * two aggregations over one exploded token pass; the idf side is a
+    * tiny per-term table joined back (broadcast at any realistic
+    * vocabulary size). */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val terms = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+  }
+
+  /** Generic profiling: one row per (column, metric) over any frame —
+    * null count, distinct count, min/max as strings. One pass for the
+    * counts; min/max typed then rendered. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.flatMap { c =>
+      Seq(
+        (c, "nulls", row.getAs[Long](s"${c}__nulls").toString),
+        (c, "distinct", row.getAs[Long](s"${c}__distinct").toString),
+        (c, "min", String.valueOf(row.getAs[Any](s"${c}__min"))),
+        (c, "max", String.valueOf(row.getAs[Any](s"${c}__max"))))
+    }.toDF("column", "metric", "value")
+  }
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q59
+    Query(
+      "q59_tfidf_top_terms",
+      (s, d) => {
+        tfidf(Tables.documents(s, d))
+          .withColumn("tfidf", Num.r4(col("tfidf")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tfidf").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+            col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            ${Num.sql("tf.tf * LN(CAST(n.n AS DOUBLE) / df.df)", 4)} AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, rn, term, tf, df, tfidf
+        FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn"""),
+      "TF-IDF top-3 terms per document (rank on rounded weight, term tie-break)"),
+
+    // ---------------------------------------------------------------- q60
+    Query(
+      "q60_profile",
+      (s, d) =>
+        profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+          .orderBy(col("column"), col("metric")),
+      Some("""
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS "column", 'nulls' AS metric,
+            CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS VARCHAR) AS value FROM lineitem
+          UNION ALL SELECT 'l_orderkey', 'distinct', CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_orderkey', 'min', CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_orderkey', 'max', CAST(MAX(l_orderkey) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'nulls', CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'distinct', CAST(COUNT(DISTINCT l_quantity) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'min', CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'max', CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', 'nulls', CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', 'distinct', CAST(COUNT(DISTINCT l_returnflag) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', 'min', MIN(l_returnflag) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', 'max', MAX(l_returnflag) FROM lineitem
+          UNION ALL SELECT 'l_shipdate', 'nulls', CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_shipdate', 'distinct', CAST(COUNT(DISTINCT l_shipdate) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_shipdate', 'min', STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+          UNION ALL SELECT 'l_shipdate', 'max', STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+        ) ORDER BY "column", metric"""),
+      "generic column profiler: nulls/distinct/min/max per column as rows"))
+}
