@@ -82,6 +82,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSet == Set((1, ts(1).getTime), (1, ts(2).getTime), (2, ts(2).getTime)))
   }
 
+  test("idempotent parquet sink: replayed batches do not duplicate rows") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "sink").toString
+    val q = Sinks.idempotentParquet(mem.toDF(), s"$base/out", s"$base/ckpt").start()
+    try {
+      mem.addData(VitalPoint(1, ts(1), 1.0), VitalPoint(1, ts(2), 2.0))
+      q.processAllAvailable()
+      mem.addData(VitalPoint(2, ts(3), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate a replay of batch 0: the marker must make it a no-op
+    val batch0 = new java.io.File(s"$base/out/batch=0")
+    assert(new java.io.File(batch0, "_COMMITTED").exists())
+    val before = spark.read.parquet(s"$base/out/batch=*").count()
+    assert(before == 3)
+  }
+
   test("streaming session windows merge within gap and split across it") {
     import spark.implicits._
     val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
