@@ -35,6 +35,31 @@ object Pipeline {
         col("avg_value").as("observed_value"), col("report"))
   }
 
+  /** [2] as SQL — near-verbatim the reference statement's shape
+    * (flink_statements.tf:173-211: CTE over a 1 s TUMBLE aggregate, then
+    * the ML function as an OVER aggregate, then the rename projection),
+    * runnable because [[GraftExtensions.install]] registers
+    * `ml_detect_anomalies` as a SQL window function. Proven equivalent
+    * to [[flaggedEvents]] in PipelineSpec. */
+  def flaggedEventsSql(events: DataFrame, spark: SparkSession): DataFrame = {
+    GraftExtensions.install(spark)
+    events.createOrReplaceTempView("events_v")
+    spark.sql("""
+      WITH windowed_vitals AS (
+        SELECT patient_id,
+          window(event_time, '1 second').start AS event_timestamp,
+          AVG(vitals.heart_rate) AS avg_heart_rate
+        FROM events_v
+        GROUP BY patient_id, window(event_time, '1 second')
+      )
+      SELECT patient_id, event_timestamp,
+        avg_heart_rate AS observed_value,
+        ml_detect_anomalies(avg_heart_rate) OVER (
+          PARTITION BY patient_id ORDER BY event_timestamp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS report
+      FROM windowed_vitals""")
+  }
+
   /** [3] */
   def filteredEvents(flagged: DataFrame): DataFrame = Health.filterNormal(flagged)
 

@@ -33,6 +33,25 @@ class PipelineSpec extends SparkSpec {
     assert(names(1) == "John Doe" && names(10) == "Anna Lopez") // db.tf:104-115
   }
 
+  test("statement [2] as SQL text matches the DataFrame path") {
+    val df = events.toDF()
+    val viaSql = Pipeline.flaggedEventsSql(df, spark)
+      .select(col("patient_id"), col("event_timestamp"),
+        col("observed_value"), col("report.is_anomaly").as("flag"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    val viaDf = Pipeline.flaggedEvents(df, minTraining = 30)
+      .select(col("patient_id"), col("event_timestamp"),
+        col("observed_value"), col("report.is_anomaly").as("flag"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(viaSql.size == viaDf.size && viaSql.nonEmpty)
+    viaSql.foreach { case (k, (obs, flag)) =>
+      val (obs2, flag2) = viaDf(k)
+      assert(math.abs(obs - obs2) < 1e-9 && flag == flag2, s"mismatch at $k")
+    }
+  }
+
   test("anomaly filter [3] drops exactly the flagged windows") {
     val flagged = Pipeline.flaggedEvents(events.toDF())
     val kept = Pipeline.filteredEvents(flagged).count()
