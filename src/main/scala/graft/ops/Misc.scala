@@ -56,7 +56,9 @@ object Misc {
             floor(col("l_extendedprice") / 1000).cast("long").as("price_k"),
             ceil(col("l_quantity") / 10).cast("long").as("qty_ceil"),
             Num.r4(sin(col("l_quantity"))).as("sin_qty"))
-          .orderBy(col("l_orderkey")),
+          // l_orderkey alone is not unique even at l_linenumber = 1 —
+          // break ties with the price-derived column for a total order
+          .orderBy(col("l_orderkey"), col("ln_price"), col("sqrt_qty")),
       Some(s"""
         SELECT l_orderkey,
           ${Num.sql("SQRT(l_quantity)", 4)} AS sqrt_qty,
@@ -71,7 +73,7 @@ object Misc {
           ${Num.sql("SIN(l_quantity)", 4)} AS sin_qty
         FROM lineitem
         WHERE l_linenumber = 1 AND l_orderkey < 500
-        ORDER BY l_orderkey"""),
+        ORDER BY l_orderkey, ln_price, sqrt_qty"""),
       "math scalar library (sqrt/ln/exp/pow/abs/sign/mod/floor/ceil/sin)"),
 
     // ---------------------------------------------------------------- q44

@@ -72,14 +72,17 @@ object Relational {
             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")),
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // data — sort on every output column for a total order
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"), col("l_discount")),
       Some("""
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount"""),
       "TPC-H Q6-style selective scan; predicates + projection push to parquet (PushedFilters/ReadSchema)"),
 
     // ---------------------------------------------------------------- q03
