@@ -82,6 +82,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSet == Set((1, ts(1).getTime), (1, ts(2).getTime), (2, ts(2).getTime)))
   }
 
+  test("parquet file-stream source: windowed agg equals the batch result") {
+    val batchDf = graft.Tables.events(spark, sf()) // also sets nanosAsLong
+    // file streams need a directory: point at the sf dir with a glob,
+    // and read ts as raw nanos (like Tables.events does) then truncate
+    val rawSchema = org.apache.spark.sql.types.StructType(batchDf.schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf())
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamingOps.windowedAgg(
+      stream.withColumnRenamed("ts", "et"), "user_id", "et", "value",
+      "1 day", watermarkDelay = "0 seconds")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "fs").toString
+    val q = agg.writeStream.format("memory").queryName("fsagg")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fsagg")
+      .select("user_id", "window_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    val batch = graft.ops.Health
+      .windowedAvg(batchDf, "user_id", "ts", "value", "1 day")
+      .select("user_id", "window_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    // append mode emits only watermark-closed windows; with all data in
+    // one batch the final window stays open — every EMITTED window must
+    // match batch exactly, and coverage must be nearly complete
+    assert(streamed.nonEmpty && streamed.size >= batch.size - 150)
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"mismatch at $k") }
+  }
+
   test("idempotent parquet sink: replayed batches do not duplicate rows") {
     import spark.implicits._
     val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
