@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       exprs => DotProduct(exprs(0), exprs(1))))
+    // rewrite HOF-spelled dot products into the codegen'd expression
+    e.injectOptimizerRule(_ => graft.functions.RewriteDotProduct)
   }
 }
 

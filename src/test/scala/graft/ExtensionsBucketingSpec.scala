@@ -27,6 +27,30 @@ class ExtensionsBucketingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to DotProduct") {
+    val fresh = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    }
+    try {
+      val df = fresh.sql("""
+        SELECT id, aggregate(zip_with(v, v, (x, y) -> x * y),
+          0.0d, (s, v) -> s + v) AS d
+        FROM (SELECT id, array(CAST(id AS DOUBLE), 2.0d) AS v FROM range(4))""")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("dotproduct"),
+        s"rewrite did not fire:\n$optimized")
+      assert(df.collect().map(_.getDouble(1)).sorted.toSeq ==
+        Seq(4.0, 5.0, 8.0, 13.0)) // id² + 4
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("withExtensions session resolves dot_product at plan time") {
     val fresh = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
