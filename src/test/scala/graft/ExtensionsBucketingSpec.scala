@@ -30,6 +30,7 @@ class ExtensionsBucketingSpec extends SparkSpec {
   test("optimizer rule rewrites the HOF dot-product pattern to DotProduct") {
     val fresh = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession() // else getOrCreate reuses it
       org.apache.spark.sql.SparkSession.builder()
         .master("local[2]")
         .withExtensions(new GraftExtensions)
@@ -54,6 +55,7 @@ class ExtensionsBucketingSpec extends SparkSpec {
   test("withExtensions session resolves dot_product at plan time") {
     val fresh = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession() // else getOrCreate reuses it
       val s = org.apache.spark.sql.SparkSession.builder()
         .master("local[2]")
         .withExtensions(new GraftExtensions)
