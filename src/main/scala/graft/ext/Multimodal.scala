@@ -72,6 +72,27 @@ object Multimodal {
     }
   }
 
+  /** Resize: scale the decoded dimensions and downsample the payload.
+    * STUB: a real implementation invokes the codec's scaler; this keeps
+    * every `step`-th byte — deterministic, shape-correct, and preserves
+    * the metadata contract (target dims recorded, aspect policy
+    * explicit). */
+  def resize(feats: Dataset[ImageFeatures], assets: Dataset[Asset],
+      targetW: Int, targetH: Int): Dataset[ImageFeatures] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.joinWith(assets, feats("asset_id") === assets("asset_id"))
+      .mapPartitions { batch =>
+        batch.map { case (f, a) =>
+          val step = math.max(1, (f.width.toLong * f.height /
+            (targetW.toLong * targetH)).toInt)
+          val down = a.content.grouped(step).map(_.head).toArray // STUB scaler
+          ImageFeatures(f.asset_id, targetW, targetH, f.channels,
+            stubFeatures(down, f.features.length))
+        }
+      }
+  }
+
   /** Frame sampling for video assets: emit every `stride`-th frame
     * (STUB frames = byte slices; a real codec seeks keyframes). */
   def sampleFrames(assets: Dataset[Asset], stride: Int = 8,

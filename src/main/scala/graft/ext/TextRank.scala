@@ -107,5 +107,81 @@ object TextRank {
           UNION ALL SELECT 'l_shipdate', 'min', STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
           UNION ALL SELECT 'l_shipdate', 'max', STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
         ) ORDER BY "column", metric"""),
-      "generic column profiler: nulls/distinct/min/max per column as rows"))
+      "generic column profiler: nulls/distinct/min/max per column as rows"),
+
+    // ---------------------------------------------------------------- q67
+    Query(
+      "q67_regex_tokens",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+              .cast("long").as("n_words"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_numbers"),
+            size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+              .cast("long").as("n_punct"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+          CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+          CAST(LEN(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+          CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""),
+      "BPE-ish regex tokenizer counts (word / number / punctuation classes)"),
+
+    // ---------------------------------------------------------------- q68
+    // Token-level Karp-Rabin rolling hash over 4-grams (base 131 mod P)
+    // with winnowing-style selection (h % 16 == 0) — content-defined
+    // document fingerprints, exact integer math on both engines.
+    Query(
+      "q68_rolling_fingerprint",
+      (s, d) => {
+        val P = graft.ext.Dedup.P
+        val toks = split(col("text"), " ")
+        def hp(i: org.apache.spark.sql.Column) =
+          conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10)
+            .cast("long") % P
+        val pows = Seq(1L, 131L, 17161L, 2248091L)
+        val roll = when(size(toks) >= 4,
+          transform(sequence(lit(1), size(toks) - lit(3)), i =>
+            pows.zipWithIndex.map { case (p, j) => (hp(i + lit(j)) * p) % P }
+              .reduce(_ + _) % P))
+          .otherwise(array().cast("array<bigint>"))
+        val selected = filter(roll, h => h % 16 === 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(roll).cast("long").as("n_grams"),
+            size(selected).cast("long").as("n_selected"),
+            array_min(selected).as("min_fp"),
+            array_max(selected).as("max_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.ext.Dedup.P
+        val term = (j: Int, pow: Long) =>
+          s"(CAST(('0x' || SUBSTRING(md5(toks[i+$j]),1,15)) AS BIGINT) % $P) * $pow % $P"
+        val inner = Seq(1L, 131L, 17161L, 2248091L).zipWithIndex
+          .map { case (p, j) => term(j, p) }.mkString(" + ")
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        r AS (
+          SELECT doc_id,
+            [($inner) % $P FOR i IN range(1, len(toks) - 2)] AS roll
+          FROM t),
+        sel AS (
+          SELECT doc_id, roll, LIST_FILTER(roll, h -> h % 16 = 0) AS selected
+          FROM r)
+        SELECT doc_id,
+          CAST(LEN(roll) AS BIGINT) AS n_grams,
+          CAST(LEN(selected) AS BIGINT) AS n_selected,
+          LIST_MIN(selected) AS min_fp,
+          LIST_MAX(selected) AS max_fp
+        FROM sel ORDER BY doc_id"""
+      },
+      "Karp-Rabin rolling-hash 4-gram fingerprints with winnowing selection"))
 }

@@ -16,6 +16,18 @@ class MultimodalMiscSpec extends SparkSpec {
     assert(a.forall(f => f.features.length == 16 && f.width >= 64 && f.channels == 3))
   }
 
+  test("resize: target dimensions honored, deterministic, features re-derived") {
+    val assets = Multimodal.syntheticAssets(Tables.documents(spark, sf()))
+    val feats = Multimodal.decodeAndFeaturize(assets)
+    val a = Multimodal.resize(feats, assets, 64, 64).collect().sortBy(_.asset_id)
+    val b = Multimodal.resize(feats, assets, 64, 64).collect().sortBy(_.asset_id)
+    assert(a.length == 500)
+    assert(a.forall(f => f.width == 64 && f.height == 64 && f.features.length == 16))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.features.toSeq == y.features.toSeq)
+    }
+  }
+
   test("frame sampling: only video assets, bounded frames, slices line up") {
     val assets = Multimodal.syntheticAssets(Tables.documents(spark, sf()))
     val frames = Multimodal.sampleFrames(assets, stride = 8, maxFrames = 4).collect()
