@@ -48,7 +48,8 @@ object Registry {
       ops.Relational3.queries ++
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.Multimodal.queries ++ ext.TextRank.queries
+      ext.Multimodal.queries ++ ext.TextRank.queries ++
+      ext.Sampling.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a training pipeline runs constantly:
+  * deterministic hash sampling (reproducible across engines, machines
+  * and reruns — unlike seeded RNG sampling), train/test splitting by the
+  * same mechanism, label-balance audits, and unpivot for long-format
+  * exports. The hash selector reuses the engine's md5→int64 primitive,
+  * so all of these are oracle-exact. */
+object Sampling {
+
+  /** Deterministic percentage selector: stable bucket in [0,100) from
+    * the row key — membership never changes across runs or engines. */
+  def hashBucket(key: Column): Column = Dedup.h60(key.cast("string")) % 100
+
+  def sqlHashBucket(e: String): String =
+    s"${Dedup.sqlH60(s"CAST($e AS VARCHAR)")} % 100"
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q69
+    Query(
+      "q69_unpivot",
+      (s, d) =>
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 50)
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nation_d"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("c_acctbal"), col("c_nation_d")),
+            "attribute", "value")
+          .orderBy(col("c_custkey"), col("attribute")),
+      Some("""
+        SELECT c_custkey, attribute, value
+        FROM (
+          SELECT c_custkey, c_acctbal,
+            CAST(c_nationkey AS DOUBLE) AS c_nation_d
+          FROM customer WHERE c_custkey < 50)
+        UNPIVOT (value FOR attribute IN (c_acctbal, c_nation_d))
+        ORDER BY c_custkey, attribute"""),
+      "unpivot/melt to long format"),
+
+    // ---------------------------------------------------------------- q70
+    Query(
+      "q70_hash_sample",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(hashBucket(col("l_orderkey") * 10 + col("l_linenumber")) < 10)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+            Num.r4(avg(col("l_quantity"))).as("avg_qty"))
+          .orderBy(col("l_returnflag")),
+      Some(s"""
+        SELECT l_returnflag, COUNT(*) AS n_sampled,
+          ${Num.sql("AVG(l_quantity)", 4)} AS avg_qty
+        FROM lineitem
+        WHERE ${sqlHashBucket("l_orderkey * 10 + l_linenumber")} < 10
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "~10% deterministic hash sample — reproducible membership, no RNG"),
+
+    // ---------------------------------------------------------------- q71
+    Query(
+      "q71_train_test_split",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(hashBucket(col("doc_id")) < 80, "train").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("split")),
+      Some(s"""
+        SELECT CASE WHEN ${sqlHashBucket("doc_id")} < 80
+                 THEN 'train' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+          MIN(doc_id) AS first_doc
+        FROM documents
+        GROUP BY 1 ORDER BY split"""),
+      "deterministic 80/20 train/test split by document hash"),
+
+    // ---------------------------------------------------------------- q72
+    Query(
+      "q72_label_balance",
+      (s, d) => {
+        val total = Tables.embeddings(s, d).count()
+        Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            Num.r4(count(lit(1)) / lit(total.toDouble)).as("fraction"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        SELECT label, COUNT(*) AS n,
+          ${Num.sql("COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings)", 4)} AS fraction
+        FROM embeddings
+        GROUP BY label ORDER BY label"""),
+      "label distribution audit over the embeddings table"))
+}
