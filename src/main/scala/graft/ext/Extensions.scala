@@ -30,6 +30,33 @@ object Extensions {
         ORDER BY canonical_id"""),
       "exact content dedup: SHA-256 fingerprint + hash groupBy; at scale a single shuffle on the digest, never on raw text"),
 
+    // -------------------------------------------------------------- q30b
+    Query(
+      "q30b_dedup_normalized",
+      (s, d) => {
+        // canonicalization before fingerprinting: case-fold, strip
+        // non-alphanumerics, collapse whitespace — catches formatting
+        // near-dups that exact hashing misses
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")
+        Tables.documents(s, d)
+          .groupBy(md5(norm).as("norm_fingerprint"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_id"), col("norm_fingerprint"), col("n_copies"))
+          .orderBy(col("canonical_id"))
+      },
+      Some("""
+        SELECT MIN(doc_id) AS canonical_id,
+          MD5(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS norm_fingerprint,
+          COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 2
+        ORDER BY canonical_id"""),
+      "near-exact dedup after text canonicalization (case-fold, strip punct, collapse spaces)"),
+
     // ---------------------------------------------------------------- q31
     Query(
       "q31_text_stats",
