@@ -29,6 +29,12 @@ object ScaleUp {
       (0 until copies).map(i => shift(df, i)).reduce(_.unionByName(_))
 
     val orderShift = 10000000L
+    // colliding replica keys would silently corrupt FK joins
+    val maxKey = Tables.lineitem(spark, src)
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+      .max(Tables.events(spark, src).agg(max(col("event_id"))).head.getLong(0))
+    require(maxKey < orderShift,
+      s"source keys reach $maxKey >= shift $orderShift; raise orderShift")
     val li = Tables.lineitem(spark, src)
     replicate(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderShift)))
       .repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")

@@ -123,7 +123,7 @@ object Extensions {
       "q33_knn_cosine",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         // rank on the ROUNDED cosine (tie-break by id) so the ordering

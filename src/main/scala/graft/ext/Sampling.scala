@@ -31,6 +31,9 @@ object Sampling {
           .unpivot(Array(col("c_custkey")),
             Array(col("c_acctbal"), col("c_nation_d")),
             "attribute", "value")
+          // Spark's unpivot keeps NULL values; DuckDB UNPIVOT excludes
+          // them by default — align explicitly (no-op on this data)
+          .filter(col("value").isNotNull)
           .orderBy(col("c_custkey"), col("attribute")),
       Some("""
         SELECT c_custkey, attribute, value
@@ -85,11 +88,13 @@ object Sampling {
     Query(
       "q72_label_balance",
       (s, d) => {
-        val total = Tables.embeddings(s, d).count()
-        Tables.embeddings(s, d)
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n"),
-            Num.r4(count(lit(1)) / lit(total.toDouble)).as("fraction"))
+        val emb = Tables.embeddings(s, d)
+        val totalDf = emb.agg(count(lit(1)).cast("double").as("n_total"))
+        emb.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(totalDf))
+          .select(col("label"), col("n"),
+            Num.r4(col("n") / col("n_total")).as("fraction"))
           .orderBy(col("label"))
       },
       Some(s"""

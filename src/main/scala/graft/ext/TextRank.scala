@@ -14,13 +14,17 @@ object TextRank {
     * tiny per-term table joined back (broadcast at any realistic
     * vocabulary size). */
   def tfidf(docs: DataFrame): DataFrame = {
-    val n = docs.count()
+    // corpus size as a broadcast 1-row frame inside the same plan — a
+    // driver-side count() would scan the source twice
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val terms = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf") * log(col("n_total") / col("df")))
+      .drop("n_total")
   }
 
   /** Generic profiling: one row per (column, metric) over any frame —
@@ -146,8 +150,7 @@ object TextRank {
         // hash each token ONCE into a materialized array — computing
         // md5(split(...)) inside the rolling lambda would redo both per
         // gram per offset (4x per gram; 28s -> ~2s at sf0.1)
-        val harr = transform(split(col("text"), " "),
-          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
+        val harr = transform(split(col("text"), " "), t => graft.ext.Dedup.hp(t))
         val withH = Tables.documents(s, d).withColumn("hs", harr)
         val roll = when(size(col("hs")) >= 4,
           transform(sequence(lit(1), size(col("hs")) - lit(3)), i =>
@@ -171,9 +174,7 @@ object TextRank {
         s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         h AS (
-          SELECT doc_id,
-            [CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) % $P
-             FOR t IN toks] AS hs
+          SELECT doc_id, [${graft.ext.Dedup.sqlHp("t")} FOR t IN toks] AS hs
           FROM t),
         r AS (
           SELECT doc_id,

@@ -30,13 +30,29 @@ case class DotProduct(left: Expression, right: Expression)
       s"dot_product needs ARRAY<DOUBLE> on both sides, got ${left.dataType} / ${right.dataType}")
   }
 
+  // Semantics match the HOF form it replaces exactly: mismatched
+  // lengths or a null element yield NULL (zip_with pads with nulls, so
+  // the fold nulls out) — required for RewriteDotProduct to be a pure
+  // optimization. The null branches compile away when both inputs are
+  // containsNull = false.
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -45,13 +61,21 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

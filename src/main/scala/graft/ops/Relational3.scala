@@ -54,7 +54,7 @@ object Relational3 {
     Query(
       "q62_array_funcs",
       (s, d) => {
-        val v = transform(col("embedding"), _.cast("double"))
+        val v = graft.ext.Similarity.toDouble(col("embedding"))
         Tables.embeddings(s, d)
           .filter(col("vec_id") < 100)
           .select(col("vec_id"),

@@ -18,12 +18,16 @@ object Sinks {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dir = new java.io.File(s"$path/batch=$batchId")
-        val marker = new java.io.File(dir, "_COMMITTED")
-        if (!marker.exists()) {
+        // Hadoop FileSystem, not java.io.File: the path may be s3a://,
+        // hdfs://, etc., and the marker must live WITH the data so a
+        // driver failover still sees prior commits
+        val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+        val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+        val fs = dir.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
           batch.write.mode("overwrite").parquet(dir.toString)
-          marker.createNewFile()
-          ()
+          fs.create(marker, true).close()
         }
       }
 }

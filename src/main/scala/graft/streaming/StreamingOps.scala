@@ -41,10 +41,12 @@ object StreamingOps {
     * of the same key within `toleranceSeconds` — both sides watermarked
     * so state is bounded and eventually purged. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
-      toleranceSeconds: Long, watermarkDelay: String = "10 seconds"): DataFrame = {
-    val l = left.withWatermark("event_time", watermarkDelay)
+      toleranceSeconds: Long, watermarkDelay: String = "10 seconds",
+      ts: String = "event_time", value: String = "value"): DataFrame = {
+    val l = left.withColumnRenamed(ts, "event_time")
+      .withWatermark("event_time", watermarkDelay)
     val r = right.select(col(key).as("r_key"),
-        col("event_time").as("r_time"), col("value").as("r_value"))
+        col(ts).as("r_time"), col(value).as("r_value"))
       .withWatermark("r_time", watermarkDelay)
     l.join(r,
       col(key) === col("r_key") &&
