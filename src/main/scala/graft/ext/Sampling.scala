@@ -102,5 +102,29 @@ object Sampling {
           ${Num.sql("COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings)", 4)} AS fraction
         FROM embeddings
         GROUP BY label ORDER BY label"""),
-      "label distribution audit over the embeddings table"))
+      "label distribution audit over the embeddings table"),
+
+    // ---------------------------------------------------------------- q73
+    Query(
+      "q73_latest_per_key",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+        ORDER BY user_id"""),
+      "record-level dedup by recency: keep each key's latest event"))
 }

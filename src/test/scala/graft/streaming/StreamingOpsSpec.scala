@@ -135,6 +135,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(before == 3)
   }
 
+  test("Trigger.AvailableNow backfills the whole file source then stops") {
+    val batchDf = graft.Tables.events(spark, sf())
+    val rawSchema = org.apache.spark.sql.types.StructType(batchDf.schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sf())
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "an").toString
+    val q = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("an")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow self-terminates when caught up
+    assert(!q.isActive, "AvailableNow query should have stopped itself")
+    val total = spark.table("an").agg(sum(col("n"))).head.getLong(0)
+    assert(total == batchDf.count())
+  }
+
   test("streaming session windows merge within gap and split across it") {
     import spark.implicits._
     val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
