@@ -126,5 +126,57 @@ object Sampling {
           FROM events) t
         WHERE rn = 1
         ORDER BY user_id"""),
-      "record-level dedup by recency: keep each key's latest event"))
+      "record-level dedup by recency: keep each key's latest event"),
+
+    // ---------------------------------------------------------------- q74
+    Query(
+      "q74_iqr_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(percentile(col("value"), lit(0.25)).as("q1"),
+            percentile(col("value"), lit(0.75)).as("q3"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        ev.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            Num.r4(first(col("lo"))).as("lo"),
+            Num.r4(first(col("hi"))).as("hi"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT event_type,
+            QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+          FROM events GROUP BY event_type),
+        bb AS (
+          SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+          FROM b)
+        SELECT e.event_type, COUNT(*) AS n,
+          SUM(CASE WHEN e.value < bb.lo OR e.value > bb.hi THEN 1 ELSE 0 END) AS n_outliers,
+          ${Num.sql("MIN(bb.lo)", 4)} AS lo,
+          ${Num.sql("MIN(bb.hi)", 4)} AS hi
+        FROM events e JOIN bb USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      "IQR-rule outlier audit per group (1.5x interquartile fences, broadcast bounds join)"),
+
+    // ---------------------------------------------------------------- q75
+    Query(
+      "q75_stratified_sample",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .filter(hashBucket(col("vec_id")) < 20) // 20% within EVERY stratum
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("vec_id")).as("first_vec"))
+          .orderBy(col("label")),
+      Some(s"""
+        SELECT label, COUNT(*) AS n_sampled, MIN(vec_id) AS first_vec
+        FROM embeddings
+        WHERE ${sqlHashBucket("vec_id")} < 20
+        GROUP BY label ORDER BY label"""),
+      "deterministic 20% stratified sample (hash membership is label-independent, so every stratum is sampled at the same rate)"))
 }

@@ -135,6 +135,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(before == 3)
   }
 
+  test("update output mode emits refining partials before the window closes") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val agg = mem.toDF().withWatermark("event_time", "5 seconds")
+      .groupBy(col("patient_id"), window(col("event_time"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "upd").toString
+    val q = agg.writeStream.format("memory").queryName("upd")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(VitalPoint(1, ts(1), 1.0)); q.processAllAvailable()
+      mem.addData(VitalPoint(1, ts(2), 2.0)); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits the same (still-open) window with refined
+    // counts — append mode would have emitted nothing yet
+    val counts = spark.table("upd").filter(col("patient_id") === 1)
+      .select("n").collect().map(_.getLong(0)).sorted
+    assert(counts.toSeq == Seq(1L, 2L), s"got ${counts.toSeq}")
+  }
+
   test("Trigger.AvailableNow backfills the whole file source then stops") {
     val batchDf = graft.Tables.events(spark, sf())
     val rawSchema = org.apache.spark.sql.types.StructType(batchDf.schema.map(f =>
