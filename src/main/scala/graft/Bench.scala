@@ -24,10 +24,15 @@ object Bench {
       val ok = run(fn)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line SHORT: the driver only captures a bounded tail
+    // of stdout, and a full-precision 72-query map overflows it — 3
+    // decimals (ms resolution) is plenty for grading
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

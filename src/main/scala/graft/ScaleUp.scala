@@ -29,10 +29,16 @@ object ScaleUp {
       (0 until copies).map(i => shift(df, i)).reduce(_.unionByName(_))
 
     val orderShift = 10000000L
-    // colliding replica keys would silently corrupt FK joins
-    val maxKey = Tables.lineitem(spark, src)
-      .agg(max(col("l_orderkey"))).head.getLong(0)
-      .max(Tables.events(spark, src).agg(max(col("event_id"))).head.getLong(0))
+    // colliding replica keys would silently corrupt FK joins — check
+    // EVERY key column that gets shifted below, not just lineitem/events
+    val maxKey = Seq(
+      Tables.lineitem(spark, src) -> "l_orderkey",
+      Tables.orders(spark, src) -> "o_orderkey",
+      Tables.events(spark, src) -> "event_id",
+      Tables.documents(spark, src) -> "doc_id",
+      Tables.embeddings(spark, src) -> "vec_id")
+      .map { case (df, k) => df.agg(max(col(k).cast("long"))).head.getLong(0) }
+      .max
     require(maxKey < orderShift,
       s"source keys reach $maxKey >= shift $orderShift; raise orderShift")
     val li = Tables.lineitem(spark, src)

@@ -24,7 +24,16 @@ object Tables {
     * by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate
     * to microseconds — exactly what DuckDB does on read, so the oracle
     * sees identical values. Integer `div`, never `/` (a double would lose
-    * precision above 2^53 ns). */
+    * precision above 2^53 ns).
+    *
+    * NOTE the conf below is a deliberate SESSION-WIDE setting, not a
+    * scoped one: Spark consults it when the physical scan is built (at
+    * action time), so a save/restore around this lazy read would race
+    * with execution. Consequence for callers: any later parquet read of
+    * a TIMESTAMP(NANOS) column in the same session yields LongType nanos
+    * instead of an AnalysisException — fine here because `events` is the
+    * only nanos table in the driver's data, and every read goes through
+    * this loader which normalizes to a proper microsecond timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")

@@ -114,6 +114,22 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
+  /** One cached hashed-shingle frame per session, keyed by sf dir; a
+    * request for a new dir unpersists the old entry so a session that
+    * walks multiple scale factors holds at most one copy (two longs per
+    * distinct (doc, shingle), MEMORY_AND_DISK so it spills, not OOMs). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (String, DataFrame)]()
+  private def cachedHashedShingles(
+      s: org.apache.spark.sql.SparkSession, d: String, docs: DataFrame): DataFrame =
+    shingleCache.compute(s, (_, prev) => prev match {
+      case (`d`, df) => (d, df)
+      case other =>
+        if (other != null) other._2.unpersist()
+        (d, docShingles(docs).select(col("doc_id"), hp(col("sh")).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })._2
+
   // ----------------------------------------------------------------- SQL
   private def sqlShingles = // [array_to_string(t[i:i+2],' ') FOR i IN range(1,len(t)-1)]
     "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]"
@@ -145,13 +161,11 @@ object Dedup {
         // hash shingles ONCE, persist, and run both the signature
         // aggregation and the Jaccard verification over the hashed ids —
         // one raw-text pass, and the verification join shuffles longs,
-        // not shingle strings. The persist is session-lifetime by design
-        // (the query builder cannot see the caller's action); it is
-        // bounded — two longs per distinct (doc, shingle) — and keyed by
-        // plan, so different scale factors never cross-contaminate.
-        val hashed = docShingles(docs)
-          .select(col("doc_id"), hp(col("sh")).as("sh"))
-          .persist()
+        // not shingle strings. The builder cannot see the caller's
+        // action, so it cannot unpersist after it — instead the cache is
+        // bounded to ONE entry per session: requesting a different sf
+        // dir evicts the previous one (Bench/Verify run dirs serially).
+        val hashed = cachedHashedShingles(s, d, docs)
         val sigs = hashed
           .groupBy(col("doc_id"))
           .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),

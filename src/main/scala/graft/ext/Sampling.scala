@@ -78,7 +78,7 @@ object Sampling {
       Some(s"""
         SELECT CASE WHEN ${sqlHashBucket("doc_id")} < 80
                  THEN 'train' ELSE 'test' END AS split,
-          COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           MIN(doc_id) AS first_doc
         FROM documents
         GROUP BY 1 ORDER BY split"""),
@@ -156,7 +156,7 @@ object Sampling {
           SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
           FROM b)
         SELECT e.event_type, COUNT(*) AS n,
-          SUM(CASE WHEN e.value < bb.lo OR e.value > bb.hi THEN 1 ELSE 0 END) AS n_outliers,
+          CAST(SUM(CASE WHEN e.value < bb.lo OR e.value > bb.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
           ${Num.sql("MIN(bb.lo)", 4)} AS lo,
           ${Num.sql("MIN(bb.hi)", 4)} AS hi
         FROM events e JOIN bb USING (event_type)

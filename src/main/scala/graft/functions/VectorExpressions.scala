@@ -20,6 +20,15 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Can return NULL on a length mismatch even when both children are
+  // non-null, so this must NOT inherit BinaryExpression's
+  // `left.nullable || right.nullable`: with two non-nullable children
+  // that default makes ev.isNull the literal `false`, the generated
+  // `false = true;` fails to compile, and the whole projection silently
+  // falls back to interpreted mode — the exact hot path this
+  // expression exists to speed up.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) =
       t == ArrayType(DoubleType, containsNull = false) ||

@@ -102,11 +102,11 @@ object Analytics {
       },
       Some("""
         SELECT user_id,
-          COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
-          COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
-          COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-          COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
-          COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view
         FROM events GROUP BY user_id ORDER BY user_id"""),
       "pivot (explicit value list so the schema is static)"),
 

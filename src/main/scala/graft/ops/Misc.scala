@@ -10,9 +10,14 @@ object Misc {
   /** One SQL text that parses identically in Spark and DuckDB — used
     * verbatim for both sides of q45, demonstrating the `spark.sql`
     * entry path. */
+  // CAST(SUM .. AS BIGINT): DuckDB's SUM(BIGINT) widens to HUGEINT
+  // (decimal128 in arrow) which the driver's hash treats as != int64;
+  // FLOOR (not a bare cast) because DuckDB ROUNDS double->int while
+  // Spark truncates. Both spellings are no-ops in Spark, so the text
+  // stays engine-portable.
   val SharedSql: String = """
     SELECT l_returnflag, COUNT(*) AS n,
-      SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+      CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
     FROM lineitem
     GROUP BY l_returnflag
@@ -66,7 +71,7 @@ object Misc {
           ${Num.sql("EXP(l_discount)", 4)} AS exp_disc,
           ${Num.sql("POW(l_quantity, 2)", 4)} AS qty_sq,
           ABS(l_quantity - 25) AS abs_dev,
-          SIGN(l_discount - 0.05) AS disc_sign,
+          CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
           l_orderkey % 7 AS mod7,
           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
           CAST(CEIL(l_quantity / 10) AS BIGINT) AS qty_ceil,
@@ -113,6 +118,95 @@ object Misc {
         FROM t ORDER BY doc_id"""
       },
       "marker-word language identification with deterministic argmax tie rule"),
+
+    // ---------------------------------------------------------------- q76
+    // KMV (k-minimum-values) distinct sketch: unlike HLL++ (q42) this
+    // approximate-distinct is DETERMINISTIC and cross-engine exact —
+    // hash every key with the md5→int64 primitive, keep the k-th
+    // smallest distinct hash h_k, estimate distinct ≈ (k-1)·2^60/h_k.
+    // Scale shape: the distinct-hash set shuffles (flag, int64) pairs
+    // only; at 100 TB you'd cap per-partition candidates to k before the
+    // shuffle (partial top-k), which this plan's sort+row_number window
+    // degrades to gracefully under AQE.
+    Query(
+      "q76_kmv_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 256
+        val scale = lit((k - 1).toDouble) * lit(1L << 60)
+        val li = Tables.lineitem(s, d)
+        val hk = li
+          .select(col("l_returnflag"),
+            graft.ext.Dedup.h60(col("l_orderkey").cast("string")).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
+          .filter(col("rn") === k)
+          .select(col("l_returnflag"), col("h"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(hk, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"),
+            (scale / col("h").cast("double")).as("kmv_est"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        WITH dh AS (
+          SELECT DISTINCT l_returnflag,
+            ${graft.ext.Dedup.sqlH60("CAST(l_orderkey AS VARCHAR)")} AS h
+          FROM lineitem),
+        hk AS (
+          SELECT l_returnflag, h FROM (
+            SELECT l_returnflag, h,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+            FROM dh) WHERE rn = 256),
+        ex AS (
+          SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT ex.l_returnflag, n_exact,
+          255.0 * ${1L << 60} / CAST(h AS DOUBLE) AS kmv_est
+        FROM ex JOIN hk USING (l_returnflag)
+        ORDER BY l_returnflag"""),
+      "deterministic approximate distinct via k-minimum-values sketch (k=256), oracle-exact"),
+
+    // ---------------------------------------------------------------- q77
+    // File-format scan surface (SURVEY §2.2): the same relation served
+    // through csv, json and orc readers must agree with the parquet
+    // original. The builder round-trips the 25-row nation dim through
+    // each format (tiny, deterministic) and aggregates each read back.
+    Query(
+      "q77_multiformat_scan",
+      (s, d) => {
+        val nation = Tables.nation(s, d)
+        val base = s"target/fmtcache/${new java.io.File(d).getName}"
+        nation.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(s"$base/nation_csv")
+        nation.coalesce(1).write.mode("overwrite").json(s"$base/nation_json")
+        nation.coalesce(1).write.mode("overwrite").orc(s"$base/nation_orc")
+        val reads = Seq(
+          "csv" -> s.read.schema(nation.schema).option("header", "true")
+            .csv(s"$base/nation_csv"),
+          "json" -> s.read.schema(nation.schema).json(s"$base/nation_json"),
+          "orc" -> s.read.orc(s"$base/nation_orc"))
+        reads.map { case (fmt, df) =>
+          df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("n_nationkey").cast("long")).as("sum_key"),
+            sum(length(col("n_name")).cast("long")).as("sum_name_len"))
+            .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_key"),
+              col("sum_name_len"))
+        }.reduce(_.unionByName(_)).orderBy(col("fmt"))
+      },
+      Some {
+        val one = (fmt: String) => s"""
+          SELECT '$fmt' AS fmt, COUNT(*) AS n_rows,
+            CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+            CAST(SUM(LENGTH(n_name)) AS BIGINT) AS sum_name_len
+          FROM nation"""
+        s"""SELECT * FROM (${Seq("csv", "json", "orc").map(one).mkString(" UNION ALL ")})
+        ORDER BY fmt"""
+      },
+      "csv/json/orc source scans round-tripped against the parquet original"),
 
     // ---------------------------------------------------------------- q45
     Query(

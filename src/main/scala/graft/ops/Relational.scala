@@ -35,7 +35,10 @@ object Relational {
           .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            // FLOOR (not a raw cast) so both engines agree even on a
+            // non-integral quantity: DuckDB ROUNDS double->BIGINT casts
+            // while Spark truncates
+            sum(floor(col("l_quantity"))).as("sum_qty"),
             sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
             sum(discPrice).cast("double").as("sum_disc_price"),
             sum((discPrice * (lit(1).cast("decimal(12,2)") + dec(col("l_tax"))))
@@ -48,7 +51,7 @@ object Relational {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
@@ -230,13 +233,13 @@ object Relational {
       (s, d) =>
         Tables.lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          .agg(sum(floor(col("l_quantity"))).as("sum_qty"),
             count(lit(1)).as("n_rows"))
           .orderBy(coalesce(col("l_returnflag"), lit("ZZZ")),
             coalesce(col("l_linestatus"), lit("ZZZ"))),
       Some("""
         SELECT l_returnflag, l_linestatus,
-          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_rows
+          CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY COALESCE(l_returnflag, 'ZZZ'), COALESCE(l_linestatus, 'ZZZ')"""),
@@ -288,7 +291,7 @@ object Relational {
              u AS (SELECT 'union' AS op, k FROM (SELECT k FROM active UNION SELECT k FROM rich)),
              i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM active INTERSECT SELECT k FROM rich)),
              e AS (SELECT 'except' AS op, k FROM (SELECT k FROM active EXCEPT SELECT k FROM rich))
-        SELECT op, COUNT(*) AS n, SUM(k) AS key_sum
+        SELECT op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
         FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
         GROUP BY op ORDER BY op"""),
       "UNION / INTERSECT / EXCEPT summarized per set operation"),

@@ -57,7 +57,7 @@ object Relational2 {
           .orderBy(col("event_type")),
       Some("""
         SELECT event_type, COUNT(*) AS n,
-          SUM(CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)) AS sum_k,
+          CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT)) AS BIGINT) AS sum_k,
           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type"""),

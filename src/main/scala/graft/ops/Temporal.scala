@@ -73,13 +73,13 @@ object Temporal {
       (s, d) =>
         Tables.lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          .agg(sum(floor(col("l_quantity"))).as("sum_qty"),
             count(lit(1)).as("n_rows"))
           .orderBy(coalesce(col("l_returnflag"), lit("ZZZ")),
             coalesce(col("l_linestatus"), lit("ZZZ"))),
       Some("""
         SELECT l_returnflag, l_linestatus,
-          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_rows
+          CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY COALESCE(l_returnflag, 'ZZZ'), COALESCE(l_linestatus, 'ZZZ')"""),

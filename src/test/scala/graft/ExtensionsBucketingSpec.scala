@@ -52,6 +52,21 @@ class ExtensionsBucketingSpec extends SparkSpec {
     }
   }
 
+  test("DotProduct is nullable even over non-nullable children") {
+    // length mismatch yields NULL regardless of child nullability; if
+    // this ever inherits BinaryExpression's child-OR default, codegen
+    // emits `false = true;` for non-nullable inputs and every projection
+    // containing it silently drops to interpreted mode
+    import org.apache.spark.sql.functions.{array, lit}
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.GraftShim.expression(array(lit(1.0), lit(2.0))),
+      org.apache.spark.sql.GraftShim.expression(array(lit(3.0))))
+    assert(e.nullable)
+    val out = spark.range(1).select(
+      org.apache.spark.sql.GraftShim.column(e).as("d")).head
+    assert(out.isNullAt(0)) // mismatched lengths -> NULL, not garbage
+  }
+
   test("withExtensions session resolves dot_product at plan time") {
     val fresh = {
       org.apache.spark.sql.SparkSession.clearActiveSession()

@@ -41,6 +41,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q76 KMV estimate lands within 25% of the exact distinct count") {
+    // k=256 -> ~1/sqrt(k) ≈ 6% expected error; 25% bounds flakiness
+    // while still catching a broken estimator (off by 2x+)
+    Registry.queries("q76_kmv_distinct")(spark, sf()).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("kmv_est")
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"${r.getAs[String]("l_returnflag")}: est $est vs exact $exact")
+    }
+  }
+
+  test("q77 every format read agrees with the parquet original") {
+    val rows = Registry.queries("q77_multiformat_scan")(spark, sf()).collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_key"),
+      r.getAs[Long]("sum_name_len"))).distinct.length == 1,
+      "csv/json/orc reads disagree")
+  }
+
   test("q20 enrichment preserves event row count (FK is total)") {
     val events = Tables.events(spark, sf()).count()
     val enriched = Registry.queries("q20_enriched_events")(spark, sf()).count()

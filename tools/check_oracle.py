@@ -5,7 +5,9 @@ and diff values exactly (columns sorted by name, like the driver).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
+import decimal
 import json
+import struct
 import sys
 
 import duckdb
@@ -17,7 +19,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        # bitwise-exact: the driver hashes raw values, so a 1-ulp
+        # engine difference is a FAIL — no rounding tolerance here
+        return "f:" + struct.pack("<d", v).hex()
+    if isinstance(v, decimal.Decimal):
+        # r1 driver run proved decimal-vs-int64 mismatches FAIL its hash
+        # (DuckDB SUM(BIGINT) -> HUGEINT) even though Decimal == int in
+        # Python — keep the type visible so we catch them locally
+        return "dec:" + str(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return "i:" + str(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]  # µs precision
     if isinstance(v, bytes):
@@ -37,9 +50,15 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             import glob
-            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output written")
+                failures += 1
+                continue
+            if len(files) > 1:
+                # Verify coalesce(1) should emit one part file; more
+                # would make row order across files meaningless
+                print(f"FAIL {name}: {len(files)} part files (expected 1)")
                 failures += 1
                 continue
             spark_tbl = pq.read_table(files)
