@@ -16,10 +16,14 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case _: Throwable => false }
+    // optional args = subset of query names (dev loop); driver passes none
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // warmup pass: JIT + codegen + parquet footer caches, untimed — the
     // timed pass then measures the engine, not JVM startup
-    SparkEntry.queries.foreach { case (_, fn) => run(fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    selected.foreach { case (_, fn) => run(fn) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = run(fn)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -140,5 +140,35 @@ object Multimodal {
           .orderBy(col("asset_id"))
       },
       None,
-      "batched binary decode + feature extraction via mapPartitions (stubbed codec, real plumbing)"))
+      "batched binary decode + feature extraction via mapPartitions (stubbed codec, real plumbing)"),
+
+    // ---------------------------------------------------------------- q79
+    // Frame sampling IS oracle-checkable: the stub "decoder" slices the
+    // binary payload deterministically, and the corpus text is pure
+    // ASCII, so DuckDB's 1-based VARCHAR slice reproduces the byte
+    // slices exactly (LENGTH == OCTET_LENGTH) and md5 agrees.
+    Query(
+      "q79_frame_sample",
+      (s, d) => {
+        val frames = sampleFrames(
+          syntheticAssets(Tables.documents(s, d)), stride = 8, maxFrames = 4)
+        frames.toDF().select(col("asset_id"),
+          col("frame_index").cast("long").as("frame_index"),
+          octet_length(col("frame_bytes")).cast("long").as("n_bytes"),
+          md5(col("frame_bytes")).as("fingerprint"))
+          .orderBy(col("asset_id"), col("frame_index"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS asset_id, text AS t FROM documents
+          WHERE doc_id % 3 = 2),
+        f AS (
+          SELECT asset_id, t,
+            UNNEST(range(0, LEAST(4, GREATEST(1, LENGTH(t) // 8)))) AS fi
+          FROM v)
+        SELECT asset_id, CAST(fi AS BIGINT) AS frame_index,
+          CAST(LENGTH(t[fi*8+1 : LEAST(fi*8+8, LENGTH(t))]) AS BIGINT) AS n_bytes,
+          MD5(t[fi*8+1 : LEAST(fi*8+8, LENGTH(t))]) AS fingerprint
+        FROM f ORDER BY asset_id, frame_index"""),
+      "video frame sampling (every 8th-byte stub frame, max 4) with per-frame fingerprints"))
 }

@@ -93,14 +93,18 @@ object Similarity {
     * cell assignment is one corpus scan, the probe-side cell choice is
     * tiny, and the candidate join shuffles only the probed cells. */
   def ivfCells(vectors: DataFrame, centroids: Array[(Long, Array[Double])],
-      vecCol: String, top: Int): DataFrame = {
+      vecCol: String, top: Int, rounded: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.dot
     // nearest-centroid by cosine: scores as an array, argmax via
-    // array_position(max); ties resolved to the lowest centroid id
+    // array_position(max); ties resolved to the lowest centroid id.
+    // `rounded` snaps each score to 6 decimals (Num.r6) BEFORE the
+    // argmax so the assignment is floating-point-stable across engines
+    // — required when a DuckDB oracle recomputes the same argmax
     val scores = array(centroids.map { case (_, c) =>
       val cCol = array(c.map(lit): _*)
-      dot(col(vecCol), cCol) / (sqrt(dot(col(vecCol), col(vecCol))) *
+      val s = dot(col(vecCol), cCol) / (sqrt(dot(col(vecCol), col(vecCol))) *
         math.sqrt(c.map(x => x * x).sum))
+      if (rounded) graft.Num.r6(s) else s
     }: _*)
     val idxs = sequence(lit(0), lit(centroids.length - 1))
     // struct(-score, idx): default array_sort gives score desc, idx asc
@@ -154,6 +158,91 @@ object Similarity {
         FROM pairs WHERE cosine > 0.4
         ORDER BY vec_a, vec_b"""),
       "embedding near-duplicate pairs (cosine > 0.4), exact all-pairs baseline"),
+
+    // ---------------------------------------------------------------- q78
+    // IVF ANN, oracle-EXACT (unlike q39's LSH): centroids are the 16
+    // corpus vectors with the smallest md5-derived key — deterministic
+    // and reproducible in SQL, standing in for the k-means fit job a
+    // 100 TB deployment would run. Cell assignment argmaxes the
+    // r6-rounded cosine (ties to the lowest centroid id), re-rank uses
+    // the r4-rounded cosine (q33's convention) — every float the two
+    // engines compare is rounded with the shared FLOOR formula first.
+    // Scale shape: corpus scanned once for assignment (centroids are
+    // plan literals — no join), candidates shuffle only the probed
+    // cells, never the n² cross product.
+    Query(
+      "q78_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val cents: Array[(Long, Array[Double])] = emb
+          .select(col("vec_id"), col("v"),
+            Dedup.h60(col("vec_id").cast("string")).as("hk"))
+          .orderBy(col("hk"), col("vec_id")).limit(16).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val cCells = ivfCells(emb, cents, "v", top = 1, rounded = true)
+        val pCells = ivfCells(broadcast(probes), cents, "qv", top = 4,
+          rounded = true)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        cCells.join(pCells, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            graft.Num.r4(cosine(col("v"), col("qv"))).as("cosine"))
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some {
+        // identical fold order to graft.functions.DotProduct: products
+        // in index-ascending order, sequential sum
+        def dotSql(a: String, b: String) =
+          s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
+        def selfSql(a: String) = s"list_sum([x * x FOR x IN $a])"
+        def cosSql(a: String, b: String, digits: Int) = graft.Num.sql(
+          s"${dotSql(a, b)} / (sqrt(${selfSql(a)}) * sqrt(${selfSql(b)}))",
+          digits)
+        s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+          SELECT vec_id AS c_id, v AS cv, rn - 1 AS cell FROM (
+            SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+            FROM (SELECT vec_id, v,
+                    ${Dedup.sqlH60("CAST(vec_id AS VARCHAR)")} AS h
+                  FROM emb)) WHERE rn <= 16),
+        ccell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cell) AS rn
+            FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        pcell AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT p.vec_id AS query_id, p.v AS qv, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                ORDER BY ${cosSql("p.v", "c.cv", 6)} DESC, c.cell) AS rn
+            FROM emb p CROSS JOIN cent c WHERE p.vec_id < 10) WHERE rn <= 4),
+        cand AS (
+          SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,
+            ${cosSql("e.v", "p.qv", 4)} AS cosine
+          FROM ccell e JOIN pcell p USING (cell)
+          WHERE e.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM cand)
+        SELECT query_id, rn, neighbor_id, cosine
+        FROM ranked WHERE rn <= 5
+        ORDER BY query_id, rn"""
+      },
+      "IVF ANN: deterministic centroids, nprobe=4 Voronoi cells, exact re-rank — oracle-exact"),
 
     // ---------------------------------------------------------------- q39
     // Approximate — deliberately no SQL oracle (driver records the

@@ -33,18 +33,33 @@ object TextRank {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val aggs = cols.flatMap { c =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // One N-column agg with N countDistincts makes Catalyst Expand the
+    // input N+1× (every row replicated per distinct group, all columns
+    // carried) — 3M intermediate rows for a 600k-row table. Instead:
+    // one cheap non-distinct pass for nulls/min/max (pure partial agg,
+    // 32-row shuffle), plus one NARROW distinct per column (map-side
+    // partial distinct, shuffles each column's distinct values only),
+    // all submitted concurrently as independent jobs. Same shape a
+    // 100 TB profiler wants: per-column work is independent, so it
+    // parallelizes across the cluster instead of multiplying one scan.
+    val basicAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val basicF = Future(df.agg(basicAggs.head, basicAggs.tail: _*).head())
+    val distinctFs = cols.map(c =>
+      Future(c -> df.select(col(c)).distinct().count()))
+    val row = Await.result(basicF, 10.minutes)
+    val distincts = distinctFs.map(Await.result(_, 10.minutes)).toMap
     cols.flatMap { c =>
       Seq(
         (c, "nulls", row.getAs[Long](s"${c}__nulls").toString),
-        (c, "distinct", row.getAs[Long](s"${c}__distinct").toString),
+        (c, "distinct", distincts(c).toString),
         (c, "min", String.valueOf(row.getAs[Any](s"${c}__min"))),
         (c, "max", String.valueOf(row.getAs[Any](s"${c}__max"))))
     }.toDF("column", "metric", "value")
