@@ -122,8 +122,10 @@ object Extensions {
     Query(
       "q33_knn_cosine",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        // capCorpus: brute-force ground-truth baseline — capped above
+        // the driver SFs; q39/q78 are the uncapped scale paths
+        val emb = Similarity.capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v")))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         // rank on the ROUNDED cosine (tie-break by id) so the ordering

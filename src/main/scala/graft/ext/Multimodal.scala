@@ -129,8 +129,13 @@ object Multimodal {
       "typed metadata over opaque binary assets (octet length + content fingerprint)"),
 
     // ---------------------------------------------------------------- q41
-    // Approximate/opaque kernels — rows-only check; determinism and
-    // shape are asserted in MultimodalSpec.
+    // Oracle-checked since r3: the projected columns derive from the
+    // stub decoder's `java.util.Arrays.hashCode` over the UTF-8 bytes
+    // (h=1; h=31*h+b with 32-bit wrap), which DuckDB reproduces as a
+    // `list_reduce` fold over the ASCII codepoints — plus Java's
+    // truncating (not flooring) integer division for the height term.
+    // The float feature VALUES stay spec-pinned (MultimodalSpec
+    // determinism test); this oracle pins the decode metadata exactly.
     Query(
       "q41_image_features",
       (s, d) => {
@@ -139,7 +144,25 @@ object Multimodal {
           col("channels"), size(col("features")).as("dim"))
           .orderBy(col("asset_id"))
       },
-      None,
+      Some("""
+        WITH fold AS (
+          SELECT doc_id AS asset_id,
+            list_reduce(list_prepend(CAST(1 AS BIGINT),
+              [CAST(unicode(text[i]) AS BIGINT)
+               FOR i IN range(1, LENGTH(text) + 1)]),
+              (h, b) -> (31 * h + b) % 4294967296) AS hu
+          FROM documents),
+        sh AS (
+          SELECT asset_id,
+            CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h
+          FROM fold)
+        SELECT asset_id,
+          CAST(64 + ABS(h % 512) AS INT) AS width,
+          CAST(64 + ABS((CASE WHEN h < 0 THEN -((-h) // 512)
+                              ELSE h // 512 END) % 512) AS INT) AS height,
+          CAST(3 AS INT) AS channels,
+          CAST(16 AS INT) AS dim
+        FROM sh ORDER BY asset_id"""),
       "batched binary decode + feature extraction via mapPartitions (stubbed codec, real plumbing)"),
 
     // ---------------------------------------------------------------- q79

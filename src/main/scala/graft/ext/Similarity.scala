@@ -42,18 +42,34 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** Guard for the deliberately-quadratic correctness baselines (q33,
+    * q37): caps the corpus at the `maxN` lowest vec_ids. NEVER fires at
+    * the driver scale factors (≤ 2000 vectors at sf0.1 — the frame is
+    * returned untouched, outputs byte-identical), but a larger-sf bench
+    * can no longer accidentally pay O(n²) ground truth: the baselines
+    * stay baselines, q35/q39/q78 are the scale paths. The cap is a
+    * distributed TakeOrdered, not a driver collect. */
+  def capCorpus(df: DataFrame, maxN: Int = 4096): DataFrame =
+    if (df.count() <= maxN) df else df.orderBy(col("vec_id")).limit(maxN)
+
   /** Per-table sign-bit LSH buckets: standard (L tables × k bits)
     * scheme — a vector lands in one bucket per table; two vectors are
     * candidates if ANY table agrees on all k bits. Returns an array of
-    * L bucket ids (table index packed into the high bits). */
-  def lshBuckets(v: Column, planes: Array[Array[Double]], tables: Int): Column = {
+    * L bucket ids (table index packed into the high bits).
+    * `rounded` snaps each plane dot product to 6 decimals (Num.r6)
+    * BEFORE the sign test, so bucket assignment is floating-point-stable
+    * across engines — required when a DuckDB oracle recomputes it. */
+  def lshBuckets(v: Column, planes: Array[Array[Double]], tables: Int,
+      rounded: Boolean = false): Column = {
     val bitsPerTable = planes.length / tables
     import graft.functions.VectorFunctions.dot
     val buckets = (0 until tables).map { t =>
       (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
         val planeCol = array(p.map(lit): _*)
-        when(dot(v, planeCol) >= 0, lit(1L << b)).otherwise(lit(0L))
+        val d = dot(v, planeCol)
+        when((if (rounded) graft.Num.r6(d) else d) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
       }.reduce(_ + _) + lit(t.toLong << 32)
     }
     array(buckets: _*)
@@ -66,13 +82,20 @@ object Similarity {
     * L for the recall target; at 100 TB the bucket join shuffles only
     * (bucket, id, vector) rows, never the n² cross product. */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      planes: Array[Array[Double]], tables: Int = 8): DataFrame = {
+      planes: Array[Array[Double]], tables: Int = 8,
+      rounded: Boolean = false): DataFrame = {
     val cBuck = corpus
-      .withColumn("bucket", explode(lshBuckets(col("v"), planes, tables)))
+      .withColumn("bucket", explode(lshBuckets(col("v"), planes, tables, rounded)))
     val pBuck = probes
-      .withColumn("bucket", explode(lshBuckets(col("qv"), planes, tables)))
+      .withColumn("bucket", explode(lshBuckets(col("qv"), planes, tables, rounded)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // when rounded, the RANKING cosine is the r4-rounded one (ties to
+    // the lower neighbor_id) — the same total order the oracle computes
+    val cosCol = {
+      val c = cosine(col("v"), col("qv"))
+      if (rounded) graft.Num.r4(c) else c
+    }
     cBuck.join(pBuck, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -80,8 +103,7 @@ object Similarity {
       .join(corpus, col("neighbor_id") === corpus("vec_id"))
       .join(probes.select(col("query_id").as("qid"), col("qv")),
         col("query_id") === col("qid"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("v"), col("qv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -137,8 +159,10 @@ object Similarity {
     Query(
       "q37_embedding_neardup",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        // capCorpus: O(n²) ground-truth baseline — capped above the
+        // driver SFs so a big-sf bench can't invoke it accidentally
+        val emb = capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v")))
         // threshold on the ROUNDED cosine so a pair straddling 0.4 by a
         // few ulps cannot appear in one engine and not the other
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -245,9 +269,13 @@ object Similarity {
       "IVF ANN: deterministic centroids, nprobe=4 Voronoi cells, exact re-rank — oracle-exact"),
 
     // ---------------------------------------------------------------- q39
-    // Approximate — deliberately no SQL oracle (driver records the
-    // rows-only check); recall vs the exact baseline is asserted in
-    // SimilaritySpec instead.
+    // LSH ANN, oracle-EXACT since r3 (same recipe as q78): the 32
+    // seeded hyperplanes are expressed as SQL array literals, the
+    // bucket-assigning dot signs and the re-rank cosine are both
+    // rounded with the shared FLOOR formula before any engine compares
+    // them, so the DuckDB twin reproduces bucket membership, candidate
+    // set and ranking bit-for-bit. Recall vs the exact baseline is
+    // still asserted in SimilaritySpec.
     Query(
       "q39_ann_lsh",
       (s, d) => {
@@ -255,11 +283,57 @@ object Similarity {
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        annTopK(emb, broadcast(probes), k = 5, hyperplanes(32, 64), tables = 8)
+        annTopK(emb, broadcast(probes), k = 5, hyperplanes(32, 64),
+          tables = 8, rounded = true)
           .select(col("query_id"), col("rn"), col("neighbor_id"),
-            graft.Num.r4(col("cos")).as("cosine"))
+            col("cos").as("cosine"))
           .orderBy(col("query_id"), col("rn"))
       },
-      None,
-      "approximate top-k cosine via random-hyperplane LSH buckets + 1-bit multi-probe + exact re-rank"))
+      Some {
+        // planes as literals: Double.toString round-trips exactly
+        // through DuckDB's decimal/E-notation literal parse, and the
+        // sign inputs are r6-rounded anyway. pid = t*4 + b (8 tables x
+        // 4 bits, mirroring lshBuckets' packing; t<<32 = t*4294967296).
+        val planeRows = hyperplanes(32, 64).zipWithIndex.map { case (p, i) =>
+          s"($i, [${p.mkString(",")}]::DOUBLE[])"
+        }.mkString(",\n          ")
+        def dotSql(a: String, b: String) =
+          s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
+        def selfSql(a: String) = s"list_sum([x * x FOR x IN $a])"
+        def cosSql(a: String, b: String, digits: Int) = graft.Num.sql(
+          s"${dotSql(a, b)} / (sqrt(${selfSql(a)}) * sqrt(${selfSql(b)}))",
+          digits)
+        s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        planes(pid, p) AS (VALUES
+          $planeRows),
+        cb AS (
+          SELECT e.vec_id,
+            SUM(CASE WHEN ${graft.Num.sql(dotSql("e.v", "pl.p"), 6)} >= 0
+                  THEN (1 << (pl.pid % 4)) ELSE 0 END)
+              + (pl.pid // 4) * 4294967296 AS bucket
+          FROM emb e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.pid // 4),
+        pb AS (SELECT vec_id AS query_id, bucket FROM cb WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT c.vec_id AS neighbor_id, p.query_id
+          FROM cb c JOIN pb p USING (bucket)
+          WHERE c.vec_id <> p.query_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("e.v", "q.v", 4)} AS cosine
+          FROM cand
+          JOIN emb e ON e.vec_id = cand.neighbor_id
+          JOIN emb q ON q.vec_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, rn, neighbor_id, cosine
+        FROM ranked WHERE rn <= 5
+        ORDER BY query_id, rn"""
+      },
+      "approximate top-k cosine via random-hyperplane LSH buckets + exact re-rank — oracle-exact"))
 }

@@ -124,30 +124,33 @@ object Misc {
     // approximate-distinct is DETERMINISTIC and cross-engine exact —
     // hash every key with the md5→int64 primitive, keep the k-th
     // smallest distinct hash h_k, estimate distinct ≈ (k-1)·2^60/h_k.
-    // Scale shape: the distinct-hash set shuffles (flag, int64) pairs
-    // only; at 100 TB you'd cap per-partition candidates to k before the
-    // shuffle (partial top-k), which this plan's sort+row_number window
-    // degrades to gracefully under AQE.
+    // Scale shape (re-planned r3): a typed Aggregator keeps a bounded
+    // sorted buffer of the k smallest distinct hashes, so map-side
+    // combine caps every pre-shuffle buffer at k longs — the shuffle
+    // moves ≤ k·partitions values per flag and NO global sort or full
+    // `distinct()` exists anywhere in the plan. (The r2 plan's
+    // row_number window over the 3-value flag key sorted every distinct
+    // hash of a flag in one task — a single-task sort at 100 TB.)
+    // The oracle's ROW_NUMBER..rn=256 twin still matches: the k-th
+    // smallest of all distinct hashes equals the merged bounded top-k.
+    // Exact countDistinct is deliberately NOT in the timed plan (it
+    // would double the cost of an approximate operator); the <5%
+    // accuracy bound is asserted against exact counts in MiscSpec.
     Query(
       "q76_kmv_distinct",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 256
         val scale = lit((k - 1).toDouble) * lit(1L << 60)
-        val li = Tables.lineitem(s, d)
-        val hk = li
+        val kmin = udaf(new graft.functions.KMinValuesAggregator(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        Tables.lineitem(s, d)
           .select(col("l_returnflag"),
             graft.ext.Dedup.h60(col("l_orderkey").cast("string")).as("h"))
-          .distinct()
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
-          .filter(col("rn") === k)
-          .select(col("l_returnflag"), col("h"))
-        val exact = li.groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
-        exact.join(hk, Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("n_exact"),
-            (scale / col("h").cast("double")).as("kmv_est"))
+          .groupBy(col("l_returnflag"))
+          .agg(kmin(col("h")).as("hk"))
+          .filter(col("hk") > 0) // -1 sentinel: fewer than k distinct keys
+          .select(col("l_returnflag"),
+            (scale / col("hk").cast("double")).as("kmv_est"))
           .orderBy(col("l_returnflag"))
       },
       Some(s"""
@@ -159,15 +162,10 @@ object Misc {
           SELECT l_returnflag, h FROM (
             SELECT l_returnflag, h,
               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
-            FROM dh) WHERE rn = 256),
-        ex AS (
-          SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
-          FROM lineitem GROUP BY l_returnflag)
-        SELECT ex.l_returnflag, n_exact,
-          255.0 * ${1L << 60} / CAST(h AS DOUBLE) AS kmv_est
-        FROM ex JOIN hk USING (l_returnflag)
-        ORDER BY l_returnflag"""),
-      "deterministic approximate distinct via k-minimum-values sketch (k=256), oracle-exact"),
+            FROM dh) WHERE rn = 256)
+        SELECT l_returnflag, 255.0 * ${1L << 60} / CAST(h AS DOUBLE) AS kmv_est
+        FROM hk ORDER BY l_returnflag"""),
+      "deterministic approximate distinct via KMV sketch (k=256): bounded partial top-k, no global sort, oracle-exact"),
 
     // ---------------------------------------------------------------- q77
     // File-format scan surface (SURVEY §2.2): the same relation served
