@@ -45,10 +45,25 @@ object Dedup {
     s"CAST(('0x' || SUBSTRING(md5($e), 1, 15)) AS BIGINT)"
   def sqlHp(e: String): String = s"${sqlH60(e)} % $P"
 
-  /** (doc_id, shingle) pairs, distinct — the single raw-text shuffle. */
-  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.repartition(col("doc_id")) // text files are few; spread the explode
-      .select(col("doc_id"), explode(shingles(n)).as("sh")).distinct()
+  /** (doc_id, shingle) pairs, distinct — the single raw-text shuffle.
+    * Built with posexplode + lead() windows, NOT the [[shingles]] HOF:
+    * interpreted lambda eval costs ~10 µs/element, which at sf0.1
+    * (~270k shingles) is seconds of pure overhead, while the window
+    * path stays in whole-stage codegen; its doc_id shuffle doubles as
+    * the skew-spreader the old explicit repartition provided. Docs
+    * shorter than n tokens contribute nothing (lead() runs off the
+    * end), matching the HOF's empty-array case. */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until n).map(j => lead(col("t"), j).over(w).as(s"t$j"))
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("t") +: leadCols: _*)
+      .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"))
+      .distinct()
+  }
 
   /** MinHash signatures: K modular permutations of the shingle hash,
     * MIN per doc — one narrow aggregate after the shingle shuffle. */
@@ -214,6 +229,123 @@ object Dedup {
         ORDER BY c.doc_a, c.doc_b"""
       },
       "MinHash-LSH near-dup: banded candidate join + exact Jaccard verification on candidates only"),
+
+    // ---------------------------------------------------------------- q80
+    // Corpus dedup SURVIVORS — the operator a 100 TB pipeline actually
+    // runs (q35 lists pairs; at scale the pair set itself is quadratic
+    // in the duplication factor, see BASELINE.md). Standard keep-first
+    // semantics: a doc is dropped iff some verified near-duplicate
+    // (r4-rounded Jaccard ≥ 0.8 over LSH candidates) has a smaller
+    // doc_id; `dup_of` records the smallest such partner (-1 = kept).
+    // One-hop min-id, not transitive closure — the usual web-scale
+    // choice (full clustering needs iterative connected components).
+    // Scale shape: identical to q35 up to the candidate pairs, then one
+    // tiny aggregate; output is ONE ROW PER DOC, linear in the corpus.
+    Query(
+      "q80_neardup_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hashed = cachedHashedShingles(s, d, docs)
+        val sigs = hashed
+          .groupBy(col("doc_id"))
+          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+            (1 until K).map(k =>
+              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+        val dupOf = jaccard(lshCandidates(sigs), hashed)
+          .filter(graft.Num.r4(col("jaccard")) >= 0.8)
+          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+        docs.select(col("doc_id"))
+          .join(dupOf, col("doc_id") === col("doc_b"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val rows = K / Bands
+        val bandKeySql = (b: Int) => (0 until rows)
+          .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
+          .mkString(" + ")
+        s"""
+        WITH $sqlDocShingles,
+        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+            ${(0 until K).map(k =>
+              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(",\n            ")}
+          FROM h GROUP BY doc_id),
+        banded AS (
+          ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        verified AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN counts ca ON ca.doc_id = c.doc_a
+          JOIN counts cb ON cb.doc_id = c.doc_b
+          WHERE FLOOR((COALESCE(i.n_inter, 0) / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))) * 10000 + 0.500001) / 10000 >= 0.8),
+        dup_of AS (
+          SELECT doc_b, MIN(doc_a) AS dup_of FROM verified GROUP BY doc_b)
+        SELECT d.doc_id, dup_of.doc_b IS NULL AS kept,
+          COALESCE(dup_of.dup_of, -1) AS dup_of
+        FROM documents d LEFT JOIN dup_of ON dup_of.doc_b = d.doc_id
+        ORDER BY d.doc_id"""
+      },
+      "near-dup corpus dedup: keep-first survivors via LSH candidates + Jaccard >= 0.8 (linear output, the 100 TB dedup shape)"),
+
+    // ---------------------------------------------------------------- q81
+    // Benchmark decontamination: flag training docs sharing too many
+    // word 3-grams with a held-out benchmark set (here: doc_id % 20 = 0,
+    // standing in for an eval suite). The canonical pre-training hygiene
+    // pass (GPT-3 appendix C / The Pile): n-gram overlap, not equality.
+    // Scale shape: the benchmark shingle set is small and DISTINCT
+    // (broadcast); training shingles stream through a semi-match count —
+    // no pair explosion, output linear in the corpus.
+    Query(
+      "q81_decontaminate",
+      (s, d) => {
+        val hashed = cachedHashedShingles(s, d, Tables.documents(s, d))
+        val bench = hashed.filter(col("doc_id") % 20 === 0)
+          .select(col("sh")).distinct()
+        val train = hashed.filter(col("doc_id") % 20 =!= 0)
+        val shared = train.join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+            graft.Num.r4(col("n_shared") / col("n_shingles")).as("overlap"),
+            (col("n_shared") / col("n_shingles") >= 0.5).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $sqlDocShingles,
+        hs AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+        train AS (SELECT doc_id, h FROM hs WHERE doc_id % 20 <> 0),
+        shared AS (
+          SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM train t WHERE t.h IN (SELECT h FROM bench)
+          GROUP BY t.doc_id),
+        totals AS (
+          SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles, COALESCE(s.n_shared, 0) AS n_shared,
+          FLOOR((COALESCE(s.n_shared, 0) / t.n_shingles) * 10000 + 0.500001) / 10000 AS overlap,
+          COALESCE(s.n_shared, 0) / t.n_shingles >= 0.5 AS contaminated
+        FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id
+        ORDER BY t.doc_id"""),
+      "benchmark decontamination: word-3-gram overlap of training docs vs a held-out set (broadcast semi-join, linear output)"),
 
     // ---------------------------------------------------------------- q36
     Query(
