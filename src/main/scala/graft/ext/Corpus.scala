@@ -110,5 +110,121 @@ object Corpus {
           CAST(LEN(tk[start+1 : LEAST(start+32, LEN(tk))]) AS INT) AS n_tokens,
           array_to_string(tk[start+1 : LEAST(start+32, LEN(tk))], ' ') AS chunk_text
         FROM st ORDER BY doc_id, chunk_id"""),
-      "fixed-window token chunking (32-token windows, stride 24) for context packing"))
+      "fixed-window token chunking (32-token windows, stride 24) for context packing"),
+
+    // ---------------------------------------------------------------- q85
+    // Token-budget packing: assign docs to fixed-capacity context bins
+    // (512 tokens) by OFFSET binning — bin = floor(exclusive-prefix-sum
+    // / capacity) within each source shard, docs in doc_id order. This
+    // is the parallel-friendly packing rule (greedy first-fit needs a
+    // sequential scan; offset binning is one window cumsum and matches
+    // it whenever docs are small vs the capacity). Partitioned by
+    // `source`, so the window sort never sees the whole corpus — at
+    // 100 TB each shard's cumsum runs independently after one shuffle.
+    Query(
+      "q85_pack_bins",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 512
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("n_tok"))
+          .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+          .groupBy(col("source"),
+            (col("off") / cap).cast("long").as("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            Num.r4(sum(col("n_tok")) / lit(cap.toDouble)).as("fill_ratio"))
+          .orderBy(col("source"), col("bin_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+            CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS off
+          FROM t)
+        SELECT source, CAST(off // 512 AS BIGINT) AS bin_id,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          FLOOR((SUM(n_tok) / 512.0) * 10000 + 0.500001) / 10000 AS fill_ratio
+        FROM c GROUP BY source, bin_id ORDER BY source, bin_id"""),
+      "token-budget packing into 512-token context bins via per-source offset binning (one windowed cumsum per shard)"),
+
+    // ---------------------------------------------------------------- q86
+    // Vocabulary build + OOV audit: top-24 tokens by corpus frequency
+    // (total order: count desc, token asc) become the vocab; every doc
+    // reports its out-of-vocabulary token share. Two passes over the
+    // token stream: a partial-aggregated frequency count with a top-k
+    // reduce (vocab is the small side by construction), then a
+    // broadcast left join back. The vocab broadcast is what keeps the
+    // second pass shuffle-free at 100 TB.
+    Query(
+      "q86_vocab_oov",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+        val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t")).limit(24)
+          .select(col("t"), lit(1).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("t"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            Num.r4(col("n_oov") / col("n_tokens").cast("double")).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+        vocab AS (SELECT t FROM freq ORDER BY n DESC, t LIMIT 24)
+        SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) FILTER (WHERE v.t IS NULL) AS BIGINT) AS n_oov,
+          FLOOR((COUNT(*) FILTER (WHERE v.t IS NULL) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.500001) / 10000 AS oov_rate
+        FROM tok LEFT JOIN vocab v USING (t)
+        GROUP BY tok.doc_id ORDER BY tok.doc_id"""),
+      "top-24 vocabulary build + per-doc OOV rate via broadcast vocab join"),
+
+    // ---------------------------------------------------------------- q87
+    // Inverted-index build: term -> document frequency, total term
+    // frequency, and the sorted posting list of doc_ids. Linear in the
+    // corpus (every (term, doc) pair appears once); the known skew point
+    // at 100 TB is the hot-term posting list (one executor materializes
+    // collect_list for a stopword-grade term) — the scale path is range-
+    // bucketing postings by (term, doc_id div B) and concatenating
+    // per-bucket lists downstream, same total bytes, bounded task state.
+    Query(
+      "q87_inverted_index",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("term"))
+        val tf = tok.groupBy(col("term"))
+          .agg(count(lit(1)).as("total_tf"))
+        val post = tok.distinct()
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+        post.join(tf, Seq("term"))
+          .select(col("term"), col("df"), col("total_tf"), col("postings"))
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tf AS (SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS total_tf
+               FROM tok GROUP BY t),
+        dl AS (SELECT DISTINCT t AS term, doc_id FROM tok),
+        post AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+            list(doc_id ORDER BY doc_id) AS postings
+          FROM dl GROUP BY term)
+        SELECT p.term, p.df, t.total_tf, p.postings
+        FROM post p JOIN tf t USING (term) ORDER BY p.term"""),
+      "inverted-index build: per-term df, total tf and sorted posting lists (array-valued output, oracle-compared element-wise)"))
 }

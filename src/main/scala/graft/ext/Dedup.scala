@@ -154,6 +154,60 @@ object Dedup {
         shraw AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks),
         sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"""
 
+  /** The full shingle→signature→LSH-candidate→Jaccard-verified CTE
+    * chain (threshold 0.8, r4-rounded), shared by the q80/q84 oracles. */
+  private def sqlVerifiedCtes: String = {
+    val rows = K / Bands
+    val bandKeySql = (b: Int) => (0 until rows)
+      .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
+      .mkString(" + ")
+    s"""$sqlDocShingles,
+        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+            ${(0 until K).map(k =>
+              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(",\n            ")}
+          FROM h GROUP BY doc_id),
+        banded AS (
+          ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        verified AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN counts ca ON ca.doc_id = c.doc_a
+          JOIN counts cb ON cb.doc_id = c.doc_b
+          WHERE FLOOR((COALESCE(i.n_inter, 0) / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))) * 10000 + 0.500001) / 10000 >= 0.8)"""
+  }
+
+  /** Verified near-duplicate pairs (doc_a < doc_b): LSH candidates whose
+    * exact Jaccard (r4-rounded) is ≥ 0.8 — the Spark twin of
+    * [[sqlVerifiedCtes]], shared by q80/q84. */
+  private def verifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val hashed = cachedHashedShingles(s, d, Tables.documents(s, d))
+    val sigs = hashed
+      .groupBy(col("doc_id"))
+      .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+        (1 until K).map(k =>
+          min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+    jaccard(lshCandidates(sigs), hashed)
+      .filter(graft.Num.r4(col("jaccard")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Seq[Query] = Seq(
     // ---------------------------------------------------------------- q34
     Query(
@@ -244,65 +298,225 @@ object Dedup {
     Query(
       "q80_neardup_survivors",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val hashed = cachedHashedShingles(s, d, docs)
-        val sigs = hashed
-          .groupBy(col("doc_id"))
-          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
-            (1 until K).map(k =>
-              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-        val dupOf = jaccard(lshCandidates(sigs), hashed)
-          .filter(graft.Num.r4(col("jaccard")) >= 0.8)
+        val dupOf = verifiedPairs(s, d)
           .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
-        docs.select(col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"))
           .join(dupOf, col("doc_id") === col("doc_b"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("kept"),
             coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val rows = K / Bands
-        val bandKeySql = (b: Int) => (0 until rows)
-          .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
-          .mkString(" + ")
-        s"""
-        WITH $sqlDocShingles,
-        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
-        sig AS (
-          SELECT doc_id,
-            ${(0 until K).map(k =>
-              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(",\n            ")}
-          FROM h GROUP BY doc_id),
-        banded AS (
-          ${(0 until Bands).map(b =>
-            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
-            .mkString("\n          UNION ALL ")}),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-          GROUP BY c.doc_a, c.doc_b),
-        verified AS (
-          SELECT c.doc_a, c.doc_b
-          FROM cand c
-          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-          JOIN counts ca ON ca.doc_id = c.doc_a
-          JOIN counts cb ON cb.doc_id = c.doc_b
-          WHERE FLOOR((COALESCE(i.n_inter, 0) / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))) * 10000 + 0.500001) / 10000 >= 0.8),
+      Some(s"""
+        WITH $sqlVerifiedCtes,
         dup_of AS (
           SELECT doc_b, MIN(doc_a) AS dup_of FROM verified GROUP BY doc_b)
         SELECT d.doc_id, dup_of.doc_b IS NULL AS kept,
           COALESCE(dup_of.dup_of, -1) AS dup_of
         FROM documents d LEFT JOIN dup_of ON dup_of.doc_b = d.doc_id
-        ORDER BY d.doc_id"""
-      },
+        ORDER BY d.doc_id"""),
       "near-dup corpus dedup: keep-first survivors via LSH candidates + Jaccard >= 0.8 (linear output, the 100 TB dedup shape)"),
+
+    // ---------------------------------------------------------------- q84
+    // Transitive duplicate CLUSTERS over the verified near-dup pairs:
+    // cluster_id = smallest doc_id reachable through the undirected pair
+    // graph. q80's one-hop dup_of under-merges chains (A~B, B~C but not
+    // A~C); full clustering needs connected components. Computed the way
+    // web-scale pipelines do it — iterative min-label propagation
+    // (Hash-to-Min family): each round, every node takes the min of its
+    // own label and its neighbors'; rounds needed = component diameter
+    // (near-dup clusters are tiny — 2-4 docs here), each round is one
+    // small join+agg over the EDGE set only, never the corpus. The
+    // driver-side loop with a count() per round is the standard Pregel
+    // shape; all frames involved are pair-sized, not corpus-sized.
+    // Oracle: DuckDB WITH RECURSIVE reachability + MIN per node.
+    Query(
+      "q84_dup_clusters",
+      (s, d) => {
+        // localCheckpoint (not persist) between rounds: an iterative
+        // loop that only persists grows each round's logical plan with
+        // the whole previous lineage, and one cache miss (or a cascaded
+        // unpersist) silently re-evaluates the accumulated chain —
+        // measured 27 s at sf0.1. Checkpointing truncates the plan to
+        // the materialized partitions, so every round is O(frontier).
+        val pairs = verifiedPairs(s, d).localCheckpoint()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
+        var moved = 1L
+        var rounds = 0
+        while (moved > 0 && rounds < 64) {
+          val nbrMin = edges
+            .join(labels.select(col("doc").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+          val half = labels
+            .join(nbrMin.withColumnRenamed("src", "doc"), Seq("doc"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          // pointer doubling: also adopt the label OF the current label,
+          // turning O(diameter) convergence into O(log diameter) — the
+          // chain case (A~B~C~...~Z) otherwise costs one Spark job per
+          // hop, which dominates wall time long before data size does
+          val next = half
+            .join(half.select(col("doc").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
+          moved = next
+            .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc"))
+            .filter(col("lbl") < col("prev")).count()
+          labels = next
+          rounds += 1
+        }
+        val sizes = labels.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, Seq("lbl"))
+          .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $sqlVerifiedCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        walk(doc, lbl) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+        clusters AS (
+          SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc),
+        sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id)
+        SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size
+        FROM clusters c JOIN sizes s USING (cluster_id)
+        ORDER BY doc_id"""),
+      "transitive near-dup clusters: iterative min-label connected components over verified pairs (edge-sized frames only)"),
+
+    // ---------------------------------------------------------------- q89
+    // The composed curation pass a pre-training pipeline actually ships:
+    // quality filter (q32's rule) AND repetition filter (q82) AND
+    // keep-first near-dup survivorship (q80) AND benchmark
+    // decontamination (q81), one boolean per stage plus the final
+    // `selected` verdict — one row per doc. Demonstrates that the
+    // operators compose into one Catalyst plan: the shingle scan is
+    // shared (cachedHashedShingles) between the dedup and decontam
+    // branches, the doc scan between quality and repetition; Catalyst
+    // de-dups the parquet reads, and output stays linear in the corpus.
+    Query(
+      "q89_curation_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val hashed = cachedHashedShingles(s, d, docs)
+        val dupOf = verifiedPairs(s, d)
+          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+        val bench = hashed.filter(col("doc_id") % 20 === 0)
+          .select(col("sh")).distinct()
+        val train = hashed.filter(col("doc_id") % 20 =!= 0)
+        val shared = train.join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        val contam = train.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .select(col("doc_id"),
+            (col("n_shared") / col("n_shingles") >= 0.5).as("contaminated"))
+        val toksC = split(col("text"), " ")
+        val stops = filter(toksC, t => t === "the" || t === "a")
+        val qual = docs.select(col("doc_id"),
+          (!(col("n_chars") < 100) &&
+            !(size(stops).cast("double") / size(toksC).cast("double") > 0.08))
+            .as("quality_ok"))
+        val tokRows = docs.select(col("doc_id"),
+          posexplode(toksC).as(Seq("pos", "t")))
+        val topTok = tokRows
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_n"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = tokRows
+          .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_bigrams"),
+            countDistinct(col("b")).as("n_distinct_bigrams"))
+        val rep = topTok.join(bg, Seq("doc_id"))
+          .select(col("doc_id"),
+            (lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams") > 0.5 ||
+              col("top_token_n") / col("n_tokens") > 0.3).as("repetitive"))
+        docs.select(col("doc_id"))
+          .join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+          .join(dupOf, col("doc_id") === col("doc_b"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") % 20 === 0).as("is_benchmark"),
+            col("quality_ok"),
+            (!col("repetitive")).as("not_repetitive"),
+            col("doc_b").isNull.as("dedup_kept"),
+            coalesce(!col("contaminated"), lit(false)).as("decontaminated"))
+          .withColumn("selected",
+            !col("is_benchmark") && col("quality_ok") && col("not_repetitive") &&
+              col("dedup_kept") && col("decontaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $sqlVerifiedCtes,
+        dup_of AS (
+          SELECT doc_b, MIN(doc_a) AS dup_of FROM verified GROUP BY doc_b),
+        bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 20 = 0),
+        train AS (SELECT doc_id, h FROM h WHERE doc_id % 20 <> 0),
+        shared AS (
+          SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM train t WHERE t.h IN (SELECT h FROM bench)
+          GROUP BY t.doc_id),
+        totals AS (
+          SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+        contam AS (
+          SELECT t.doc_id,
+            COALESCE(s.n_shared, 0) / t.n_shingles >= 0.5 AS contaminated
+          FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id),
+        qual AS (
+          SELECT doc_id,
+            NOT (n_chars < 100) AND NOT (n_stop / n_tok > 0.08) AS quality_ok
+          FROM (SELECT tk.doc_id, dd.n_chars,
+                  CAST(LEN(tk.t) AS DOUBLE) AS n_tok,
+                  CAST(LEN(LIST_FILTER(tk.t, x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop
+                FROM toks tk JOIN documents dd USING (doc_id))),
+        rep AS (
+          SELECT doc_id,
+            (1.0 - n_distinct_bigrams / n_bigrams > 0.5
+              OR top_token_n / n_tokens > 0.3) AS repetitive
+          FROM (
+            SELECT doc_id, LEN(t) AS n_tokens, LEN(bg) AS n_bigrams,
+              LEN(list_distinct(bg)) AS n_distinct_bigrams,
+              list_max([LEN(list_filter(t, x -> x = u)) FOR u IN list_distinct(t)]) AS top_token_n
+            FROM (SELECT doc_id, t,
+                    CASE WHEN LEN(t) >= 2
+                      THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, LEN(t))]
+                      ELSE [] END AS bg
+                  FROM toks)))
+        SELECT dd.doc_id,
+          dd.doc_id % 20 = 0 AS is_benchmark,
+          q.quality_ok,
+          NOT r.repetitive AS not_repetitive,
+          dup_of.doc_b IS NULL AS dedup_kept,
+          COALESCE(NOT c.contaminated, FALSE) AS decontaminated,
+          NOT (dd.doc_id % 20 = 0) AND q.quality_ok AND NOT r.repetitive
+            AND dup_of.doc_b IS NULL
+            AND COALESCE(NOT c.contaminated, FALSE) AS selected
+        FROM documents dd
+        JOIN qual q USING (doc_id)
+        JOIN rep r USING (doc_id)
+        LEFT JOIN dup_of ON dup_of.doc_b = dd.doc_id
+        LEFT JOIN contam c ON c.doc_id = dd.doc_id
+        ORDER BY dd.doc_id"""),
+      "composed curation pass: quality AND repetition AND keep-first dedup AND decontamination -> per-doc selected verdict"),
 
     // ---------------------------------------------------------------- q81
     // Benchmark decontamination: flag training docs sharing too many

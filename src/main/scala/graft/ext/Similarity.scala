@@ -335,5 +335,60 @@ object Similarity {
         FROM ranked WHERE rn <= 5
         ORDER BY query_id, rn"""
       },
-      "approximate top-k cosine via random-hyperplane LSH buckets + exact re-rank — oracle-exact"))
+      "approximate top-k cosine via random-hyperplane LSH buckets + exact re-rank — oracle-exact"),
+
+    // ---------------------------------------------------------------- q88
+    // Int8 embedding quantization (per-dimension affine min/max, the
+    // storage layout ANN services actually ship): one explode pass
+    // computes per-dim min/max (64 rows — broadcast back), a second
+    // narrow pass quantizes and reassembles the vector. Both engines
+    // run the IDENTICAL double-precision expression tree on identical
+    // inputs (float→double widening is exact), so even the quantized
+    // codes and the r6-rounded max reconstruction error hash-match.
+    // 100 TB shape: two corpus scans + one 64-row broadcast, no
+    // shuffle wider than the final per-vector reassembly groupBy; max()
+    // for the error stat (not sum) keeps it fold-order-independent.
+    Query(
+      "q88_quantize_int8",
+      (s, d) => {
+        val exploded = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+        val dims = exploded.groupBy(col("dim"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val quantized = exploded.join(broadcast(dims), Seq("dim"))
+          .withColumn("qv",
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+                * 255.0 + 0.5).cast("long")))
+          .withColumn("err",
+            abs(col("x") - (col("mn") + col("qv") * (col("mx") - col("mn")) / 255.0)))
+        quantized.groupBy(col("vec_id"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("qv")))).as("sq"),
+            graft.Num.r6(max(col("err"))).as("max_abs_err"))
+          .select(col("vec_id"),
+            expr("transform(sq, s -> s.qv)").as("qvec"), col("max_abs_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, unnest(embedding) AS xf,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings),
+        d AS (SELECT vec_id, dim, CAST(xf AS DOUBLE) AS x FROM e),
+        dims AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+        q AS (
+          SELECT vec_id, dim, x, mn, mx,
+            CASE WHEN mx = mn THEN 0
+                 ELSE CAST(FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+            END AS qv
+          FROM d JOIN dims USING (dim)),
+        err AS (
+          SELECT vec_id, dim, qv,
+            ABS(x - (mn + qv * (mx - mn) / 255.0)) AS err
+          FROM q)
+        SELECT vec_id, list(qv ORDER BY dim) AS qvec,
+          FLOOR(MAX(err) * 1000000 + 0.500001) / 1000000 AS max_abs_err
+        FROM err GROUP BY vec_id ORDER BY vec_id"""),
+      "per-dimension int8 affine quantization of embeddings + max reconstruction error (two scans, 64-row broadcast)"))
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.{Registry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 corpus-prep operators (value parity vs
+  * DuckDB is covered by the oracle gate; these pin the relations the
+  * oracle can't see). */
+class CorpusSpec extends SparkSpec {
+
+  test("q84 clusters: min-labeled, size >= 2, consistent with q80 survivors") {
+    val cl = Registry.queries("q84_dup_clusters")(spark, sf()).cache()
+    // cluster_id is the min member: <= every member, present as a member
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val ids = cl.select("doc_id").collect().map(_.getLong(0)).toSet
+    val roots = cl.select("cluster_id").collect().map(_.getLong(0)).toSet
+    assert(roots.subsetOf(ids), "a cluster_id is not itself a member")
+    // every cluster has >= 2 members (nodes come from verified pairs)
+    assert(cl.filter(col("cluster_size") < 2).count() == 0)
+    // transitive closure can only merge, never split: every doc q80
+    // dropped (has a direct smaller near-dup) must be clustered, with
+    // cluster_id <= its q80 dup_of
+    val q80 = Registry.queries("q80_neardup_survivors")(spark, sf())
+    val dropped = q80.filter(!col("kept"))
+      .select(col("doc_id"), col("dup_of"))
+    val joined = dropped.join(cl, Seq("doc_id"), "left")
+    assert(joined.filter(col("cluster_id").isNull).count() == 0,
+      "q80-dropped doc missing from q84 clusters")
+    assert(joined.filter(col("cluster_id") > col("dup_of")).count() == 0,
+      "cluster root larger than direct dup_of")
+    cl.unpersist()
+  }
+
+  test("q85 packing conserves docs and tokens") {
+    val bins = Registry.queries("q85_pack_bins")(spark, sf())
+    val docs = Tables.documents(spark, sf())
+    val totalDocs = docs.count()
+    val totalToks = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val agg = bins.agg(sum("n_docs"), sum("n_tokens")).head
+    assert(agg.getLong(0) == totalDocs)
+    assert(agg.getLong(1) == totalToks)
+    // bin ids are dense from 0 within each source
+    val bad = bins.groupBy("source")
+      .agg(min("bin_id").as("mn"), max("bin_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() == 0, "bin ids not dense per source")
+  }
+
+  test("q86 vocabulary: OOV of a vocab token is zero, rates in [0,1]") {
+    val r = Registry.queries("q86_vocab_oov")(spark, sf())
+    assert(r.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+  }
+
+  test("q87 inverted index: df = postings length, postings sorted distinct") {
+    val idx = Registry.queries("q87_inverted_index")(spark, sf())
+    assert(idx.filter(col("df") =!= size(col("postings"))).count() == 0)
+    assert(idx.filter(col("postings") =!= sort_array(col("postings"))).count() == 0)
+    assert(idx.filter(size(array_distinct(col("postings"))) =!= size(col("postings")))
+      .count() == 0)
+    // total_tf >= df always (a doc contributes at least one occurrence)
+    assert(idx.filter(col("total_tf") < col("df")).count() == 0)
+  }
+
+  test("q88 quantization: 64 codes per vector, codes in [0,255], small error") {
+    val q = Registry.queries("q88_quantize_int8")(spark, sf())
+    assert(q.filter(size(col("qvec")) =!= 64).count() == 0)
+    assert(q.filter(exists(col("qvec"), c => c < 0 || c > 255)).count() == 0)
+    // affine int8 over [mn,mx] bounds the error by (mx-mn)/255/2 per dim;
+    // embeddings are unit-ish floats, so a loose absolute cap holds
+    assert(q.filter(col("max_abs_err") > 0.05).count() == 0)
+  }
+
+  test("q89 curation: stage flags consistent with the standalone operators") {
+    val cur = Registry.queries("q89_curation_pipeline")(spark, sf()).cache()
+    val q80 = Registry.queries("q80_neardup_survivors")(spark, sf())
+      .select(col("doc_id"), col("kept"))
+    assert(cur.join(q80, Seq("doc_id"))
+      .filter(col("dedup_kept") =!= col("kept")).count() == 0)
+    val q81 = Registry.queries("q81_decontaminate")(spark, sf())
+      .select(col("doc_id"), col("contaminated"))
+    assert(cur.join(q81, Seq("doc_id"))
+      .filter(col("decontaminated") === col("contaminated")).count() == 0)
+    // selected implies every stage passed and not benchmark
+    assert(cur.filter(col("selected") &&
+      (col("is_benchmark") || !col("quality_ok") || !col("not_repetitive") ||
+        !col("dedup_kept") || !col("decontaminated"))).count() == 0)
+    // benchmark docs are never selected
+    assert(cur.filter(col("is_benchmark") && col("selected")).count() == 0)
+    cur.unpersist()
+  }
+}
