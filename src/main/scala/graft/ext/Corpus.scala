@@ -13,6 +13,38 @@ object Corpus {
 
   private def toks = split(col("text"), " ")
 
+  /** Per-doc repetition metrics (n_tokens, n_bigrams, n_distinct_bigrams,
+    * top_token_n) in ONE shuffle: posexplode, hash-exchange on doc_id,
+    * then everything as window functions over that single partitioning —
+    * lead(pos) for bigrams, count over (doc_id) / (doc_id, t) for token
+    * tallies, and max(dense_rank ORDER BY bigram) for the distinct count
+    * (windowed COUNT(DISTINCT) doesn't exist; every doc has exactly one
+    * null-bigram row — the last token — so rank 1 is the null group and
+    * distinct = max(rank) − 1). The three window sorts are in-partition;
+    * the old plan paid a second (doc_id, t) shuffle plus a join.
+    * Shared by q82 and q89. */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val byTok = Window.partitionBy(col("doc_id"), col("t"))
+    val byBigram = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .withColumn("b",
+        when(lead(col("t"), 1).over(byPos).isNotNull,
+          concat_ws(" ", col("t"), lead(col("t"), 1).over(byPos))))
+      .withColumn("n_tokens", count(lit(1)).over(byDoc))
+      .withColumn("n_bigrams", count(col("b")).over(byDoc))
+      .withColumn("tok_n", count(lit(1)).over(byTok))
+      .withColumn("dr", dense_rank().over(byBigram))
+      .groupBy(col("doc_id")).agg(
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_bigrams")).as("n_bigrams"),
+        (max(col("dr")) - 1).as("n_distinct_bigrams"),
+        max(col("tok_n")).as("top_token_n"))
+  }
+
   def queries: Seq[Query] = Seq(
     // ---------------------------------------------------------------- q82
     // Repetition signals (Rae et al., Gopher §A1.1: "fraction of
@@ -23,31 +55,12 @@ object Corpus {
     Query(
       "q82_repetition",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
         // EVERYTHING via explode + codegen'd window/aggregate, nothing
         // via per-row HOF lambdas: interpreted lambda eval costs ~10 µs
         // per element and Catalyst re-inlines the array construction
-        // into every use (measured 11 s → <1 s at sf0.1). Bigrams come
-        // from posexplode + lead() instead of a transform() lambda.
-        // This is also the 100 TB shape — explode feeds partial
-        // map-side aggregation and works for million-token docs.
-        val tokRows = docs.select(col("doc_id"),
-          posexplode(toks).as(Seq("pos", "t")))
-        val topTok = tokRows
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
-          .groupBy(col("doc_id")).agg(
-            sum(col("n")).as("n_tokens"),
-            max(col("n")).as("top_token_n"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val bg = tokRows
-          .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
-          .groupBy(col("doc_id")).agg(
-            count(lit(1)).as("n_bigrams"),
-            countDistinct(col("b")).as("n_distinct_bigrams"))
-        topTok.join(bg, Seq("doc_id"))
+        // into every use (measured 11 s → <1 s at sf0.1). See
+        // [[repetitionMetrics]] for the single-shuffle plan.
+        repetitionMetrics(Tables.documents(s, d))
           .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
             Num.r4(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"))
               .as("dup_bigram_ratio"),

@@ -192,20 +192,67 @@ object Dedup {
           WHERE FLOOR((COALESCE(i.n_inter, 0) / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))) * 10000 + 0.500001) / 10000 >= 0.8)"""
   }
 
-  /** Verified near-duplicate pairs (doc_a < doc_b): LSH candidates whose
-    * exact Jaccard (r4-rounded) is ≥ 0.8 — the Spark twin of
-    * [[sqlVerifiedCtes]], shared by q80/q84. */
-  private def verifiedPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** Exact-dup collapse before fuzzy dedup — the standard 100 TB order
+    * of operations. On a heavily-duplicated corpus the LSH candidate
+    * set grows QUADRATICALLY in the duplication factor (every copy
+    * pairs with every copy; measured 3.4× time for 3× data on the
+    * replicated scale probe), while the distinct-text set doesn't grow
+    * at all. So: group by text digest (one digest shuffle, never raw
+    * text — q30's trick), elect the min doc_id as representative, run
+    * shingle/LSH/Jaccard on representatives only, and expand verdicts
+    * back through the membership map. EXACTNESS: LSH bucket membership
+    * and Jaccard depend only on the text, so the rep-level verified
+    * relation equals the full-corpus relation restricted to reps; and
+    * same-group docs are always mutual near-dups (identical shingle
+    * sets, J=1 ≥ 0.8) — except docs with NO shingles (< n tokens),
+    * which the full pipeline never pairs (no signature row); those are
+    * excluded from the membership map to match.
+    *
+    * Returns (repPairs, memb): verified rep-level pairs (doc_a < doc_b,
+    * both representatives) and the (doc_id, rep) membership map over
+    * shingle-bearing docs. */
+  private def repCollapse(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val grp = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val memb = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .join(grp, Seq("fp")).select(col("doc_id"), col("rep"))
+      .localCheckpoint()
     val hashed = cachedHashedShingles(s, d, Tables.documents(s, d))
-    val sigs = hashed
+    val repHashed = hashed.join(
+      memb.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val sigs = repHashed
       .groupBy(col("doc_id"))
       .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
         (1 until K).map(k =>
           min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-    jaccard(lshCandidates(sigs), hashed)
+    val repPairs = jaccard(lshCandidates(sigs), repHashed)
       .filter(graft.Num.r4(col("jaccard")) >= 0.8)
       .select(col("doc_a"), col("doc_b"))
+    (repPairs, memb)
+  }
+
+  /** Per-doc smallest verified near-dup partner (`dup_of`), expanded
+    * from the rep-level relation: a doc's partners are its own group's
+    * members (min = its rep, when the doc isn't the rep) plus every
+    * member of a partnered group (min = that group's rep). Shared by
+    * q80/q89. */
+  private def minPartner(repPairs: DataFrame, memb: DataFrame): DataFrame = {
+    val partners = repPairs
+      .select(col("doc_a").as("rep"), col("doc_b").as("partner"))
+      .union(repPairs.select(col("doc_b").as("rep"), col("doc_a").as("partner")))
+    val viaOwn = memb.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), col("rep").as("cand"))
+    val viaPartners = memb.join(partners, Seq("rep"))
+      .select(col("doc_id"), col("partner").as("cand"))
+    viaOwn.union(viaPartners)
+      .filter(col("cand") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("cand")).as("dup_of"))
   }
 
   def queries: Seq[Query] = Seq(
@@ -298,10 +345,9 @@ object Dedup {
     Query(
       "q80_neardup_survivors",
       (s, d) => {
-        val dupOf = verifiedPairs(s, d)
-          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+        val (repPairs, memb) = repCollapse(s, d)
         Tables.documents(s, d).select(col("doc_id"))
-          .join(dupOf, col("doc_id") === col("doc_b"), "left")
+          .join(minPartner(repPairs, memb), Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("kept"),
             coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .orderBy(col("doc_id"))
@@ -332,13 +378,18 @@ object Dedup {
     Query(
       "q84_dup_clusters",
       (s, d) => {
+        // CC runs on the REP graph (exact-dup groups collapsed): nodes
+        // are distinct-text representatives, so a corpus with heavy
+        // verbatim duplication contributes no extra edges — membership
+        // expansion afterwards is one linear join.
         // localCheckpoint (not persist) between rounds: an iterative
         // loop that only persists grows each round's logical plan with
         // the whole previous lineage, and one cache miss (or a cascaded
         // unpersist) silently re-evaluates the accumulated chain —
         // measured 27 s at sf0.1. Checkpointing truncates the plan to
         // the materialized partitions, so every round is O(frontier).
-        val pairs = verifiedPairs(s, d).localCheckpoint()
+        val (pairs0, memb) = repCollapse(s, d)
+        val pairs = pairs0.localCheckpoint()
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
@@ -370,10 +421,20 @@ object Dedup {
           labels = next
           rounds += 1
         }
-        val sizes = labels.groupBy(col("lbl"))
+        // expand rep labels to members; exact-dup groups of >= 2 docs
+        // whose rep has no cross-group partner are clusters on their own
+        // (identical texts are mutual near-dups, J = 1)
+        val lonely = memb.groupBy(col("rep")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .join(labels.withColumnRenamed("doc", "rep"), Seq("rep"), "left_anti")
+          .select(col("rep").as("doc"), col("rep").as("lbl"))
+        val docLabels = memb
+          .join(labels.union(lonely).withColumnRenamed("doc", "rep"), Seq("rep"))
+          .select(col("doc_id"), col("lbl"))
+        val sizes = docLabels.groupBy(col("lbl"))
           .agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, Seq("lbl"))
-          .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+        docLabels.join(sizes, Seq("lbl"))
+          .select(col("doc_id"), col("lbl").as("cluster_id"),
             col("cluster_size"))
           .orderBy(col("doc_id"))
       },
@@ -413,8 +474,9 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
         val hashed = cachedHashedShingles(s, d, docs)
-        val dupOf = verifiedPairs(s, d)
-          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+        val (repPairs, memb) = repCollapse(s, d)
+        val dupOf = minPartner(repPairs, memb)
+          .withColumnRenamed("doc_id", "doc_b")
         val bench = hashed.filter(col("doc_id") % 20 === 0)
           .select(col("sh")).distinct()
         val train = hashed.filter(col("doc_id") % 20 =!= 0)
@@ -432,21 +494,7 @@ object Dedup {
           (!(col("n_chars") < 100) &&
             !(size(stops).cast("double") / size(toksC).cast("double") > 0.08))
             .as("quality_ok"))
-        val tokRows = docs.select(col("doc_id"),
-          posexplode(toksC).as(Seq("pos", "t")))
-        val topTok = tokRows
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
-          .groupBy(col("doc_id")).agg(
-            sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_n"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val bg = tokRows
-          .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
-          .groupBy(col("doc_id")).agg(
-            count(lit(1)).as("n_bigrams"),
-            countDistinct(col("b")).as("n_distinct_bigrams"))
-        val rep = topTok.join(bg, Seq("doc_id"))
+        val rep = Corpus.repetitionMetrics(docs)
           .select(col("doc_id"),
             (lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams") > 0.5 ||
               col("top_token_n") / col("n_tokens") > 0.3).as("repetitive"))

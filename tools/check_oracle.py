@@ -42,9 +42,12 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # ScaleUp writes directory-style tables
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
