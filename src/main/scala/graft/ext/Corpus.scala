@@ -239,5 +239,52 @@ object Corpus {
           FROM dl GROUP BY term)
         SELECT p.term, p.df, t.total_tf, p.postings
         FROM post p JOIN tf t USING (term) ORDER BY p.term"""),
-      "inverted-index build: per-term df, total tf and sorted posting lists (array-valued output, oracle-compared element-wise)"))
+      "inverted-index build: per-term df, total tf and sorted posting lists (array-valued output, oracle-compared element-wise)"),
+
+    // ---------------------------------------------------------------- q90
+    // Unigram-LM surprisal — the classic perplexity-proxy quality
+    // filter (docs whose tokens are improbable under the corpus unigram
+    // model are noise candidates). Cross-engine exactness trick: ln()
+    // is NOT IEEE-correctly-rounded, so per-token -ln p is quantized to
+    // integer MICRO-NATS (floor cut with the shared ulp-absorbing
+    // offset) BEFORE summation — integer sums are order-independent and
+    // exact in both engines, where a double sum over an unordered group
+    // would not be. Scale shape: vocab-frame total via a vocab-sized
+    // window, surprisal table broadcast, one token pass.
+    Query(
+      "q90_unigram_surprisal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+        val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        // whole-frame window is fine HERE: freq is vocabulary-sized
+        val surp = freq
+          .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+          .select(col("t"),
+            floor(-log(col("n") / col("total").cast("double")) * 1000000
+              + lit(0.500001)).cast("long").as("s_micro"))
+        tok.join(broadcast(surp), Seq("t"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("s_micro")).as("surprisal_micro_sum"))
+          .select(col("doc_id"), col("n_tokens"), col("surprisal_micro_sum"),
+            Num.r4(col("surprisal_micro_sum")
+              / (col("n_tokens") * lit(1000000.0))).as("avg_surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+        tot AS (SELECT SUM(n) AS total FROM freq),
+        surp AS (
+          SELECT t, CAST(FLOOR(-LN(n / CAST(total AS DOUBLE)) * 1000000 + 0.500001) AS BIGINT) AS s_micro
+          FROM freq, tot)
+        SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(s.s_micro) AS BIGINT) AS surprisal_micro_sum,
+          FLOOR((SUM(s.s_micro) / (COUNT(*) * 1000000.0)) * 10000 + 0.500001) / 10000 AS avg_surprisal
+        FROM tok JOIN surp s ON s.t = tok.t
+        GROUP BY tok.doc_id ORDER BY tok.doc_id"""),
+      "unigram-LM surprisal per doc (perplexity-proxy quality): integer micro-nat quantization before the sum keeps ln() cross-engine-exact"))
 }

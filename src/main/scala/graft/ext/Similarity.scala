@@ -390,5 +390,103 @@ object Similarity {
         SELECT vec_id, list(qv ORDER BY dim) AS qvec,
           FLOOR(MAX(err) * 1000000 + 0.500001) / 1000000 AS max_abs_err
         FROM err GROUP BY vec_id ORDER BY vec_id"""),
-      "per-dimension int8 affine quantization of embeddings + max reconstruction error (two scans, 64-row broadcast)"))
+      "per-dimension int8 affine quantization of embeddings + max reconstruction error (two scans, 64-row broadcast)"),
+
+    // ---------------------------------------------------------------- q91
+    // Contrastive-pair mining: for each probe, the nearest SAME-label
+    // neighbor (positive) and the nearest DIFFERENT-label neighbor (the
+    // hard negative) — the standard batch-mining pass for embedding-
+    // model training. One ranking window partitioned by (query, side);
+    // probes broadcast, corpus scanned once (q33's brute-force
+    // convention with the same capCorpus guard; the ANN variants are
+    // the uncapped scale path for candidate generation).
+    Query(
+      "q91_hard_negatives",
+      (s, d) => {
+        val emb = capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+            col("v").as("qv"))
+        val w = Window.partitionBy(col("query_id"), col("same_label"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val top = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("q_label"),
+            col("vec_id").as("neighbor_id"),
+            (col("label") === col("q_label")).as("same_label"),
+            graft.Num.r4(cosine(col("v"), col("qv"))).as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val pos = top.filter(col("same_label"))
+          .select(col("query_id"), col("q_label").as("label"),
+            col("neighbor_id").as("positive_id"), col("cosine").as("positive_cos"))
+        val neg = top.filter(!col("same_label"))
+          .select(col("query_id"), col("neighbor_id").as("negative_id"),
+            col("cosine").as("negative_cos"))
+        pos.join(neg, Seq("query_id")).orderBy(col("query_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+              FROM e WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+            e.label = q.q_label AS same_label,
+            FLOOR(LIST_COSINE_SIMILARITY(e.v, q.qv) * 10000 + 0.500001) / 10000 AS cosine
+          FROM e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same_label
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+        SELECT p.query_id, p.q_label AS label,
+          p.neighbor_id AS positive_id, p.cosine AS positive_cos,
+          n.neighbor_id AS negative_id, n.cosine AS negative_cos
+        FROM ranked p JOIN ranked n ON n.query_id = p.query_id
+        WHERE p.rn = 1 AND p.same_label AND n.rn = 1 AND NOT n.same_label
+        ORDER BY p.query_id"""),
+      "contrastive pair mining: nearest same-label positive + nearest cross-label hard negative per probe"),
+
+    // ---------------------------------------------------------------- q92
+    // Per-label embedding profile: class centroids (plus per-dim range)
+    // for drift monitoring / class-separation checks. Cross-engine-exact
+    // means without an ordered fold: each component is quantized to
+    // integer micro-units BEFORE the sum (float→double is exact, the
+    // *1e6 product is the same double both sides), so the group sum is
+    // exact integer math; the mean divides two exact integers. One
+    // explode + one (label, dim) aggregate — fully partial-aggregated,
+    // no shuffle wider than 640 groups.
+    Query(
+      "q92_label_centroids",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("label"), col("dim"), col("xf").cast("double").as("x"))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(floor(col("x") * 1000000 + lit(0.5)).cast("long")).as("sum_micro"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+          .select(col("label"), col("dim"), col("n_vecs"),
+            graft.Num.r6(col("sum_micro") / (col("n_vecs") * lit(1000000.0)))
+              .as("mean_x"),
+            col("min_x"), col("max_x"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, unnest(embedding) AS xf,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings),
+        d AS (SELECT label, dim, CAST(xf AS DOUBLE) AS x FROM e),
+        g AS (
+          SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+            MIN(x) AS min_x, MAX(x) AS max_x
+          FROM d GROUP BY label, dim)
+        SELECT label, dim, n_vecs,
+          FLOOR((sum_micro / (n_vecs * 1000000.0)) * 1000000 + 0.500001) / 1000000 AS mean_x,
+          min_x, max_x
+        FROM g ORDER BY label, dim"""),
+      "per-label embedding centroids + per-dim range (integer micro-unit quantization makes the unordered double sum exact)"))
 }

@@ -71,6 +71,43 @@ class CorpusSpec extends SparkSpec {
     assert(q.filter(col("max_abs_err") > 0.05).count() == 0)
   }
 
+  test("q90 surprisal: positive, bounded by ln(vocab), frequent docs cheap") {
+    val r = Registry.queries("q90_unigram_surprisal")(spark, sf())
+    val vocab = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val cap = math.log(vocab.toDouble) + 1e-9
+    assert(r.filter(col("avg_surprisal") <= 0).count() == 0)
+    // avg -ln p can exceed ln(vocab) only if p were below uniform-min;
+    // a unigram model over its own corpus keeps every doc under the
+    // worst single-token surprisal
+    val worst = -math.log(1.0 / Tables.documents(spark, sf())
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0).toDouble)
+    assert(r.filter(col("avg_surprisal") > worst).count() == 0,
+      s"surprisal above worst-token bound $worst (vocab cap was $cap)")
+  }
+
+  test("q91 hard negatives: labels verified against the embeddings table") {
+    val r = Registry.queries("q91_hard_negatives")(spark, sf())
+    val lab = Tables.embeddings(spark, sf()).select(col("vec_id"), col("label"))
+    // positive shares the probe's label
+    assert(r.join(lab.withColumnRenamed("vec_id", "positive_id")
+        .withColumnRenamed("label", "p_label"), Seq("positive_id"))
+      .filter(col("p_label") =!= col("label")).count() == 0)
+    // negative does not
+    assert(r.join(lab.withColumnRenamed("vec_id", "negative_id")
+        .withColumnRenamed("label", "n_label"), Seq("negative_id"))
+      .filter(col("n_label") === col("label")).count() == 0)
+  }
+
+  test("q92 centroids: 64 dims x all labels, mean within [min,max]") {
+    val r = Registry.queries("q92_label_centroids")(spark, sf())
+    val labels = Tables.embeddings(spark, sf()).select("label").distinct().count()
+    assert(r.count() == labels * 64)
+    assert(r.filter(col("mean_x") < col("min_x") - 1e-6 ||
+      col("mean_x") > col("max_x") + 1e-6).count() == 0)
+  }
+
   test("q89 curation: stage flags consistent with the standalone operators") {
     val cur = Registry.queries("q89_curation_pipeline")(spark, sf()).cache()
     val q80 = Registry.queries("q80_neardup_survivors")(spark, sf())
