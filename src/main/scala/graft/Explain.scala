@@ -26,10 +26,14 @@ object Explain {
       } else {
         val s = plan.toString()
         def n(pat: String) = pat.r.findAllIn(s).size
+        // codegen stages print as "*(i) Op" in the simple plan string;
+        // count DISTINCT stage ids, not node occurrences
+        val codegenStages =
+          "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
         println(f"${q.name}%-28s exchanges=${n("Exchange")}%2d " +
           f"sorts=${n("(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ")}%2d " +
           f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
-          f"codegen=${n("WholeStageCodegen")}%2d scans=${n("FileScan|Scan parquet")}%2d")
+          f"codegen=$codegenStages%2d scans=${n("FileScan|Scan parquet")}%2d")
       }
     }
     spark.stop()
