@@ -37,7 +37,7 @@ object ScaleUp {
       Tables.events(spark, src) -> "event_id",
       Tables.documents(spark, src) -> "doc_id",
       Tables.embeddings(spark, src) -> "vec_id")
-      .map { case (df, k) => df.agg(max(col(k).cast("long"))).head.getLong(0) }
+      .map { case (df, k) => df.agg(max(col(k).cast("long"))).head().getLong(0) }
       .max
     require(maxKey < orderShift,
       s"source keys reach $maxKey >= shift $orderShift; raise orderShift")

@@ -66,7 +66,7 @@ object Similarity {
     val buckets = (0 until tables).map { t =>
       (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
-        val planeCol = array(p.map(lit): _*)
+        val planeCol = array(p.toIndexedSeq.map(lit): _*)
         val d = dot(v, planeCol)
         when((if (rounded) graft.Num.r6(d) else d) >= 0, lit(1L << b))
           .otherwise(lit(0L))
@@ -122,8 +122,8 @@ object Similarity {
     // `rounded` snaps each score to 6 decimals (Num.r6) BEFORE the
     // argmax so the assignment is floating-point-stable across engines
     // — required when a DuckDB oracle recomputes the same argmax
-    val scores = array(centroids.map { case (_, c) =>
-      val cCol = array(c.map(lit): _*)
+    val scores = array(centroids.toIndexedSeq.map { case (_, c) =>
+      val cCol = array(c.toIndexedSeq.map(lit): _*)
       val s = dot(col(vecCol), cCol) / (sqrt(dot(col(vecCol), col(vecCol))) *
         math.sqrt(c.map(x => x * x).sum))
       if (rounded) graft.Num.r6(s) else s

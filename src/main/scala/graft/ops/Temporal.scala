@@ -32,7 +32,7 @@ object Temporal {
     val pFull = quoteCols.foldLeft(pSide) { case (df, (_, dst)) =>
       df.withColumn(s"__q_$dst", lit(null).cast(qSide0.schema(s"__q_$dst").dataType))
     }
-    val unioned = pFull.select(qSide.columns.map(col): _*).unionByName(qSide)
+    val unioned = pFull.select(qSide.columns.toIndexedSeq.map(col): _*).unionByName(qSide)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("is_probe"), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

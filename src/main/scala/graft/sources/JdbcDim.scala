@@ -30,7 +30,7 @@ object JdbcDim {
   def read(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties): DataFrame = {
     val raw = spark.read.jdbc(url, table, props)
-    raw.select(raw.columns.map(c => col(s"`$c`").as(c.toLowerCase)): _*)
+    raw.select(raw.columns.toIndexedSeq.map(c => col(s"`$c`").as(c.toLowerCase)): _*)
   }
 
   /** The patients dimension over JDBC, `Schemas.patients`-shaped. */

@@ -80,7 +80,7 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
 
   override def handleInputRows(key: Int, rows: Iterator[VitalPoint],
       timerValues: TimerValues): Iterator[HealthScore] = {
-    val wm = timerValues.getCurrentWatermarkInMs
+    val wm = timerValues.getCurrentWatermarkInMs()
     // Late-data semantics: Spark's stateful operators drop rows with
     // ts <= watermark BEFORE the processor sees them (verified by
     // StreamingHealthSpec's late-event test), so every delivered row is
@@ -96,7 +96,7 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
 
   override def handleExpiredTimer(key: Int, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[HealthScore] =
-    drainAndRearm(key, timerValues.getCurrentWatermarkInMs)
+    drainAndRearm(key, timerValues.getCurrentWatermarkInMs())
 
   /** Drain, then re-arm an event-time timer at the open bucket's end (or
     * the earliest still-pending event) so the state keeps making
