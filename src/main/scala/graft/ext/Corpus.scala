@@ -286,5 +286,113 @@ object Corpus {
           FLOOR((SUM(s.s_micro) / (COUNT(*) * 1000000.0)) * 10000 + 0.500001) / 10000 AS avg_surprisal
         FROM tok JOIN surp s ON s.t = tok.t
         GROUP BY tok.doc_id ORDER BY tok.doc_id"""),
-      "unigram-LM surprisal per doc (perplexity-proxy quality): integer micro-nat quantization before the sum keeps ln() cross-engine-exact"))
+      "unigram-LM surprisal per doc (perplexity-proxy quality): integer micro-nat quantization before the sum keeps ln() cross-engine-exact"),
+
+    // ---------------------------------------------------------------- q93
+    // Cross-source contamination matrix: pairwise 3-gram-shingle
+    // Jaccard between source shards — the audit that catches one crawl
+    // slice leaking into another. Distinct (source, shingle) pairs
+    // self-join on the shingle: output is source-pair-bounded (not
+    // corpus-bounded), and the join key is the shingle hash space. At
+    // thousands of sources you'd sketch (MinHash per source) instead of
+    // exact-joining; 20 sources is exact territory.
+    Query(
+      "q93_source_overlap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val ssh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), posexplode(toks).as(Seq("pos", "t")))
+          .select(col("source"), col("t"),
+            lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .select(col("source"),
+            concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
+          .distinct()
+        val tot = ssh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val inter = ssh.as("a").join(ssh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(tot.select(col("source").as("src_a"), col("n_sh").as("n_a")), Seq("src_a"))
+          .join(tot.select(col("source").as("src_b"), col("n_sh").as("n_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+            Num.r4(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+              .as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        shraw AS (
+          SELECT source, unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
+          FROM toks),
+        ssh AS (SELECT DISTINCT source, sh FROM shraw),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ssh GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT i.src_a, i.src_b, ta.n_sh AS n_a, tb.n_sh AS n_b, i.n_inter,
+          FLOOR((i.n_inter / (ta.n_sh + tb.n_sh - i.n_inter)) * 10000 + 0.500001) / 10000 AS jaccard
+        FROM inter i
+        JOIN tot ta ON ta.source = i.src_a
+        JOIN tot tb ON tb.source = i.src_b
+        ORDER BY i.src_a, i.src_b"""),
+      "cross-source contamination matrix: pairwise shingle Jaccard between source shards"),
+
+    // ---------------------------------------------------------------- q94
+    // Vocabulary drift: per-token KL-divergence contribution between
+    // the even-doc and odd-doc halves of the corpus (standing in for
+    // week-over-week crawl snapshots) with Laplace smoothing. Exactness:
+    // the smoothed probabilities are ratios of exact integers (identical
+    // doubles both engines); the single ln() per token is absorbed into
+    // an integer pico-nat quantization of the FINAL contribution, so no
+    // unordered double aggregation exists anywhere.
+    Query(
+      "q94_vocab_drift",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select((col("doc_id") % 2).as("half"), explode(toks).as("t"))
+        val fa = tok.filter(col("half") === 0)
+          .groupBy(col("t")).agg(count(lit(1)).as("n_a"))
+        val fb = tok.filter(col("half") === 1)
+          .groupBy(col("t")).agg(count(lit(1)).as("n_b"))
+        val vocab = fa.select(col("t")).unionByName(fb.select(col("t"))).distinct()
+        val v = vocab.agg(count(lit(1)).as("nv"))
+        val ta = fa.agg(sum(col("n_a")).as("tot_a"))
+        val tb = fb.agg(sum(col("n_b")).as("tot_b"))
+        val pA = (col("n_a") + 1) / (col("tot_a") + col("nv")).cast("double")
+        val pB = (col("n_b") + 1) / (col("tot_b") + col("nv")).cast("double")
+        vocab.join(fa, Seq("t"), "left").join(fb, Seq("t"), "left")
+          .na.fill(0L, Seq("n_a", "n_b"))
+          .crossJoin(broadcast(v)).crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+          .select(col("t"), col("n_a"), col("n_b"),
+            (floor(pA * 1000000 + lit(0.500001)) / 1000000).as("p_a_r6"),
+            (floor(pB * 1000000 + lit(0.500001)) / 1000000).as("p_b_r6"),
+            floor(pA * log(pA / pB) * 1000000000000L + lit(0.500001))
+              .cast("long").as("kl_contrib_pico"))
+          .orderBy(col("t"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS t FROM documents),
+        fa AS (SELECT t, COUNT(*) AS n_a FROM tok WHERE half = 0 GROUP BY t),
+        fb AS (SELECT t, COUNT(*) AS n_b FROM tok WHERE half = 1 GROUP BY t),
+        vocab AS (SELECT t FROM fa FULL JOIN fb USING (t)),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+        ta AS (SELECT SUM(n_a) AS tot_a FROM fa),
+        tb AS (SELECT SUM(n_b) AS tot_b FROM fb),
+        j AS (
+          SELECT vocab.t, COALESCE(fa.n_a, 0) AS n_a, COALESCE(fb.n_b, 0) AS n_b,
+            (COALESCE(fa.n_a, 0) + 1) / CAST(tot_a + nv AS DOUBLE) AS p_a,
+            (COALESCE(fb.n_b, 0) + 1) / CAST(tot_b + nv AS DOUBLE) AS p_b
+          FROM vocab LEFT JOIN fa USING (t) LEFT JOIN fb USING (t), v, ta, tb)
+        SELECT t, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          FLOOR(p_a * 1000000 + 0.500001) / 1000000 AS p_a_r6,
+          FLOOR(p_b * 1000000 + 0.500001) / 1000000 AS p_b_r6,
+          CAST(FLOOR(p_a * LN(p_a / p_b) * 1000000000000 + 0.500001) AS BIGINT) AS kl_contrib_pico
+        FROM j ORDER BY t"""),
+      "vocabulary drift: per-token Laplace-smoothed KL contribution between corpus halves, pico-nat integer quantization"))
 }

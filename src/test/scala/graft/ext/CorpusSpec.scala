@@ -108,6 +108,25 @@ class CorpusSpec extends SparkSpec {
       col("mean_x") > col("max_x") + 1e-6).count() == 0)
   }
 
+  test("q93 overlap matrix: full upper triangle, jaccard in [0,1]") {
+    val m = Registry.queries("q93_source_overlap")(spark, sf())
+    val nSrc = Tables.documents(spark, sf()).select("source").distinct().count()
+    assert(m.count() == nSrc * (nSrc - 1) / 2,
+      "missing source pairs (corpus sources always share some shingle)")
+    assert(m.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(m.filter(col("n_inter") > col("n_a") || col("n_inter") > col("n_b"))
+      .count() == 0)
+  }
+
+  test("q94 vocab drift: total KL non-negative (Gibbs), counts conserved") {
+    val r = Registry.queries("q94_vocab_drift")(spark, sf()).cache()
+    assert(r.agg(sum("kl_contrib_pico")).head.getLong(0) >= 0L)
+    val toks = Tables.documents(spark, sf())
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(r.agg(sum(col("n_a") + col("n_b"))).head.getLong(0) == toks)
+    r.unpersist()
+  }
+
   test("q89 curation: stage flags consistent with the standalone operators") {
     val cur = Registry.queries("q89_curation_pipeline")(spark, sf()).cache()
     val q80 = Registry.queries("q80_neardup_survivors")(spark, sf())
