@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("target/sf1")
+    val dst = args.lift(1).getOrElse("data/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
