@@ -108,6 +108,28 @@ class CorpusSpec extends SparkSpec {
       col("mean_x") > col("max_x") + 1e-6).count() == 0)
   }
 
+  test("curated corpus materializes partitioned by source; re-read prunes partitions") {
+    // the write side of the pipeline: selected docs land as
+    // source-partitioned parquet (the layout a 100 TB corpus ships),
+    // and a per-source consumer reads ONLY its partition — asserted on
+    // the executed plan's PartitionFilters, not just the row counts
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "curated").toString
+    val docs = Tables.documents(spark, sf())
+    val selected = Registry.queries("q89_curation_pipeline")(spark, sf())
+      .filter(col("selected")).select("doc_id")
+    val curated = docs.join(selected, Seq("doc_id"))
+    curated.write.mode("overwrite").partitionBy("source").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == curated.count())
+    val one = back.filter(col("source") === "src1")
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"no partition pruning in plan:\n${plan.take(600)}")
+    assert(one.count() ==
+      curated.filter(col("source") === "src1").count())
+  }
+
   test("q93 overlap matrix: full upper triangle, jaccard in [0,1]") {
     val m = Registry.queries("q93_source_overlap")(spark, sf())
     val nSrc = Tables.documents(spark, sf()).select("source").distinct().count()
