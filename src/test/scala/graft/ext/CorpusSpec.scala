@@ -130,6 +130,28 @@ class CorpusSpec extends SparkSpec {
       curated.filter(col("source") === "src1").count())
   }
 
+  test("range-partitioned export: files hold disjoint doc_id ranges") {
+    // the other 100 TB output layout: repartitionByRange + in-partition
+    // sort gives globally ordered shards whose key ranges don't overlap
+    // (consumers can binary-search the file list). Asserted on actual
+    // per-file min/max, not on the plan.
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ranged").toString
+    Tables.documents(spark, sf())
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length >= 2, "expected multiple range files")
+    perFile.sliding(2).foreach { case Array((_, mxA), (mnB, _)) =>
+      assert(mxA < mnB, s"overlapping ranges: $perFile")
+    }
+  }
+
   test("q93 overlap matrix: full upper triangle, jaccard in [0,1]") {
     val m = Registry.queries("q93_source_overlap")(spark, sf())
     val nSrc = Tables.documents(spark, sf()).select("source").distinct().count()
