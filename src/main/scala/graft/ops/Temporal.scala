@@ -139,5 +139,62 @@ object Temporal {
         FROM g
         GROUP BY user_id, sid
         ORDER BY user_id, session_start"""),
-      "session windows (1-day inactivity gap); oracle via gaps-and-islands"))
+      "session windows (1-day inactivity gap); oracle via gaps-and-islands"),
+
+    // ---------------------------------------------------------------- q95
+    // Ordered-funnel analysis (MATCH_RECOGNIZE-class semantics without
+    // the operator): per user, first 'view', then the first 'click'
+    // STRICTLY AFTER it, then the first 'purchase' strictly after that.
+    // Each stage is one filtered partial aggregate joined back on the
+    // key — three key-shuffles of (user, µs) pairs, no row explosion,
+    // no per-user event buffering; exactly how a 100 TB funnel backfill
+    // avoids the sessionize-then-scan pattern. Integer-microsecond time
+    // arithmetic keeps both engines bit-identical.
+    Query(
+      "q95_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val users = ev.select(col("user_id")).distinct()
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v, Seq("user_id"))
+          .filter(col("us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c, Seq("user_id"))
+          .filter(col("us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        users
+          .join(v.withColumn("viewed", lit(true)), Seq("user_id"), "left")
+          .join(c.withColumn("clicked", lit(true)), Seq("user_id"), "left")
+          .join(p.withColumn("purchased", lit(true)), Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("viewed"), lit(false)).as("viewed"),
+            coalesce(col("clicked"), lit(false)).as("clicked"),
+            coalesce(col("purchased"), lit(false)).as("purchased"),
+            coalesce(col("t3") - col("t1"), lit(-1L)).as("funnel_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+              JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+              JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT u.user_id,
+          v.user_id IS NOT NULL AS viewed,
+          c.user_id IS NOT NULL AS clicked,
+          p.user_id IS NOT NULL AS purchased,
+          CAST(COALESCE(p.t3 - v.t1, -1) AS BIGINT) AS funnel_us
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        ORDER BY u.user_id"""),
+      "ordered funnel (view -> click -> purchase): staged filtered aggregates, no row explosion"))
 }
