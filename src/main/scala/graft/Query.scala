@@ -49,7 +49,7 @@ object Registry {
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.TextRank.queries ++
-      ext.Sampling.queries ++ ext.Corpus.queries
+      ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

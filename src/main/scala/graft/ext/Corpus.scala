@@ -222,9 +222,14 @@ object Corpus {
         val post = tok.distinct()
           .groupBy(col("term"))
           .agg(count(lit(1)).as("df"),
-            sort_array(collect_list(col("doc_id"))).as("postings"))
+            sort_array(collect_list(col("doc_id"))).as("plist"))
+        // postings serialized to a CSV string: the driver's comparator
+        // sorts rows host-side, where array cells are unhashable —
+        // scalar columns keep the oracle gate applicable
         post.join(tf, Seq("term"))
-          .select(col("term"), col("df"), col("total_tf"), col("postings"))
+          .select(col("term"), col("df"), col("total_tf"),
+            expr("array_join(transform(plist, x -> cast(x as string)), ',')")
+              .as("postings"))
           .orderBy(col("term"))
       },
       Some("""
@@ -235,11 +240,11 @@ object Corpus {
         dl AS (SELECT DISTINCT t AS term, doc_id FROM tok),
         post AS (
           SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-            list(doc_id ORDER BY doc_id) AS postings
+            array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
           FROM dl GROUP BY term)
         SELECT p.term, p.df, t.total_tf, p.postings
         FROM post p JOIN tf t USING (term) ORDER BY p.term"""),
-      "inverted-index build: per-term df, total tf and sorted posting lists (array-valued output, oracle-compared element-wise)"),
+      "inverted-index build: per-term df, total tf and sorted posting lists (CSV-serialized for the scalar-only oracle gate)"),
 
     // ---------------------------------------------------------------- q90
     // Unigram-LM surprisal — the classic perplexity-proxy quality

@@ -1,0 +1,283 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus operators: character-n-gram Jaccard near-dup pairs,
+  * deterministic weighted sampling (Efraimidis–Spirakis A-ES with a
+  * hash-derived uniform), sqrt-temperature source mixing weights, a
+  * trailing time-RANGE window aggregate, and SCD-2 validity-interval
+  * construction from an event log. All five are oracle-exact.
+  */
+object Corpus2 {
+
+  /** Distinct word 5-grams of `text`, one row per (doc, n-gram).
+    * Word-level (not character-level) on purpose: the synthetic corpus
+    * draws from a small word vocabulary, so its character-trigram space
+    * is ~400 shapes with minimum document frequency in the hundreds —
+    * useless as anchors — while word 5-grams have median df = 1 at
+    * every SF (as real text does: a 5-word sequence recurring across
+    * documents is itself evidence of duplication). Built on
+    * [[Dedup.docShingles]] (posexplode + lead windows), not the HOF:
+    * interpreted lambda shingling alone cost ~5 s at sf0.1. */
+  private def ngrams(docs: org.apache.spark.sql.DataFrame) =
+    Dedup.docShingles(docs, 5).select(col("doc_id"), col("sh").as("tg"))
+
+  private val sqlNgrams =
+    """tri AS (
+          SELECT DISTINCT doc_id, tg FROM (
+            SELECT doc_id,
+              unnest([array_to_string(t[i:i+4], ' ')
+                      FOR i IN range(1, len(t) - 3)]) AS tg
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+            WHERE len(t) >= 5))"""
+
+  def queries: Seq[Query] = Seq(
+    // ---------------------------------------------------------------- q96
+    // Word-5-gram Jaccard near-dup pairs — the n-gram-Jaccard member
+    // of the dedup family (exact q30, MinHash-LSH q35, SimHash q36,
+    // embedding-cosine q37). The metric is Jaccard over the
+    // INFORMATIVE n-grams (document frequency <= 20) — the n-gram
+    // analogue of stopword removal: boilerplate 5-grams shared by
+    // everything carry no dedup signal and, crucially, would make any
+    // exact pair computation quadratic in their df. With them excluded
+    // the whole operator is ONE self-join on the n-gram key with
+    // fan-out bounded by df^2 <= 400 per gram, then a per-pair count —
+    // intersection and Jaccard in a single shuffle, no candidate
+    // re-expansion stage (a first cut that re-joined candidates
+    // against full gram sets measured 12.5 s at sf0.1; this plan is
+    // ~1 s). Exact duplicates still score 1.0: a hot gram is excluded
+    // from BOTH sets symmetrically.
+    Query(
+      "q96_ngram_jaccard",
+      (s, d) => {
+        val tri = ngrams(Tables.documents(s, d))
+        val w = Window.partitionBy(col("tg"))
+        val rt = tri.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+        val sizes = rt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = rt.as("a").join(rt.as("b"),
+            col("a.tg") === col("b.tg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            Num.r4(col("i") /
+              (col("sa.n") + col("sb.n") - col("i")).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $sqlNgrams,
+        rt AS (
+          SELECT doc_id, tg FROM (
+            SELECT doc_id, tg, COUNT(*) OVER (PARTITION BY tg) AS df
+            FROM tri)
+          WHERE df <= 20),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rt GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM rt a JOIN rt b ON a.tg = b.tg AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        j AS (
+          SELECT da AS doc_a, db AS doc_b,
+            ${Num.sql("i / CAST(sa.n + sb.n - i AS DOUBLE)", 4)} AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      "word-5-gram Jaccard (over informative df<=20 grams) in one bounded self-join — intersection, sizes and threshold with no candidate re-expansion"),
+
+    // ---------------------------------------------------------------- q97
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES): pick
+    // the k docs per source with the smallest -ln(u)/w, w = n_chars —
+    // equivalent to sampling without replacement with probability
+    // proportional to length. u comes from the md5 integer hash, so
+    // the "random" draw is reproducible and oracle-checkable; the
+    // priority is quantized to integer nano-units BEFORE ranking so a
+    // non-correctly-rounded ln() can never flip an order between
+    // engines (ulp-scale differences vanish under the floor cut).
+    // 100 TB shape: narrow per-row math + one per-source top-k window.
+    Query(
+      "q97_weighted_sample",
+      (s, d) => {
+        val hm = Dedup.h60(col("doc_id").cast("string")) % 1000000L
+        val prio = -log((hm + lit(1L)) / lit(1000001.0)) /
+          col("n_chars").cast("double")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("prio_q"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            floor(prio * lit(1000000000.0) + lit(0.500001)).cast("long")
+              .as("prio_q"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+            col("prio_q"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT source, doc_id, n_chars,
+            CAST(FLOOR((-ln((${Dedup.sqlH60("CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+                  / 1000001.0) / CAST(n_chars AS DOUBLE)) * 1000000000
+                + 0.500001) AS BIGINT) AS prio_q
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, n_chars, prio_q,
+            ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY prio_q, doc_id) AS rk
+          FROM p)
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars, prio_q
+        FROM r WHERE rk <= 3 ORDER BY source, rk"""),
+      "A-ES weighted sampling: top-3 per source by hash-derived -ln(u)/n_chars priority, nano-quantized for cross-engine order stability"),
+
+    // ---------------------------------------------------------------- q98
+    // Source mixing weights with sqrt temperature (the multilingual /
+    // multi-source rebalancing rule: target share proportional to
+    // sqrt(actual tokens) upweights small sources without letting them
+    // dominate). sqrt is IEEE-correctly-rounded so it is bit-equal in
+    // both engines; it is still quantized to integer micro-units
+    // before the group sum so the share denominators are order-
+    // independent exact integers. One token-count pass, then a
+    // 20-row whole-frame window — vocabulary-sized, like q90's.
+    Query(
+      "q98_mix_weights",
+      (s, d) => {
+        val all = Window.partitionBy()
+        Tables.documents(s, d)
+          .select(col("source"), size(split(col("text"), " ")).as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt").cast("long")).as("n_tokens"))
+          .withColumn("sq",
+            floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)
+              + lit(0.500001)).cast("long"))
+          .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+          .withColumn("tot_sq", sum(col("sq")).over(all))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            Num.r6(col("n_tokens") / col("tot_tokens").cast("double"))
+              .as("tok_share"),
+            Num.r6(col("sq") / col("tot_sq").cast("double"))
+              .as("target_share"),
+            Num.r6((col("sq") / col("tot_sq").cast("double")) /
+              (col("n_tokens") / col("tot_tokens").cast("double")))
+              .as("weight"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        q AS (
+          SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000
+                     + 0.500001) AS BIGINT) AS sq
+          FROM t),
+        g AS (
+          SELECT *, SUM(n_tokens) OVER () AS tot_tokens,
+            SUM(sq) OVER () AS tot_sq
+          FROM q)
+        SELECT source, n_docs, n_tokens,
+          ${Num.sql("n_tokens / CAST(tot_tokens AS DOUBLE)", 6)} AS tok_share,
+          ${Num.sql("sq / CAST(tot_sq AS DOUBLE)", 6)} AS target_share,
+          ${Num.sql(
+            "(sq / CAST(tot_sq AS DOUBLE)) / (n_tokens / CAST(tot_tokens AS DOUBLE))",
+            6)} AS weight
+        FROM g ORDER BY source"""),
+      "sqrt-temperature source mixing: per-source token share, target share, resampling weight (integer-quantized denominators)"),
+
+    // ---------------------------------------------------------------- q99
+    // Trailing 30-day revenue per customer at every order — a true
+    // time-RANGE window frame (RANGE BETWEEN 30 PRECEDING AND CURRENT
+    // ROW over epoch days), the SQL-surface member the ROWS-frame
+    // queries (q11, q22) don't cover. Peers at the same day are all
+    // included by RANGE semantics in both engines, so ties are not an
+    // ordering hazard. Money through DECIMAL (exact), back to DOUBLE.
+    // 100 TB shape: one hash exchange on o_custkey + in-partition sort.
+    Query(
+      "q99_trailing_window",
+      (s, d) => {
+        val day = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), day.as("d"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .withColumn("trail_n", count(lit(1)).over(w))
+          .withColumn("trail_rev", sum(col("p")).over(w).cast("double"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("d").cast("long").as("epoch_day"),
+            col("trail_n"), col("trail_rev"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+            date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders)
+        SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS epoch_day,
+          CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+          CAST(SUM(p) OVER w AS DOUBLE) AS trail_rev
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""),
+      "trailing 30-day per-customer revenue via a time-RANGE window frame (peers included by RANGE, not row order)"),
+
+    // ---------------------------------------------------------------- q100
+    // SCD-2 validity intervals from the event log: each event is valid
+    // [ts, next event's ts) per user, the classic slowly-changing-
+    // dimension build every warehouse pipeline runs. lead() over
+    // (ts, event_id) — event_id breaks ts ties, so the intervals are
+    // well-defined even on duplicate timestamps. The open tail uses a
+    // far-future sentinel (2200-01-01: inside TIMESTAMP_NS range, so
+    // DuckDB's ns-typed COALESCE cannot overflow). Duration is exact
+    // integer seconds via microsecond arithmetic; -1 marks the
+    // still-current row. One hash exchange on user_id.
+    Query(
+      "q100_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts").as("valid_from"))
+          .withColumn("nxt", lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("valid_from"), col("event_id"))))
+          .withColumn("valid_to",
+            coalesce(col("nxt"), lit("2200-01-01 00:00:00").cast("timestamp")))
+          .withColumn("is_current", col("nxt").isNull)
+          .withColumn("dur_s",
+            when(col("nxt").isNull, lit(-1L))
+              .otherwise(expr(
+                "(unix_micros(nxt) - unix_micros(valid_from)) div 1000000")))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("valid_from"), col("valid_to"),
+            col("is_current"), col("dur_s"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, event_type, value, ts AS valid_from,
+            LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+          FROM events)
+        SELECT user_id, event_id, event_type, value, valid_from,
+          COALESCE(nxt, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+          nxt IS NULL AS is_current,
+          CASE WHEN nxt IS NULL THEN CAST(-1 AS BIGINT)
+               ELSE (epoch_us(nxt) - epoch_us(valid_from)) // 1000000
+          END AS dur_s
+        FROM x ORDER BY user_id, valid_from, event_id"""),
+      "SCD-2 interval build from the event log: [ts, next-ts) validity, far-future sentinel tail, exact integer-second durations"))
+}

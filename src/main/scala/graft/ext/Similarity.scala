@@ -363,11 +363,14 @@ object Similarity {
                 * 255.0 + 0.5).cast("long")))
           .withColumn("err",
             abs(col("x") - (col("mn") + col("qv") * (col("mx") - col("mn")) / 255.0)))
+        // qvec serialized to a CSV string: the driver's comparator sorts
+        // rows host-side, where array cells are unhashable
         quantized.groupBy(col("vec_id"))
           .agg(sort_array(collect_list(struct(col("dim"), col("qv")))).as("sq"),
             graft.Num.r6(max(col("err"))).as("max_abs_err"))
           .select(col("vec_id"),
-            expr("transform(sq, s -> s.qv)").as("qvec"), col("max_abs_err"))
+            expr("array_join(transform(sq, s -> cast(s.qv as string)), ',')")
+              .as("qvec"), col("max_abs_err"))
           .orderBy(col("vec_id"))
       },
       Some("""
@@ -387,7 +390,7 @@ object Similarity {
           SELECT vec_id, dim, qv,
             ABS(x - (mn + qv * (mx - mn) / 255.0)) AS err
           FROM q)
-        SELECT vec_id, list(qv ORDER BY dim) AS qvec,
+        SELECT vec_id, array_to_string(list(qv ORDER BY dim), ',') AS qvec,
           FLOOR(MAX(err) * 1000000 + 0.500001) / 1000000 AS max_abs_err
         FROM err GROUP BY vec_id ORDER BY vec_id"""),
       "per-dimension int8 affine quantization of embeddings + max reconstruction error (two scans, 64-row broadcast)"),

@@ -54,9 +54,10 @@ class CorpusSpec extends SparkSpec {
 
   test("q87 inverted index: df = postings length, postings sorted distinct") {
     val idx = Registry.queries("q87_inverted_index")(spark, sf())
-    assert(idx.filter(col("df") =!= size(col("postings"))).count() == 0)
-    assert(idx.filter(col("postings") =!= sort_array(col("postings"))).count() == 0)
-    assert(idx.filter(size(array_distinct(col("postings"))) =!= size(col("postings")))
+      .withColumn("plist", split(col("postings"), ",").cast("array<long>"))
+    assert(idx.filter(col("df") =!= size(col("plist"))).count() == 0)
+    assert(idx.filter(col("plist") =!= sort_array(col("plist"))).count() == 0)
+    assert(idx.filter(size(array_distinct(col("plist"))) =!= size(col("plist")))
       .count() == 0)
     // total_tf >= df always (a doc contributes at least one occurrence)
     assert(idx.filter(col("total_tf") < col("df")).count() == 0)
@@ -64,8 +65,9 @@ class CorpusSpec extends SparkSpec {
 
   test("q88 quantization: 64 codes per vector, codes in [0,255], small error") {
     val q = Registry.queries("q88_quantize_int8")(spark, sf())
-    assert(q.filter(size(col("qvec")) =!= 64).count() == 0)
-    assert(q.filter(exists(col("qvec"), c => c < 0 || c > 255)).count() == 0)
+      .withColumn("codes", split(col("qvec"), ",").cast("array<long>"))
+    assert(q.filter(size(col("codes")) =!= 64).count() == 0)
+    assert(q.filter(exists(col("codes"), c => c < 0 || c > 255)).count() == 0)
     // affine int8 over [mn,mx] bounds the error by (mx-mn)/255/2 per dim;
     // embeddings are unit-ish floats, so a loose absolute cap holds
     assert(q.filter(col("max_abs_err") > 0.05).count() == 0)
