@@ -49,7 +49,8 @@ object Registry {
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.TextRank.queries ++
-      ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries
+      ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries ++
+      ext.Graph.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

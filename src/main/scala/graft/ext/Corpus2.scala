@@ -279,5 +279,123 @@ object Corpus2 {
                ELSE (epoch_us(nxt) - epoch_us(valid_from)) // 1000000
           END AS dur_s
         FROM x ORDER BY user_id, valid_from, event_id"""),
-      "SCD-2 interval build from the event log: [ts, next-ts) validity, far-future sentinel tail, exact integer-second durations"))
+      "SCD-2 interval build from the event log: [ts, next-ts) validity, far-future sentinel tail, exact integer-second durations"),
+
+    // ---------------------------------------------------------------- q102
+    // PMI collocation mining: the top-50 adjacent token pairs by
+    // pointwise mutual information, the classic collocation extractor
+    // (Church & Hanks 1990). All counts are exact integers; the single
+    // ln() runs over an identically-shaped double expression on both
+    // engines and is floor-quantized to integer micro-nats, which both
+    // ranks and outputs — no raw ln() double ever reaches the compare.
+    // Totals come from 1-row aggregate frames broadcast into the plan
+    // (a whole-frame window here would single-partition the token
+    // table). 100 TB shape: one token shuffle for unigrams, one bigram
+    // shuffle, vocabulary-sized joins, TakeOrdered(50) — no global sort.
+    Query(
+      "q102_pmi_collocations",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " "))
+            .as(Seq("pos", "t")))
+        val bi = tok.withColumn("t2", lead(col("t"), 1).over(w))
+          .filter(col("t2").isNotNull)
+          .select(concat_ws(" ", col("t"), col("t2")).as("bg"))
+        val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val totU = tok.agg(count(lit(1)).as("nu"))
+        val totB = bi.agg(count(lit(1)).as("nb"))
+        val cab = bi.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .withColumn("w1", split(col("bg"), " ")(0))
+          .withColumn("w2", split(col("bg"), " ")(1))
+        cab
+          .join(uni.select(col("t").as("w1"), col("c").as("ca")), Seq("w1"))
+          .join(uni.select(col("t").as("w2"), col("c").as("cb")), Seq("w2"))
+          .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+          .select(col("w1"), col("w2"), col("n_ab"),
+            floor(log((col("n_ab") / col("nb").cast("double")) /
+                ((col("ca") / col("nu").cast("double")) *
+                  (col("cb") / col("nu").cast("double")))) * lit(1000000.0)
+              + lit(0.500001)).cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bi AS (
+          SELECT unnest([array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]) AS bg
+          FROM toks),
+        uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        tu AS (SELECT COUNT(*) AS nu FROM tok),
+        tb AS (SELECT COUNT(*) AS nb FROM bi),
+        cab AS (
+          SELECT bg, COUNT(*) AS n_ab,
+            string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+          FROM bi GROUP BY bg HAVING COUNT(*) >= 5)
+        SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+          CAST(FLOOR(ln((n_ab / CAST(nb AS DOUBLE)) /
+              ((ua.c / CAST(nu AS DOUBLE)) * (ub.c / CAST(nu AS DOUBLE))))
+            * 1000000 + 0.500001) AS BIGINT) AS pmi_micro
+        FROM cab
+        JOIN uni ua ON ua.t = cab.w1
+        JOIN uni ub ON ub.t = cab.w2
+        CROSS JOIN tu CROSS JOIN tb
+        ORDER BY pmi_micro DESC, w1, w2 LIMIT 50"""),
+      "PMI collocations: top-50 adjacent pairs by micro-nat-quantized pointwise mutual information (min support 5)"),
+
+    // ---------------------------------------------------------------- q103
+    // Robust outlier profile via MAD (median absolute deviation) — the
+    // robust-statistics twin of q74's IQR rule. Both medians are
+    // r4-quantized before any downstream arithmetic (q46 established
+    // r4 as the cross-engine-safe precision for interpolated
+    // percentiles), so the deviation values and the 3·1.4826·MAD
+    // threshold comparison are bit-identical in both engines.
+    // 100 TB shape: two grouped percentile passes + one narrow join —
+    // same shape as q74.
+    Query(
+      "q103_mad_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(Num.r4(percentile(col("value"), lit(0.5))).as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(max(col("med")).as("med"),
+            Num.r4(percentile(col("dev"), lit(0.5))).as("mad"),
+            count(lit(1)).as("n"))
+        dev.join(broadcast(mad.select(col("event_type"), col("mad"))),
+            Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(when(col("dev") > col("mad") * lit(3.0) * lit(1.4826), 1))
+            .as("n_outliers"))
+          .join(mad, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("med"), col("mad"),
+            col("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT event_type,
+            FLOOR(quantile_cont(value, 0.5) * 10000 + 0.500001) / 10000 AS med
+          FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, e.value, ABS(e.value - m.med) AS dev, m.med
+          FROM events e JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, MAX(med) AS med,
+            FLOOR(quantile_cont(dev, 0.5) * 10000 + 0.500001) / 10000 AS mad,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM dev GROUP BY event_type)
+        SELECT d.event_type, m.n, m.med, m.mad,
+          CAST(COUNT(*) FILTER (WHERE d.dev > m.mad * 3.0 * 1.4826) AS BIGINT)
+            AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type, m.n, m.med, m.mad
+        ORDER BY d.event_type"""),
+      "MAD robust outliers per event type: r4-quantized medians, exact threshold compare at 3*1.4826*MAD"))
 }
