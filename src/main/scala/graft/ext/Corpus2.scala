@@ -397,5 +397,149 @@ object Corpus2 {
         FROM dev d JOIN mad m USING (event_type)
         GROUP BY d.event_type, m.n, m.med, m.mad
         ORDER BY d.event_type"""),
-      "MAD robust outliers per event type: r4-quantized medians, exact threshold compare at 3*1.4826*MAD"))
+      "MAD robust outliers per event type: r4-quantized medians, exact threshold compare at 3*1.4826*MAD"),
+
+    // ---------------------------------------------------------------- q104
+    // Retention cohort matrix: users cohorted by the epoch-week of
+    // their first event; each cell counts distinct users from cohort w
+    // active in week w + offset — the standard product-analytics
+    // retention triangle. All time math is integer epoch-days/weeks
+    // (exact). 100 TB shape: one groupBy for cohorts (user-sized,
+    // broadcast-or-shuffle joined back), one distinct over
+    // (user, week), one final small aggregate.
+    Query(
+      "q104_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg((min(col("day")) / 7).cast("long").as("cohort_week"))
+        val active = ev.select(col("user_id"),
+            (col("day") / 7).cast("long").as("week"))
+          .distinct()
+        active.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) // 7 AS cohort_week
+          FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, day // 7 AS week FROM ev)
+        SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+          CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+        ORDER BY c.cohort_week, week_offset"""),
+      "retention cohort triangle: first-event epoch-week cohorts x active-week offsets, all-integer time math"),
+
+    // ---------------------------------------------------------------- q105
+    // Last-touch attribution: every purchase is attributed to the
+    // latest STRICTLY-preceding view or click by the same user within
+    // a 7-day window ('none' otherwise) — the classic marketing-
+    // attribution join. One window pass over (ts, event_id) order with
+    // last(_, ignoreNulls) over a 1-PRECEDING rows frame: no self-join,
+    // no row explosion; both engines evaluate the identical frame.
+    Query(
+      "q105_last_touch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val touch = when(col("event_type").isin("view", "click"), col("us"))
+        val touchT = when(col("event_type").isin("view", "click"),
+          col("event_type"))
+        ev
+          .withColumn("t_us", last(touch, ignoreNulls = true).over(w))
+          .withColumn("t_type", last(touchT, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+            when(col("t_us").isNotNull &&
+                col("us") - col("t_us") <= 604800000000L, col("t_type"))
+              .otherwise(lit("none")).as("touch_type"),
+            when(col("t_us").isNotNull &&
+                col("us") - col("t_us") <= 604800000000L,
+              col("us") - col("t_us")).otherwise(lit(-1L)).as("lag_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        t AS (
+          SELECT *,
+            last_value(CASE WHEN event_type IN ('view','click') THEN us END
+                       IGNORE NULLS) OVER w AS t_us,
+            last_value(CASE WHEN event_type IN ('view','click')
+                            THEN event_type END IGNORE NULLS) OVER w AS t_type
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, us AS purchase_us,
+          CASE WHEN t_us IS NOT NULL AND us - t_us <= 604800000000
+               THEN t_type ELSE 'none' END AS touch_type,
+          CAST(CASE WHEN t_us IS NOT NULL AND us - t_us <= 604800000000
+               THEN us - t_us ELSE -1 END AS BIGINT) AS lag_us
+        FROM t WHERE event_type = 'purchase'
+        ORDER BY event_id"""),
+      "last-touch attribution: latest strictly-preceding view/click within 7 days per purchase, single window pass"),
+
+    // ---------------------------------------------------------------- q106
+    // Containment near-dup pairs: C(A,B) = |A∩B| / |A| over the same
+    // informative 5-grams as q96 — catches SUBSET duplication (a doc
+    // quoted or embedded inside a larger one) that symmetric Jaccard
+    // misses (a small doc inside a big one has low Jaccard but
+    // containment ~1). Same single bounded self-join shape as q96.
+    Query(
+      "q106_containment",
+      (s, d) => {
+        val tri = ngrams(Tables.documents(s, d))
+        val w = Window.partitionBy(col("tg"))
+        val rt = tri.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+        val sizes = rt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = rt.as("a").join(rt.as("b"),
+            col("a.tg") === col("b.tg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            Num.r4(col("i") / col("sa.n").cast("double")).as("cont_a_in_b"),
+            Num.r4(col("i") / col("sb.n").cast("double")).as("cont_b_in_a"))
+          .filter(col("cont_a_in_b") >= 0.9 || col("cont_b_in_a") >= 0.9)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $sqlNgrams,
+        rt AS (
+          SELECT doc_id, tg FROM (
+            SELECT doc_id, tg, COUNT(*) OVER (PARTITION BY tg) AS df
+            FROM tri)
+          WHERE df <= 20),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rt GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM rt a JOIN rt b ON a.tg = b.tg AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        j AS (
+          SELECT da AS doc_a, db AS doc_b,
+            ${Num.sql("i / CAST(sa.n AS DOUBLE)", 4)} AS cont_a_in_b,
+            ${Num.sql("i / CAST(sb.n AS DOUBLE)", 4)} AS cont_b_in_a
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db)
+        SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM j
+        WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
+        ORDER BY doc_a, doc_b"""),
+      "containment-coefficient near-dup pairs over informative 5-grams: catches subset duplication symmetric Jaccard misses"))
 }

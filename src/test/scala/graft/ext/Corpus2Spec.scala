@@ -88,6 +88,69 @@ class Corpus2Spec extends SparkSpec {
     t.unpersist()
   }
 
+  test("q104 cohorts: offset-0 cell equals cohort size, cells never exceed it") {
+    val r = Registry.queries("q104_retention_cohorts")(spark, sf()).cache()
+    val users = Tables.events(spark, sf()).select("user_id").distinct().count()
+    // every user is active in their own cohort week, so the offset-0
+    // column sums to the full user universe
+    val atZero = r.filter(col("week_offset") === 0).agg(sum("n_active"))
+      .head.getLong(0)
+    assert(atZero == users)
+    val cohortSize = r.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("size"))
+    val over = r.join(cohortSize, Seq("cohort_week"))
+      .filter(col("n_active") > col("size"))
+    assert(over.count() == 0, "a retention cell exceeds its cohort size")
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    r.unpersist()
+  }
+
+  test("q105 attribution: one row per purchase, lags in [0, 7d], brute-force agrees") {
+    val a = Registry.queries("q105_last_touch")(spark, sf()).cache()
+    val purchases = Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+    assert(a.count() == purchases.count())
+    assert(a.filter(col("touch_type") =!= "none" &&
+      (col("lag_us") < 0 || col("lag_us") > 604800000000L)).count() == 0)
+    assert(a.filter(col("touch_type") === "none" && col("lag_us") =!= -1L)
+      .count() == 0)
+    // brute-force one user's attributions
+    val uid = a.select("user_id").head.getLong(0)
+    val evs = Tables.events(spark, sf()).filter(col("user_id") === uid)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+    val expect = evs.filter(_._2 == "purchase").map { p =>
+      val prior = evs.filter(e => (e._2 == "view" || e._2 == "click") &&
+        (e._3 < p._3 || (e._3 == p._3 && e._1 < p._1)))
+      val best = prior.lastOption.filter(t => p._3 - t._3 <= 604800000000L)
+      (p._1, (best.map(_._2).getOrElse("none"),
+        best.map(t => p._3 - t._3).getOrElse(-1L)))
+    }.toMap
+    val got = a.filter(col("user_id") === uid)
+      .select("event_id", "touch_type", "lag_us").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    expect.foreach { case (id, (t, l)) =>
+      assert(got(id) == ((t, l)), s"purchase $id: got ${got(id)}, want ($t,$l)")
+    }
+    a.unpersist()
+  }
+
+  test("q106 containment: bounds hold, exact dups fully contained both ways") {
+    val c = Registry.queries("q106_containment")(spark, sf()).cache()
+    assert(c.filter(col("cont_a_in_b") < 0 || col("cont_a_in_b") > 1.0 ||
+      col("cont_b_in_a") < 0 || col("cont_b_in_a") > 1.0).count() == 0)
+    val texts = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val exactDup = texts.as("x").join(texts.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val missed = exactDup.join(
+      c.filter(col("cont_a_in_b") === 1.0 && col("cont_b_in_a") === 1.0),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() == 0, "an exact dup pair is not mutually contained")
+    c.unpersist()
+  }
+
   test("q100 SCD-2: intervals tile each user's timeline without overlap") {
     val iv = Registry.queries("q100_scd2_intervals")(spark, sf()).cache()
     val n = Tables.events(spark, sf()).count()
