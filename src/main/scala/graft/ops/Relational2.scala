@@ -132,5 +132,81 @@ object Relational2 {
         SELECT event_type, COUNT(*) AS n,
           ${Num.sql("SUM(value)", 4)} AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      "two-stage salted aggregation for skewed keys — oracle is the plain GROUP BY (identical result)"))
+      "two-stage salted aggregation for skewed keys — oracle is the plain GROUP BY (identical result)"),
+
+    // ---------------------------------------------------------------- q107
+    // Salted JOIN for skewed keys — q58's companion for the join side:
+    // the dimension is replicated SALT times with an explicit salt
+    // column and the fact side tags each row with pmod(xxhash64(key)),
+    // so one hot orderkey's rows spread over SALT reducer partitions
+    // instead of one. The salt never escapes the join, so the result —
+    // and the oracle — is the plain join, aggregated per priority.
+    // (AQE's skew-join split handles this adaptively at runtime; the
+    // explicit form is the portable plan when AQE is off or the skew is
+    // in a single key within one partition.)
+    Query(
+      "q107_salted_join",
+      (s, d) => {
+        val salt = 8
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(24,4)").as("rev"),
+            pmod(xxhash64(col("l_orderkey")), lit(salt)).as("salt"))
+        val dim = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .crossJoin(broadcast(
+            s.range(0, salt).select(col("id").cast("int").as("salt"))))
+        fact.join(dim,
+            col("l_orderkey") === col("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)))
+            AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "salted skew join (8-way dim replication, hash-salted fact) — oracle is the plain join, identical result"),
+
+    // ---------------------------------------------------------------- q108
+    // Order-independent table fingerprint: BIT_XOR of a canonical
+    // per-row hash plus a row count, per group — the cross-cluster
+    // data-validation primitive (two sites compare fingerprints instead
+    // of shipping 100 TB). XOR is associative/commutative with no
+    // overflow, so partition order, parallelism and engine never change
+    // it. The canonical row string uses only integer and string
+    // columns (float formatting is engine-specific; FLOOR-cast the one
+    // numeric). Paired duplicate rows cancel in XOR — the count column
+    // is what exposes them.
+    Query(
+      "q108_table_fingerprint",
+      (s, d) => {
+        val rowStr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity")).cast("long"))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            graft.ext.Dedup.h60(rowStr).as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("bit_xor(h)").as("fingerprint"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        SELECT l_returnflag,
+          BIT_XOR(${graft.ext.Dedup.sqlH60(
+            "l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' || l_linestatus || '|' || CAST(FLOOR(l_quantity) AS BIGINT)")})
+            AS fingerprint,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "order-independent BIT_XOR table fingerprint per group — the compare-checksums-not-data validation primitive"))
 }

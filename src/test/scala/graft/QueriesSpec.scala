@@ -118,4 +118,49 @@ class QueriesSpec extends SparkSpec {
     assert(df.count() >= 4)
     assert(df.filter(col("sum_qty") <= 0).count() == 0)
   }
+
+  test("q107 salted join equals the plain unsalted join") {
+    val salted = Registry.queries("q107_salted_join")(spark, sf())
+    val plain = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(24,4)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+    assert(salted.collect().toSeq == plain.collect().toSeq,
+      "salt must not change the join result")
+  }
+
+  test("q108 fingerprint is order-independent and change-sensitive") {
+    val fp = Registry.queries("q108_table_fingerprint")(spark, sf())
+    // re-running on a shuffled layout gives the same fingerprints
+    val li = Tables.lineitem(spark, sf()).repartition(13)
+    val rowStr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long"))
+    val refp = li.select(col("l_returnflag"),
+        graft.ext.Dedup.h60(rowStr).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_xor(h)").as("fingerprint"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+    assert(fp.collect().toSeq == refp.collect().toSeq)
+    // flipping one row's quantity flips exactly that group's fingerprint
+    val mutated = li.withColumn("l_quantity",
+      when(col("l_orderkey") === li.select(max("l_orderkey")).head.getLong(0),
+        col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val mutStr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long"))
+    val mfp = mutated.select(col("l_returnflag"),
+        graft.ext.Dedup.h60(mutStr).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_xor(h)").as("fingerprint"))
+    val diff = mfp.join(fp.select(col("l_returnflag"),
+        col("fingerprint").as("orig")), Seq("l_returnflag"))
+      .filter(col("fingerprint") =!= col("orig")).count()
+    assert(diff >= 1, "a mutated row must change its group fingerprint")
+  }
 }
