@@ -254,18 +254,20 @@ object Corpus {
     // integer MICRO-NATS (floor cut with the shared ulp-absorbing
     // offset) BEFORE summation — integer sums are order-independent and
     // exact in both engines, where a double sum over an unordered group
-    // would not be. Scale shape: vocab-frame total via a vocab-sized
-    // window, surprisal table broadcast, one token pass.
+    // would not be. Scale shape: corpus total via a broadcast 1-row
+    // aggregate, surprisal table broadcast, one token pass.
     Query(
       "q90_unigram_surprisal",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(toks).as("t"))
         val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
-        // whole-frame window is fine HERE: freq is vocabulary-sized
+        // corpus token total as a broadcast 1-row aggregate, NOT a
+        // whole-frame window: a global WindowExec would funnel the
+        // entire vocabulary through one partition, and at web scale
+        // the vocabulary is NOT small (every typo/number is a token)
         val surp = freq
-          .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+          .crossJoin(broadcast(freq.agg(sum(col("n")).as("total"))))
           .select(col("t"),
             floor(-log(col("n") / col("total").cast("double")) * 1000000
               + lit(0.500001)).cast("long").as("s_micro"))

@@ -1,0 +1,129 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators for a training-data pipeline: BM25 scoring
+  * (the standard lexical-retrieval baseline — used in practice to mine
+  * hard negatives and to dedupe against benchmark queries) and one BPE
+  * merge step (the inner loop of tokenizer training). Both follow the
+  * corpus-pass-then-small-side shape: one linear pass over tokens, all
+  * quadratic-ish work confined to the vocabulary-sized frame.
+  */
+object Retrieval {
+
+  private def toks = split(col("text"), " ")
+
+  /** Fixed query-term set for the BM25 oracle (present in the synthetic
+    * vocabulary; the operator itself is term-set-generic). */
+  private val Terms = Seq("join", "scan", "window")
+
+  def queries: Seq[Query] = Seq(
+    // --------------------------------------------------------------- q109
+    // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    // query-term set. Cross-engine exactness: idf goes through ln(),
+    // which is not correctly-rounded, so it is quantized to integer
+    // micro-nats with the shared ulp-absorbing floor cut BEFORE any
+    // arithmetic that mixes terms; the tf saturation factor is pure
+    // IEEE +,*,/ on identical inputs (dl, N, T are integers), so it is
+    // bit-identical across engines; per-term scores are quantized to
+    // integer micro-units so the per-doc sum is order-independent.
+    // 100 TB shape: doc lengths and term stats are one partial-agg
+    // token pass; df/idf is a |terms|-row broadcast; no shuffle wider
+    // than (doc_id) — the classic distributed BM25 plan.
+    Query(
+      "q109_bm25",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("t_tokens")) // 1 row
+        val qtok = tok.filter(col("t").isin(Terms: _*))
+        val dft = qtok.select(col("doc_id"), col("t")).distinct()
+          .groupBy(col("t")).agg(count(lit(1)).as("df")) // |terms| rows
+        val tf = qtok.groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val idf = dft.crossJoin(broadcast(stats))
+          .select(col("t"), col("n_docs"), col("t_tokens"),
+            floor(log((col("n_docs") - col("df") + lit(0.5))
+                / (col("df") + lit(0.5)) + lit(1.0)) * 1000000
+              + lit(0.500001)).cast("long").as("idf_micro"))
+        tf.join(broadcast(idf), Seq("t"))
+          .join(dl, Seq("doc_id"))
+          .select(col("doc_id"),
+            floor((col("idf_micro") / lit(1000000.0))
+                * (col("tf") * lit(2.2))
+                / (col("tf") + lit(1.2) * (lit(0.25)
+                  + lit(0.75) * (col("dl").cast("double") * col("n_docs"))
+                    / col("t_tokens"))) * 1000000
+              + lit(0.500001)).cast("long").as("st_micro"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("st_micro")).as("bm25_micro"))
+          .select(col("doc_id"), col("n_terms"),
+            Num.r4(col("bm25_micro") / lit(1000000.0)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+        qtok AS (SELECT doc_id, t FROM tok WHERE t IN ('join','scan','window')),
+        dft AS (SELECT t, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, t FROM qtok) GROUP BY t),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM qtok GROUP BY doc_id, t),
+        idf AS (
+          SELECT t, n_docs, t_tokens,
+            CAST(FLOOR(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000
+                       + 0.500001) AS BIGINT) AS idf_micro
+          FROM dft CROSS JOIN stats),
+        st AS (
+          SELECT tf.doc_id,
+            CAST(FLOOR((idf_micro / 1000000.0)
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25
+                  + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / t_tokens)) * 1000000
+              + 0.500001) AS BIGINT) AS st_micro
+          FROM tf JOIN idf USING (t) JOIN dl ON dl.doc_id = tf.doc_id)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+          FLOOR((SUM(st_micro) / 1000000.0) * 10000 + 0.500001) / 10000 AS bm25
+        FROM st GROUP BY doc_id ORDER BY bm25 DESC, doc_id"""),
+      "Okapi BM25 (k1=1.2, b=0.75) vs a fixed term set: micro-nat-quantized idf + micro-quantized per-term scores keep ln() and the per-doc sum cross-engine exact"),
+
+    // --------------------------------------------------------------- q110
+    // One BPE merge step: the weighted count of adjacent character
+    // pairs inside words — the statistic whose argmax picks the next
+    // merge in byte-pair-encoding tokenizer training. The pair
+    // explosion runs over the DISTINCT vocabulary weighted by word
+    // frequency, not over the corpus: exactly how BPE training scales
+    // (corpus-sized work is one frequency pass; the per-iteration work
+    // is vocab-sized). Integer counts — exact everywhere.
+    Query(
+      "q110_bpe_merge",
+      (s, d) => {
+        val wf = Tables.documents(s, d)
+          .select(explode(toks).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .filter(length(col("w")) >= 2)
+        wf.select(col("n"),
+            explode(expr(
+              "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+              .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("n_pair"))
+          .orderBy(col("n_pair").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+        p AS (
+          SELECT n, unnest([substring(w, CAST(i AS INT), 2)
+                            FOR i IN range(1, LEN(w))]) AS pair
+          FROM wf WHERE LEN(w) >= 2)
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair
+        FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 30"""),
+      "one BPE tokenizer-training merge step: frequency-weighted adjacent char-pair counts over the distinct vocabulary (vocab-sized, not corpus-sized, per-iteration work)"))
+}
