@@ -50,7 +50,8 @@ object Registry {
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.TextRank.queries ++
       ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries ++
-      ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries
+      ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries ++
+      ext.Behavior.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

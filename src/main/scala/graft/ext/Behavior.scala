@@ -1,0 +1,131 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream: session path mining
+  * (the "user journey" report) and association-rule lift between event
+  * types (market-basket analysis with users as baskets). Both follow
+  * the one-shuffle-on-the-natural-key shape: sessionization and
+  * basket-building hash-partition on user_id; everything after is
+  * state-space-sized (|event_types| ≤ a few hundred), so the
+  * normalizing joins are broadcasts.
+  */
+object Behavior {
+
+  def queries: Seq[Query] = Seq(
+    // --------------------------------------------------------------- q116
+    // Top session paths: sessionize each user's events with a 1-hour
+    // inactivity gap (gaps-and-islands, same recipe as q19's oracle),
+    // concatenate each session's event types in time order into a path
+    // string, and report the 20 most frequent paths. Ordering inside a
+    // session uses integer microseconds + event_id (the house
+    // tie-break), so the path string is deterministic in both engines.
+    // Scale: one hash shuffle on user_id with in-partition sorts; path
+    // counting is a partial-aggregated string-key shuffle; top-20 via
+    // TakeOrdered. Per-session state is bounded by session length, not
+    // history length.
+    Query(
+      "q116_session_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val gapUs = 3600000000L // 1 hour
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(w).isNull ||
+              col("us") - lag(col("us"), 1).over(w) >= gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy(col("user_id"), col("sid"))
+          .agg(collect_list(struct(col("us"), col("event_id"),
+            col("event_type"))).as("evs"))
+          .select(array_join(expr("transform(array_sort(evs), x -> x.event_type)"),
+            "->").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w >= 3600000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        g AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+            ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        paths AS (
+          SELECT string_agg(event_type, '->' ORDER BY us, event_id) AS path
+          FROM g GROUP BY user_id, sid)
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20"""),
+      "top-20 session paths: 1-hour-gap sessionization + time-ordered event-type concatenation (user-journey mining)"),
+
+    // --------------------------------------------------------------- q118
+    // Association-rule lift between event-type pairs, users as
+    // baskets: support P(a,b) and lift P(a,b)/(P(a)P(b)) for every
+    // unordered pair both present in a user's history. The classic
+    // market-basket co-occurrence audit. Exactness: everything is a
+    // ratio of integer counts — the lift's cross-multiplied form
+    // (n_ab·N)/(n_a·n_b) keeps the arithmetic in exact-integer doubles
+    // before one r4 rounding. Scale: the distinct pass and the
+    // self-join both hash on user_id (co-partitioned, no extra
+    // shuffle); per-user pair fan-out is bounded by |event_types|².
+    Query(
+      "q118_assoc_lift",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nu = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users")) // 1 row
+        val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(supp.select(col("event_type").as("type_a"),
+            col("n_one").as("n_a"))), Seq("type_a"))
+          .join(broadcast(supp.select(col("event_type").as("type_b"),
+            col("n_one").as("n_b"))), Seq("type_b"))
+          .crossJoin(broadcast(nu))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            Num.r4(col("n_ab") / col("n_users").cast("double")).as("support"),
+            Num.r4((col("n_ab") * col("n_users"))
+              / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(s"""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        supp AS (SELECT event_type, COUNT(*) AS n_one FROM ut GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_ab
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+        SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+          ${Num.sql("n_ab / CAST(n_users AS DOUBLE)", 4)} AS support,
+          ${Num.sql("(n_ab * n_users) / CAST(sa.n_one * sb.n_one AS DOUBLE)", 4)} AS lift
+        FROM pairs
+        JOIN supp sa ON sa.event_type = type_a
+        JOIN supp sb ON sb.event_type = type_b
+        CROSS JOIN nu
+        ORDER BY type_a, type_b"""),
+      "association-rule support + lift over event-type pairs with users as baskets (market-basket co-occurrence)"))
+}

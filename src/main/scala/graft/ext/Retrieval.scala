@@ -125,5 +125,39 @@ object Retrieval {
           FROM wf WHERE LEN(w) >= 2)
         SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair
         FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 30"""),
-      "one BPE tokenizer-training merge step: frequency-weighted adjacent char-pair counts over the distinct vocabulary (vocab-sized, not corpus-sized, per-iteration work)"))
+      "one BPE tokenizer-training merge step: frequency-weighted adjacent char-pair counts over the distinct vocabulary (vocab-sized, not corpus-sized, per-iteration work)"),
+
+    // --------------------------------------------------------------- q117
+    // Per-source hapax share: the fraction of token occurrences that
+    // are corpus hapax legomena (appear exactly once anywhere). High
+    // hapax share flags noisy/OCR-garbage sources; near-zero flags
+    // templated ones — a standard lexical-novelty audit next to
+    // entropy (q112). Scale: one corpus frequency pass, then one
+    // token-key shuffle joining occurrences to their corpus count —
+    // integer counts throughout, one r4 at the end.
+    Query(
+      "q117_hapax_share",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("t"))
+        val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        tok.join(freq, Seq("t"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("n") === 1, 1)).as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("n_hapax"),
+            Num.r4(col("n_hapax") / col("n_tokens").cast("double"))
+              .as("hapax_rate"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+          ${Num.sql("COUNT(*) FILTER (WHERE n = 1) / CAST(COUNT(*) AS DOUBLE)", 4)} AS hapax_rate
+        FROM tok JOIN freq USING (t)
+        GROUP BY source ORDER BY source"""),
+      "per-source share of corpus hapax-legomena tokens (lexical-novelty / noise audit)"))
 }

@@ -102,4 +102,45 @@ class StatsRetrievalSpec extends SparkSpec {
       s"nearest-centroid accuracy ${diag.toDouble / total} <= 0.18")
     c.unpersist()
   }
+
+  test("q116 session paths: every path is a chain of known event types") {
+    val p = Registry.queries("q116_session_paths")(spark, sf()).cache()
+    assert(p.count() > 0 && p.count() <= 20)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    p.collect().foreach { r =>
+      val steps = r.getString(0).split("->")
+      assert(steps.nonEmpty && steps.forall(types.contains),
+        s"path '${r.getString(0)}' contains an unknown event type")
+    }
+    p.unpersist()
+  }
+
+  test("q117 hapax share: rates in [0,1], hapax count bounded by corpus hapax total") {
+    val h = Registry.queries("q117_hapax_share")(spark, sf()).cache()
+    assert(h.filter(col("hapax_rate") < 0 || col("hapax_rate") > 1).count() == 0)
+    val totalHapax = h.agg(sum(col("n_hapax"))).head.getLong(0)
+    val corpusHapax = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1).count()
+    assert(totalHapax == corpusHapax,
+      "per-source hapax occurrences must sum to the corpus hapax count " +
+        "(each hapax token occurs exactly once, in exactly one source)")
+    h.unpersist()
+  }
+
+  test("q118 association lift: pair count bounded by min of singles, support consistent") {
+    val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
+    val singles = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.collect().foreach { r =>
+      val (ta, tb, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(nab <= math.min(singles(ta), singles(tb)),
+        s"co-occurrence $ta,$tb = $nab exceeds a single count")
+      assert(ta < tb, "pairs must be emitted in canonical order")
+    }
+    a.unpersist()
+  }
 }
