@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: a declarative rule-check report (the
+  * Deequ-style validation pass every ingest pipeline runs before
+  * publishing a snapshot) and inter-event gap statistics (the
+  * time-series liveness/cadence audit). All-integer counts; each rule
+  * is one scan-level aggregate or one co-partitioned anti join — the
+  * report is embarrassingly parallel at 100 TB and its output is
+  * rule-count-sized.
+  */
+object Quality {
+
+  def queries: Seq[Query] = Seq(
+    // --------------------------------------------------------------- q121
+    // Declarative data-quality rules over the snapshot: completeness
+    // (null checks), validity (range checks), referential integrity
+    // (FK orphans via anti join), uniqueness (key duplication), and
+    // cross-field consistency. One row per rule with checked/violation
+    // counts — the shape a quality gate consumes. Each rule is
+    // independent, so Spark runs them as parallel jobs over their own
+    // pruned scans; none shuffles wider than its aggregate.
+    Query(
+      "q121_dq_rules",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val ev = Tables.events(s, d)
+        def rule(id: String, desc: String, checked: org.apache.spark.sql.Column,
+            violated: org.apache.spark.sql.Column,
+            src: org.apache.spark.sql.DataFrame) =
+          src.agg(checked.as("n_checked"), violated.as("n_violations"))
+            .select(lit(id).as("rule_id"), lit(desc).as("rule"),
+              col("n_checked"), col("n_violations"))
+        val orphans = li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+        val r1 = li.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+          .select(lit("r1_fk_lineitem_orders").as("rule_id"),
+            lit("every l_orderkey exists in orders").as("rule"),
+            col("n_checked"), col("n_violations"))
+        r1
+          .unionByName(rule("r2_qty_range", "l_quantity in [1,50]",
+            count(lit(1)),
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)), li))
+          .unionByName(rule("r3_price_nonneg", "l_extendedprice >= 0",
+            count(lit(1)),
+            count(when(col("l_extendedprice") < 0, 1)), li))
+          .unionByName(rule("r4_custkey_unique", "c_custkey unique",
+            count(lit(1)),
+            (count(lit(1)) - countDistinct(col("c_custkey"))), cust))
+          .unionByName(rule("r5_event_value_notnull", "events.value not null",
+            count(lit(1)), count(when(col("value").isNull, 1)), ev))
+          .unionByName(rule("r6_date_order", "o_orderdate within TPC-H range",
+            count(lit(1)),
+            count(when(col("o_orderdate") < to_date(lit("1992-01-01")) ||
+              col("o_orderdate") > to_date(lit("1998-12-31")), 1)), ord))
+          .orderBy(col("rule_id"))
+      },
+      Some("""
+        SELECT 'r1_fk_lineitem_orders' AS rule_id,
+          'every l_orderkey exists in orders' AS rule,
+          CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked,
+          CAST((SELECT COUNT(*) FROM lineitem
+                ANTI JOIN orders ON l_orderkey = o_orderkey) AS BIGINT)
+            AS n_violations
+        UNION ALL
+        SELECT 'r2_qty_range', 'l_quantity in [1,50]',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'r3_price_nonneg', 'l_extendedprice >= 0',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'r4_custkey_unique', 'c_custkey unique',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'r5_event_value_notnull', 'events.value not null',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'r6_date_order', 'o_orderdate within TPC-H range',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+            OR o_orderdate > DATE '1998-12-31') AS BIGINT)
+        FROM orders
+        ORDER BY rule_id"""),
+      "Deequ-style data-quality report: completeness, validity, FK-orphan, uniqueness and range rules as one checked/violations row each"),
+
+    // --------------------------------------------------------------- q122
+    // Inter-event gap statistics per event type: the cadence audit
+    // that catches dead sensors (huge max gap) and runaway producers
+    // (tiny p50). Gaps are exact integer microseconds from a per-user
+    // lag; min/max/count stay integer; mean is one exact-integer
+    // division rounded r4; p50/p95 use interpolated percentiles over
+    // integers (same QUANTILE_CONT twin as q46). One hash shuffle on
+    // user_id for the lag, one |event_types|-group aggregate.
+    Query(
+      "q122_event_gaps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"),
+            Num.r4(sum(col("gap_us")) / count(lit(1)).cast("double"))
+              .as("mean_gap_us"),
+            Num.r4(percentile(col("gap_us"), lit(0.5))).as("p50_gap_us"),
+            Num.r4(percentile(col("gap_us"), lit(0.95))).as("p95_gap_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        g AS (
+          SELECT event_type,
+            us - LAG(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS gap_us
+          FROM ev)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+          CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+          ${Num.sql("SUM(gap_us) / CAST(COUNT(*) AS DOUBLE)", 4)} AS mean_gap_us,
+          ${Num.sql("QUANTILE_CONT(gap_us, 0.5)", 4)} AS p50_gap_us,
+          ${Num.sql("QUANTILE_CONT(gap_us, 0.95)", 4)} AS p95_gap_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""),
+      "inter-event gap statistics per event type (cadence/liveness audit): integer-µs gaps, interpolated percentiles"))
+}
