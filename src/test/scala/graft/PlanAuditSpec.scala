@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan shape pins for the scale-critical choices: global
+  * scalars must arrive via broadcast (never a cartesian product or a
+  * whole-frame window), candidate generation must never cross-join
+  * unboundedly, and the one re-planned global window (q90) must stay
+  * gone. These are the properties a 1000-executor run depends on that
+  * no value-level oracle can see. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf()).queryExecution.executedPlan.toString()
+
+  test("1-row global aggregates are broadcast, not cartesian") {
+    // each of these queries folds a global scalar (corpus total,
+    // min/max, midpoint) into a per-row computation
+    Seq("q90_unigram_surprisal", "q113_psi_drift", "q114_histogram",
+      "q123_vocab_coverage", "q124_snapshot_diff", "q109_bm25").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: no broadcast in plan")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: cartesian product found — the 1-row side must broadcast")
+    }
+  }
+
+  test("q90 re-plan holds: no window operator at all") {
+    val p = plan("q90_unigram_surprisal")
+    assert(!p.contains("Window"),
+      "q90 must compute the corpus total without any WindowExec")
+  }
+
+  test("rank windows in top-k paths are bounded by a preceding limit") {
+    // q120/q123 rank inside a top-k list: the sort feeding the window
+    // must be a TakeOrderedAndProject/limit, not a full-table sort
+    Seq("q120_rrf_fusion", "q123_vocab_coverage").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+        s"$q: rank window not fed by a bounded top-k")
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    Seq("q115_nearest_centroid", "q118_assoc_lift", "q111_markov_transitions")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin") ||
+          p.contains("BroadcastNestedLoopJoin"),
+          s"$q: expected a broadcast join for the bounded side")
+      }
+  }
+}
