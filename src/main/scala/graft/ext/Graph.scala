@@ -20,6 +20,36 @@ object Graph {
   private val S = 1000000000L
   private val Iters = 5
 
+  /** The supplier co-purchase backbone: top-5000 strongest (>= 3
+    * shared orders) edges, (u < v), deterministic tie-break — shared
+    * by q119 (triangles) and q126 (k-core). See q119's scaladoc for
+    * why the bounded backbone is the scale decision. */
+  private def backbone(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ls = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    ls.as("a").join(ls.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("n_orders").desc, col("u"), col("v")).limit(5000)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB twin of [[backbone]], ending in `e0(u, v)`. */
+  private val sqlBackbone: String = """
+        ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+               FROM lineitem),
+        e0 AS (
+          SELECT u, v FROM (
+            SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n_orders
+            FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
+            GROUP BY a.sk, b.sk HAVING COUNT(*) >= 3
+            ORDER BY n_orders DESC, u, v LIMIT 5000))"""
+
   /** The r_{i} -> r_{i+1} oracle CTE, parameterized by iteration. */
   private def sqlIter(i: Int): String =
     s"""r$i AS (
@@ -119,20 +149,11 @@ object Graph {
     Query(
       "q119_triangle_count",
       (s, d) => {
-        val ls = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        // localCheckpoint: the edge list is referenced three times in
-        // the triangle join — without truncation each reference
-        // re-evaluates the co-occurrence aggregation (q101's lesson)
-        val e = ls.as("a").join(ls.as("b"),
-            col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-          .agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 3)
-          .orderBy(col("n_orders").desc, col("u"), col("v")).limit(5000)
-          .select(col("u"), col("v"))
-          .localCheckpoint()
+        // localCheckpoint inside backbone(): the edge list is
+        // referenced three times in the triangle join — without
+        // truncation each reference re-evaluates the co-occurrence
+        // aggregation (q101's lesson)
+        val e = backbone(s, d)
         val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
           .join(e.as("e3"),
@@ -144,19 +165,12 @@ object Graph {
           .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("node"))
       },
-      Some("""
-        WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                    FROM lineitem),
-        e AS (
-          SELECT u, v FROM (
-            SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n_orders
-            FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
-            GROUP BY a.sk, b.sk HAVING COUNT(*) >= 3
-            ORDER BY n_orders DESC, u, v LIMIT 5000)),
+      Some(s"""
+        WITH $sqlBackbone,
         tri AS (
           SELECT e1.u AS x, e1.v AS y, e2.v AS z
-          FROM e e1 JOIN e e2 ON e1.v = e2.u
-          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+          FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+          JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
         nodes AS (
           SELECT x AS node FROM tri
           UNION ALL SELECT y FROM tri
@@ -164,5 +178,60 @@ object Graph {
         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         FROM nodes GROUP BY node
         ORDER BY n_tri DESC, node"""),
-      "per-node triangle counts on the top-5000-strongest-edges supplier co-purchase backbone (ordered-edge wedge join + closing-edge check, all-integer, k-bounded wedge cost)"))
+      "per-node triangle counts on the top-5000-strongest-edges supplier co-purchase backbone (ordered-edge wedge join + closing-edge check, all-integer, k-bounded wedge cost)"),
+
+    // --------------------------------------------------------------- q126
+    // Bounded k-core peeling (k=6, 4 rounds) on the co-purchase
+    // backbone: each round drops nodes with degree < k and the edges
+    // touching them — the classic community-density filter (4 rounds
+    // is a defined operator, not a fixpoint claim; the iterative shape
+    // matches q101/q84: per-round degree aggregate + edge semi-joins,
+    // localCheckpoint truncating lineage). All-integer, so the
+    // surviving subgraph is bit-identical across engines. Output: the
+    // surviving nodes with their residual degree.
+    Query(
+      "q126_kcore",
+      (s, d) => {
+        val K = 6
+        var e = backbone(s, d)
+        for (_ <- 1 to 4) {
+          val deg = e.select(col("u").as("node"))
+            .unionByName(e.select(col("v").as("node")))
+            .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+          val keep = deg.filter(col("dg") >= K).select(col("node"))
+            .localCheckpoint()
+          e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+            .select(col("u"), col("v"))
+            .localCheckpoint()
+        }
+        e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("residual_degree"))
+          .orderBy(col("node"))
+      },
+      Some {
+        // every e_i is referenced three times by round i+1 (degree
+        // count + two membership filters): MATERIALIZED stops DuckDB
+        // from inlining the chain into 3^4 re-evaluations of the
+        // co-occurrence aggregate — the oracle-side twin of the
+        // localCheckpoint truncation on the Spark side
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
+                SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p)
+              GROUP BY node),
+          k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 6),
+          e$i AS MATERIALIZED (SELECT u, v FROM e$p
+                  WHERE u IN (SELECT node FROM k$i)
+                    AND v IN (SELECT node FROM k$i))"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        ${(1 to 4).map(round).mkString(",\n        ")}
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS residual_degree FROM (
+          SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+        GROUP BY node ORDER BY node"""
+      },
+      "bounded k-core peeling (k=6, 4 rounds) on the co-purchase backbone: per-round degree filter + edge semi-joins, all-integer"))
 }

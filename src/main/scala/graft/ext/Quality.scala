@@ -143,5 +143,64 @@ object Quality {
           ${Num.sql("QUANTILE_CONT(gap_us, 0.95)", 4)} AS p95_gap_us
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type"""),
-      "inter-event gap statistics per event type (cadence/liveness audit): integer-µs gaps, interpolated percentiles"))
+      "inter-event gap statistics per event type (cadence/liveness audit): integer-µs gaps, interpolated percentiles"),
+
+    // --------------------------------------------------------------- q125
+    // Language-label agreement audit: the confusion matrix of the
+    // recorded `lang` column vs the marker-word language guess (q44's
+    // heuristic, same deterministic argmax tie rule), with per-pair
+    // counts and the labeled-language share each cell represents. The
+    // audit that catches mislabeled crawl slices before training on
+    // the `lang` column. Narrow per-row scoring + one |langs|²-group
+    // aggregate — embarrassingly parallel.
+    Query(
+      "q125_lang_agreement",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val score = (lang: String) => size(filter(toks,
+          t => graft.ops.Misc.Markers(lang).map(m => t === m).reduce(_ || _)))
+        val en = score("en"); val de = score("de"); val es = score("es")
+        val guessed = Tables.documents(s, d)
+          .select(col("lang").as("labeled_lang"),
+            when(en >= de && en >= es && en > 0, "en")
+              .when(de >= es && de > 0, "de")
+              .when(es > 0, "es")
+              .otherwise("unknown").as("guessed_lang"))
+          .groupBy(col("labeled_lang"), col("guessed_lang"))
+          .agg(count(lit(1)).as("n"))
+        val tot = guessed.groupBy(col("labeled_lang"))
+          .agg(sum(col("n")).as("n_labeled"))
+        guessed.join(broadcast(tot), Seq("labeled_lang"))
+          .select(col("labeled_lang"), col("guessed_lang"), col("n"),
+            Num.r4(col("n") / col("n_labeled").cast("double")).as("share"))
+          .orderBy(col("labeled_lang"), col("guessed_lang"))
+      },
+      Some {
+        def hits(lang: String) = {
+          val list = graft.ops.Misc.Markers(lang).map(m => s"'$m'").mkString(", ")
+          s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS BIGINT)"
+        }
+        s"""
+        WITH t AS (
+          SELECT lang AS labeled_lang,
+            ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
+            ${hits("es")} AS es_hits
+          FROM documents),
+        g AS (
+          SELECT labeled_lang,
+            CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                 WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                 WHEN es_hits > 0 THEN 'es'
+                 ELSE 'unknown' END AS guessed_lang
+          FROM t),
+        c AS (SELECT labeled_lang, guessed_lang, COUNT(*) AS n
+              FROM g GROUP BY labeled_lang, guessed_lang),
+        tot AS (SELECT labeled_lang, SUM(n) AS n_labeled
+                FROM c GROUP BY labeled_lang)
+        SELECT labeled_lang, guessed_lang, CAST(n AS BIGINT) AS n,
+          ${Num.sql("n / CAST(n_labeled AS DOUBLE)", 4)} AS share
+        FROM c JOIN tot USING (labeled_lang)
+        ORDER BY labeled_lang, guessed_lang"""
+      },
+      "language-label agreement audit: confusion matrix of recorded lang vs marker-word guess with per-label shares (mislabeled-slice detector)"))
 }

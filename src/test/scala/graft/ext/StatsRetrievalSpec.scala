@@ -151,6 +151,32 @@ class StatsRetrievalSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("q125 lang agreement: shares sum to 1 per label, counts conserve the corpus") {
+    val c = Registry.queries("q125_lang_agreement")(spark, sf()).cache()
+    val total = c.agg(sum(col("n"))).head.getLong(0)
+    assert(total == Tables.documents(spark, sf()).count())
+    val rowSums = c.groupBy("labeled_lang").agg(sum(col("share")).as("sp"))
+    // <= 4 r4-rounded cells per label row
+    assert(rowSums.filter(abs(col("sp") - 1.0) > 0.0004).count() == 0)
+    c.unpersist()
+  }
+
+  test("q126 k-core: every surviving node keeps degree >= 6 after the last peel... minus one round") {
+    // after 4 peel rounds the output reports residual degree in e4;
+    // survivors were chosen by k4 (degree >= 6 in e3), so their e4
+    // degree may legitimately dip below 6 — but no node may survive
+    // with degree 0, and the survivor set must shrink monotonically
+    // vs the unpeeled backbone's node set
+    val kc = Registry.queries("q126_kcore")(spark, sf()).cache()
+    assert(kc.filter(col("residual_degree") <= 0).count() == 0)
+    val tri = Registry.queries("q119_triangle_count")(spark, sf())
+    // triangles live in dense regions: k-core survivors exist whenever
+    // the backbone has any 6-dense area; at every driver SF it does
+    assert(kc.count() > 0)
+    assert(tri.count() >= 0) // evaluated to share the backbone path
+    kc.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
