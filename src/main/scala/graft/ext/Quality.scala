@@ -202,5 +202,74 @@ object Quality {
         FROM c JOIN tot USING (labeled_lang)
         ORDER BY labeled_lang, guessed_lang"""
       },
-      "language-label agreement audit: confusion matrix of recorded lang vs marker-word guess with per-label shares (mislabeled-slice detector)"))
+      "language-label agreement audit: confusion matrix of recorded lang vs marker-word guess with per-label shares (mislabeled-slice detector)"),
+
+    // --------------------------------------------------------------- q127
+    // Join-key skew report: per candidate join column, the key-space
+    // statistics that decide salting/broadcast strategy BEFORE a big
+    // join runs — row count, distinct keys, hottest-key count, the
+    // skew factor (hottest / average per key), and the top-3 hottest
+    // keys. One partial-aggregated count per column; the top-3 is a
+    // bounded TakeOrdered whose 3-row ordered concat follows q48's
+    // sort-before-join recipe. The report q107's salted join would
+    // consume to pick its salt fan-out.
+    Query(
+      "q127_skew_report",
+      (s, d) => {
+        def report(df: org.apache.spark.sql.DataFrame, label: String,
+            column: String) = {
+          val counts = df.groupBy(col(column).cast("long").as("k"))
+            .agg(count(lit(1)).as("cnt"))
+          val stats = counts.agg(sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_keys"), max(col("cnt")).as("max_per_key"))
+          val top3 = counts.orderBy(col("cnt").desc, col("k")).limit(3)
+            .agg(array_join(transform(
+              array_sort(collect_list(struct((lit(0L) - col("cnt")).as("nc"),
+                col("k")))),
+              e => concat_ws(":", e.getField("k"),
+                lit(0L) - e.getField("nc"))), ",").as("top_keys"))
+          stats.crossJoin(top3)
+            .select(lit(label).as("join_key"), col("n_rows"), col("n_keys"),
+              col("max_per_key"),
+              Num.r4((col("max_per_key") * col("n_keys"))
+                / col("n_rows").cast("double")).as("skew_factor"),
+              col("top_keys"))
+        }
+        report(Tables.lineitem(s, d), "lineitem.l_suppkey", "l_suppkey")
+          .unionByName(report(Tables.lineitem(s, d), "lineitem.l_orderkey",
+            "l_orderkey"))
+          .unionByName(report(Tables.orders(s, d), "orders.o_custkey",
+            "o_custkey"))
+          .unionByName(report(Tables.events(s, d), "events.user_id",
+            "user_id"))
+          .orderBy(col("join_key"))
+      },
+      Some {
+        def one(label: String, table: String, column: String) = s"""
+          SELECT '$label' AS join_key,
+            CAST(s.n_rows AS BIGINT) AS n_rows,
+            CAST(s.n_keys AS BIGINT) AS n_keys,
+            CAST(s.max_per_key AS BIGINT) AS max_per_key,
+            ${Num.sql("(s.max_per_key * s.n_keys) / CAST(s.n_rows AS DOUBLE)", 4)}
+              AS skew_factor,
+            t.top_keys
+          FROM (
+            SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+              MAX(cnt) AS max_per_key
+            FROM (SELECT CAST($column AS BIGINT) AS k, COUNT(*) AS cnt
+                  FROM $table GROUP BY 1)) s
+          CROSS JOIN (
+            SELECT STRING_AGG(k || ':' || cnt, ',' ORDER BY cnt DESC, k)
+              AS top_keys
+            FROM (SELECT k, cnt
+                  FROM (SELECT CAST($column AS BIGINT) AS k, COUNT(*) AS cnt
+                        FROM $table GROUP BY 1)
+                  ORDER BY cnt DESC, k LIMIT 3)) t"""
+        Seq(one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          one("orders.o_custkey", "orders", "o_custkey"),
+          one("events.user_id", "events", "user_id"))
+          .mkString("", "\n          UNION ALL", "\n          ORDER BY join_key")
+      },
+      "join-key skew report per candidate key column: distinct keys, hottest-key count, skew factor, top-3 hottest keys (the pre-join salting decision input)"))
 }

@@ -56,6 +56,45 @@ class StreamingTopKSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter state survives a stop/restart from checkpoint") {
+    // exactness-under-capacity makes recovery provable: feed half the
+    // stream, kill the query, restart against the SAME checkpoint
+    // (fresh memory sink), feed the rest — final counts must equal a
+    // batch count over the WHOLE stream. Lost state would surface as
+    // second-half-only counts.
+    val rnd = new scala.util.Random(5)
+    val events = Seq.fill(2000)(HHEvent("t0", rnd.nextInt(30).toLong))
+    val (h1, h2) = events.splitAt(1000)
+    val mem = MemoryStream[HHEvent](Encoders.product[HHEvent], spark)
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "hhrec").toString
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    // the memory sink refuses checkpoint recovery; foreachBatch with a
+    // parquet append is the recoverable twin (same recipe as
+    // RecoverySpec's file sink, but update-mode-compatible)
+    def start() = StreamingTopK.topK(mem.toDF(), 64, 5)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[HHSnapshot], _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { mem.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2); q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("n_seen"), r.getAs[Int]("rank"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("est_count")))
+    val last = rows.map(_._1).max
+    assert(last == 2000, s"n_seen after recovery = $last, state was lost")
+    val streamed = rows.filter(_._1 == last).sortBy(_._2)
+      .map(t => (t._3, t._4)).toSeq
+    val exact = events.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (u, c) => (-c, u) }.take(5)
+    assert(streamed == exact, s"post-recovery top-5 $streamed != exact $exact")
+  }
+
   test("over capacity a planted heavy hitter survives with a bounded overestimate") {
     // one user owns ~40% of the stream; 200 other users churn through
     // a capacity-8 table. Space-Saving guarantees: the heavy user is
