@@ -127,5 +127,93 @@ object Behavior {
         JOIN supp sb ON sb.event_type = type_b
         CROSS JOIN nu
         ORDER BY type_a, type_b"""),
-      "association-rule support + lift over event-type pairs with users as baskets (market-basket co-occurrence)"))
+      "association-rule support + lift over event-type pairs with users as baskets (market-basket co-occurrence)"),
+
+    // --------------------------------------------------------------- q128
+    // RFM segmentation (recency / frequency / monetary), the classic
+    // customer-value report — but binned against BROADCAST percentile
+    // boundaries instead of the textbook ntile(): a global ntile sorts
+    // every customer in one partition, while tertile boundaries from
+    // one percentile aggregate bin each row independently (same
+    // segments, no global sort — the scale-correct formulation).
+    // Recency is exact integer days from the corpus max date;
+    // monetary goes through DECIMAL (the house money rule); boundaries
+    // are r4-quantized on both engines so bin edges can't flip on
+    // ulps. Output: per RFM segment, customer count and averages.
+    Query(
+      "q128_rfm_segments",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val cmax = o.agg(max(col("o_orderdate")).as("dmax")) // 1 row
+        val rfm = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("monetary"))
+          .crossJoin(broadcast(cmax))
+          .select(col("o_custkey"),
+            datediff(col("dmax"), col("last_order")).cast("long").as("rec_days"),
+            col("freq"), col("monetary"))
+        val bounds = rfm.agg(
+          Num.r4(percentile(col("rec_days"), lit(1.0 / 3))).as("r1"),
+          Num.r4(percentile(col("rec_days"), lit(2.0 / 3))).as("r2"),
+          Num.r4(percentile(col("freq"), lit(1.0 / 3))).as("f1"),
+          Num.r4(percentile(col("freq"), lit(2.0 / 3))).as("f2"),
+          Num.r4(percentile(col("monetary"), lit(1.0 / 3))).as("m1"),
+          Num.r4(percentile(col("monetary"), lit(2.0 / 3))).as("m2")) // 1 row
+        def tert(v: org.apache.spark.sql.Column,
+            lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+            invert: Boolean) = {
+          val raw = when(v <= lo, 1).when(v <= hi, 2).otherwise(3)
+          if (invert) lit(4) - raw else raw // low recency = better
+        }
+        rfm.crossJoin(broadcast(bounds))
+          .select(col("o_custkey"), col("rec_days"), col("freq"),
+            col("monetary"),
+            concat(tert(col("rec_days"), col("r1"), col("r2"), invert = true),
+              tert(col("freq"), col("f1"), col("f2"), invert = false),
+              tert(col("monetary"), col("m1"), col("m2"), invert = false))
+              .as("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            Num.r4(sum(col("rec_days")) / count(lit(1)).cast("double"))
+              .as("avg_recency_days"),
+            Num.r4(sum(col("freq")) / count(lit(1)).cast("double"))
+              .as("avg_frequency"),
+            Num.r4(sum(col("monetary").cast("decimal(18,2)")).cast("double")
+              / count(lit(1))).as("avg_monetary"))
+          .orderBy(col("segment"))
+      },
+      Some(s"""
+        WITH cmax AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+        rfm AS (
+          SELECT o_custkey,
+            CAST(datediff('day', MAX(o_orderdate), dmax) AS BIGINT) AS rec_days,
+            COUNT(*) AS freq,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          FROM orders CROSS JOIN cmax
+          GROUP BY o_custkey, dmax),
+        bounds AS (
+          SELECT
+            ${Num.sql("QUANTILE_CONT(rec_days, 1.0/3)", 4)} AS r1,
+            ${Num.sql("QUANTILE_CONT(rec_days, 2.0/3)", 4)} AS r2,
+            ${Num.sql("QUANTILE_CONT(freq, 1.0/3)", 4)} AS f1,
+            ${Num.sql("QUANTILE_CONT(freq, 2.0/3)", 4)} AS f2,
+            ${Num.sql("QUANTILE_CONT(monetary, 1.0/3)", 4)} AS m1,
+            ${Num.sql("QUANTILE_CONT(monetary, 2.0/3)", 4)} AS m2
+          FROM rfm),
+        seg AS (
+          SELECT o_custkey, rec_days, freq, monetary,
+            (4 - CASE WHEN rec_days <= r1 THEN 1
+                      WHEN rec_days <= r2 THEN 2 ELSE 3 END)
+            || (CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END)
+            || (CASE WHEN monetary <= m1 THEN 1
+                     WHEN monetary <= m2 THEN 2 ELSE 3 END) AS segment
+          FROM rfm CROSS JOIN bounds)
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+          ${Num.sql("SUM(rec_days) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_recency_days,
+          ${Num.sql("SUM(freq) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_frequency,
+          ${Num.sql("CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_monetary
+        FROM seg GROUP BY segment ORDER BY segment"""),
+      "RFM customer segmentation with broadcast tertile boundaries (no global ntile sort): per-segment counts and averages, DECIMAL-exact money"))
 }

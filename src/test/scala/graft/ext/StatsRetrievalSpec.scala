@@ -177,6 +177,31 @@ class StatsRetrievalSpec extends SparkSpec {
     kc.unpersist()
   }
 
+  test("q127 skew report: four key columns, n_rows match their tables, skew >= 1") {
+    val r = Registry.queries("q127_skew_report")(spark, sf()).cache()
+    assert(r.count() == 4)
+    assert(r.filter(col("skew_factor") < 1.0 - 1e-4).count() == 0,
+      "hottest key is at least the average")
+    val liRows = Tables.lineitem(spark, sf()).count()
+    val reported = r.filter(col("join_key") === "lineitem.l_suppkey")
+      .head.getAs[Long]("n_rows")
+    assert(reported == liRows)
+    r.unpersist()
+  }
+
+  test("q128 RFM: customers conserved, segments within the 27-cell lattice") {
+    val seg = Registry.queries("q128_rfm_segments")(spark, sf()).cache()
+    val total = seg.agg(sum(col("n_customers"))).head.getLong(0)
+    val withOrders = Tables.orders(spark, sf())
+      .select("o_custkey").distinct().count()
+    assert(total == withOrders, "every ordering customer lands in one segment")
+    val valid = (1 to 3).flatMap(a => (1 to 3).flatMap(b =>
+      (1 to 3).map(c => s"$a$b$c"))).toSet
+    seg.collect().foreach(r =>
+      assert(valid(r.getString(0)), s"segment ${r.getString(0)} outside lattice"))
+    seg.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
