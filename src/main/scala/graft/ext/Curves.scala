@@ -106,5 +106,155 @@ object Curves {
                ELSE 'changed' END AS status
         FROM b FULL OUTER JOIN a USING (user_id)
         ORDER BY user_id"""),
-      "temporal snapshot diff: per-user added/removed/changed/unchanged between the two halves of the event log (ingest/CDC diff audit)"))
+      "temporal snapshot diff: per-user added/removed/changed/unchanged between the two halves of the event log (ingest/CDC diff audit)"),
+
+    // --------------------------------------------------------------- q129
+    // Revenue-concentration (Lorenz) curve by customer-spend ventile:
+    // per 5%-spend band, the band's share of total revenue and the
+    // cumulative share — the "top X% of customers drive Y% of
+    // revenue" report. Scale-correct formulation: band boundaries are
+    // 19 percentiles from ONE broadcast aggregate and each customer
+    // bins independently (the textbook global rank/ntile would
+    // single-partition-sort every customer); the cumulative sum runs
+    // over the 20-row band table. Money stays DECIMAL until the final
+    // share division; boundaries are r4-quantized on both engines so
+    // band membership can't flip on ulps.
+    Query(
+      "q129_lorenz_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("spend"))
+        val qcols = (1 to 19).map(i =>
+          Num.r4(percentile(col("spend"), lit(i * 0.05))).as(s"b$i"))
+        val bounds = spend.agg(qcols.head, qcols.tail: _*) // 1 row, 19 cols
+        val bandExpr = (1 to 19).foldRight(lit(20): org.apache.spark.sql.Column) {
+          case (i, acc) => when(col("spend") <= col(s"b$i") && {
+            if (i == 1) lit(true) else col("spend") > col(s"b${i - 1}")
+          }, i).otherwise(acc)
+        }
+        val perBand = spend.crossJoin(broadcast(bounds))
+          .select(col("o_custkey"), col("spend"), bandExpr.as("band"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("spend").cast("decimal(18,2)")).as("band_spend_dec"))
+        val total = perBand.agg(sum(col("band_spend_dec")).as("total_dec"))
+        val w = Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBand.crossJoin(broadcast(total))
+          .select(col("band"), col("n_customers"),
+            col("band_spend_dec").cast("double").as("band_spend"),
+            Num.r6(col("band_spend_dec").cast("double")
+              / col("total_dec").cast("double")).as("share"),
+            // 20-row frame: the window is band-table-sized, not
+            // customer-sized — safe by construction
+            Num.r6(sum(col("band_spend_dec")).over(w).cast("double")
+              / col("total_dec").cast("double")).as("cum_share"))
+          .orderBy(col("band"))
+      },
+      Some {
+        val bs = (1 to 19).map(i =>
+          s"${Num.sql(s"QUANTILE_CONT(spend, ${i * 0.05})", 4)} AS b$i")
+          .mkString(",\n            ")
+        val bandCase = (1 to 19).map { i =>
+          val lo = if (i == 1) "" else s" AND spend > b${i - 1}"
+          s"WHEN spend <= b$i$lo THEN $i"
+        }.mkString("CASE ", " ", " ELSE 20 END")
+        s"""
+        WITH spend AS (
+          SELECT o_custkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey),
+        bounds AS (
+          SELECT
+            $bs
+          FROM spend),
+        banded AS (
+          SELECT o_custkey, spend, $bandCase AS band
+          FROM spend CROSS JOIN bounds),
+        per_band AS (
+          SELECT band, COUNT(*) AS n_customers,
+            SUM(CAST(spend AS DECIMAL(18,2))) AS band_spend_dec
+          FROM banded GROUP BY band),
+        tot AS (SELECT SUM(band_spend_dec) AS total_dec FROM per_band)
+        SELECT band, CAST(n_customers AS BIGINT) AS n_customers,
+          CAST(band_spend_dec AS DOUBLE) AS band_spend,
+          ${Num.sql("CAST(band_spend_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)", 6)} AS share,
+          ${Num.sql("CAST(SUM(band_spend_dec) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total_dec AS DOUBLE)", 6)} AS cum_share
+        FROM per_band CROSS JOIN tot
+        ORDER BY band"""
+      },
+      "revenue-concentration Lorenz curve by spend ventile: broadcast percentile boundaries (no global rank sort), DECIMAL-exact band sums, 20-row cumulative window"),
+
+    // --------------------------------------------------------------- q130
+    // Signup-to-purchase survival curve: for users whose first event
+    // ever is a signup, the share that has NOT yet purchased within
+    // n days, for n = 0..13 — time-to-conversion analysis. Exact
+    // integer time math (µs gap -> whole days via integer division);
+    // one per-user aggregate, then a 14-point survival table from a
+    // broadcast cohort size. Censoring is explicit: users who never
+    // purchase count as surviving at every horizon.
+    Query(
+      "q130_survival_curve",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val firstAll = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_us"),
+            min(when(col("event_type") === "signup", col("us"))).as("signup_us"),
+            min(when(col("event_type") === "purchase", col("us")))
+              .as("purchase_us"))
+          .filter(col("signup_us").isNotNull &&
+            col("signup_us") === col("first_us"))
+        val cohort = firstAll.select(col("user_id"),
+          when(col("purchase_us").isNotNull,
+            ((col("purchase_us") - col("signup_us"))
+              / lit(86400000000L)).cast("long")).as("days_to_purchase"))
+        val n = cohort.agg(count(lit(1)).as("n_cohort")) // 1 row
+        val horizons = n.select(col("n_cohort"),
+          explode(lit((0 to 13).toArray)).as("day"))
+        horizons.join(
+            cohort.select(col("days_to_purchase"),
+              explode(lit((0 to 13).toArray)).as("day"))
+              .filter(col("days_to_purchase").isNotNull &&
+                col("days_to_purchase") <= col("day"))
+              .groupBy(col("day")).agg(count(lit(1)).as("n_converted")),
+            Seq("day"), "left")
+          .select(col("day"), col("n_cohort"),
+            coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+            Num.r4((col("n_cohort") - coalesce(col("n_converted"), lit(0L)))
+              / col("n_cohort").cast("double")).as("surviving_share"))
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        f AS (
+          SELECT user_id, MIN(us) AS first_us,
+            MIN(CASE WHEN event_type = 'signup' THEN us END) AS signup_us,
+            MIN(CASE WHEN event_type = 'purchase' THEN us END) AS purchase_us
+          FROM ev GROUP BY user_id),
+        cohort AS (
+          SELECT user_id,
+            CASE WHEN purchase_us IS NOT NULL
+              THEN CAST((purchase_us - signup_us) // 86400000000 AS BIGINT)
+            END AS days_to_purchase
+          FROM f
+          WHERE signup_us IS NOT NULL AND signup_us = first_us),
+        n AS (SELECT COUNT(*) AS n_cohort FROM cohort),
+        days AS (SELECT unnest(range(0, 14)) AS day),
+        conv AS (
+          SELECT day, COUNT(*) AS n_converted
+          FROM cohort CROSS JOIN days
+          WHERE days_to_purchase IS NOT NULL AND days_to_purchase <= day
+          GROUP BY day)
+        SELECT day, CAST(n_cohort AS BIGINT) AS n_cohort,
+          CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted,
+          ${Num.sql("(n_cohort - COALESCE(n_converted, 0)) / CAST(n_cohort AS DOUBLE)", 4)} AS surviving_share
+        FROM days LEFT JOIN conv USING (day) CROSS JOIN n
+        ORDER BY day"""),
+      "signup-to-purchase survival curve over 14 daily horizons (exact integer day math, explicit censoring)"))
 }

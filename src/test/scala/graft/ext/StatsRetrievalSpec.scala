@@ -202,6 +202,37 @@ class StatsRetrievalSpec extends SparkSpec {
     seg.unpersist()
   }
 
+  test("q129 Lorenz: shares sum to 1, cumulative monotone, customers conserved") {
+    val l = Registry.queries("q129_lorenz_curve")(spark, sf()).cache()
+    val sumShare = l.agg(sum(col("share"))).head.getDouble(0)
+    assert(math.abs(sumShare - 1.0) < 0.0005, s"shares sum to $sumShare")
+    val rows = l.orderBy("band").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Double]("cum_share") <= w(1).getAs[Double]("cum_share") + 1e-9,
+          "cumulative share must be monotone in band")
+    }
+    val total = l.agg(sum(col("n_customers"))).head.getLong(0)
+    assert(total == Tables.orders(spark, sf())
+      .select("o_custkey").distinct().count())
+    l.unpersist()
+  }
+
+  test("q130 survival: monotone non-increasing, starts from the signup-first cohort") {
+    val sv = Registry.queries("q130_survival_curve")(spark, sf()).cache()
+    assert(sv.count() == 14)
+    val rows = sv.orderBy("day").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Double]("surviving_share") >=
+          w(1).getAs[Double]("surviving_share") - 1e-9,
+          "survival must not increase with the horizon")
+    }
+    assert(rows.forall(r => r.getAs[Double]("surviving_share") >= 0 &&
+      r.getAs[Double]("surviving_share") <= 1))
+    sv.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
