@@ -321,5 +321,108 @@ object Stats {
         SELECT label, c_label AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM pred WHERE rn = 1
         GROUP BY label, c_label ORDER BY label, pred_label"""),
-      "nearest-centroid label audit (confusion matrix of label vs closest per-label cosine centroid): integer-quantized dots/norms make the argmax cross-engine exact"))
+      "nearest-centroid label audit (confusion matrix of label vs closest per-label cosine centroid): integer-quantized dots/norms make the argmax cross-engine exact"),
+
+    // --------------------------------------------------------------- q131
+    // Time-series similarity search (the EDBT/ICDE distributed-top-k
+    // theme in PAPERS.md): each user's event-value series is resampled
+    // onto a dense 8-bucket time grid (per-user span, integer-µs bin
+    // math; empty buckets contribute 0 — a defined, deterministic
+    // imputation), z-normalized, and ranked by squared distance to the
+    // probe user's shape (user 0), top-10. Exactness: values quantize
+    // to integer micro-units BEFORE every unordered sum (bucket sums,
+    // series moments, squared diffs), so the whole pipeline is exact
+    // integer arithmetic plus bit-identical IEEE division; std=0
+    // series z-map to 0 by a CASE both engines share. Scale: one
+    // user-key shuffle for spans+buckets, then the probe's 8-value
+    // shape broadcasts — candidate scoring is a narrow per-user map,
+    // the top-10 a TakeOrdered. Swapping the broadcast probe for an
+    // LSH bucket join (q39's recipe) is the many-probe scale path.
+    Query(
+      "q131_series_similarity",
+      (s, d) => {
+        val B = 8
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * 1000000 + lit(0.5)).cast("long").as("v_micro"))
+        val span = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+        val bucket = ev.join(span, Seq("user_id"))
+          .select(col("user_id"),
+            expr(s"((us - us0) * $B) div (us1 - us0 + 1)").as("bin"),
+            col("v_micro"))
+          .groupBy(col("user_id"), col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("v_micro")).as("sum_micro"))
+        val grid = span.select(col("user_id"),
+            explode(lit((0 until B).toArray)).as("bin"))
+          .join(bucket, Seq("user_id", "bin"), "left")
+          .select(col("user_id"), col("bin"),
+            coalesce(floor(col("sum_micro") / col("n") + lit(0.5)).cast("long"),
+              lit(0L)).as("a_micro"))
+        val stats = grid.groupBy(col("user_id"))
+          .agg(sum(col("a_micro")).as("s1"),
+            sum(col("a_micro") * col("a_micro")).as("s2"))
+          .select(col("user_id"), (col("s1") / lit(B.toDouble)).as("mean"),
+            sqrt(greatest(lit(0.0),
+              col("s2") / lit(B.toDouble)
+                - (col("s1") / lit(B.toDouble)) * (col("s1") / lit(B.toDouble))))
+              .as("std"))
+        val z = grid.join(stats, Seq("user_id"))
+          .select(col("user_id"), col("bin"),
+            when(col("std") > 0,
+              floor((col("a_micro") - col("mean")) / col("std") * 1000000
+                + lit(0.500001)).cast("long")).otherwise(lit(0L)).as("z_micro"))
+        val probe = broadcast(z.filter(col("user_id") === 0)
+          .select(col("bin"), col("z_micro").as("p_micro")))
+        z.filter(col("user_id") =!= 0)
+          .join(probe, Seq("bin"))
+          .select(col("user_id"),
+            floor(((col("z_micro") - col("p_micro")) / lit(1000000.0))
+              * ((col("z_micro") - col("p_micro")) / lit(1000000.0)) * 1000000
+              + lit(0.5)).cast("long").as("d_micro"))
+          .groupBy(col("user_id")).agg(sum(col("d_micro")).as("dist_sum"))
+          .select(col("user_id"),
+            Num.r4(col("dist_sum") / lit(1000000.0)).as("sq_dist"))
+          .orderBy(col("sq_dist"), col("user_id")).limit(10)
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+            CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+          FROM events),
+        span AS (SELECT user_id, MIN(us) AS us0, MAX(us) AS us1
+                 FROM ev GROUP BY user_id),
+        bucket AS (
+          SELECT ev.user_id, ((us - us0) * 8) // (us1 - us0 + 1) AS bin,
+            COUNT(*) AS n, SUM(v_micro) AS sum_micro
+          FROM ev JOIN span ON span.user_id = ev.user_id
+          GROUP BY ev.user_id, ((us - us0) * 8) // (us1 - us0 + 1)),
+        grid AS (
+          SELECT s.user_id, g.bin,
+            COALESCE(CAST(FLOOR(sum_micro / n + 0.5) AS BIGINT), 0) AS a_micro
+          FROM span s
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) g
+          LEFT JOIN bucket b ON b.user_id = s.user_id AND b.bin = g.bin),
+        stats AS (
+          SELECT user_id, SUM(a_micro) / 8.0 AS mean,
+            SQRT(GREATEST(0.0, SUM(a_micro * a_micro) / 8.0
+              - (SUM(a_micro) / 8.0) * (SUM(a_micro) / 8.0))) AS std
+          FROM grid GROUP BY user_id),
+        z AS (
+          SELECT g.user_id, g.bin,
+            CASE WHEN std > 0 THEN CAST(FLOOR((a_micro - mean) / std * 1000000
+              + 0.500001) AS BIGINT) ELSE 0 END AS z_micro
+          FROM grid g JOIN stats st ON st.user_id = g.user_id),
+        probe AS (SELECT bin, z_micro AS p_micro FROM z WHERE user_id = 0),
+        dist AS (
+          SELECT z.user_id,
+            SUM(CAST(FLOOR(((z_micro - p_micro) / 1000000.0)
+              * ((z_micro - p_micro) / 1000000.0) * 1000000 + 0.5) AS BIGINT))
+              AS dist_sum
+          FROM z JOIN probe USING (bin)
+          WHERE z.user_id <> 0
+          GROUP BY z.user_id)
+        SELECT user_id, ${Num.sql("dist_sum / 1000000.0", 4)} AS sq_dist
+        FROM dist ORDER BY sq_dist, user_id LIMIT 10"""),
+      "time-series similarity search: z-normalized 8-bucket resampled event-value shapes ranked by squared distance to a probe user (integer-quantized throughout)"))
 }

@@ -233,6 +233,17 @@ class StatsRetrievalSpec extends SparkSpec {
     sv.unpersist()
   }
 
+  test("q131 series similarity: distances non-negative ascending, probe excluded, top-10") {
+    val s = Registry.queries("q131_series_similarity")(spark, sf()).cache()
+    assert(s.count() > 0 && s.count() <= 10)
+    assert(s.filter(col("user_id") === 0).count() == 0, "probe must not match itself")
+    val dists = s.orderBy("sq_dist", "user_id").collect()
+      .map(_.getAs[Double]("sq_dist"))
+    assert(dists.forall(_ >= 0))
+    assert(dists.sameElements(dists.sorted), "output must ascend by distance")
+    s.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
