@@ -51,7 +51,8 @@ object Registry {
       ext.Multimodal.queries ++ ext.TextRank.queries ++
       ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries ++
       ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries ++
-      ext.Behavior.queries ++ ext.Quality.queries ++ ext.Curves.queries
+      ext.Behavior.queries ++ ext.Quality.queries ++ ext.Curves.queries ++
+      ext.Sketches.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

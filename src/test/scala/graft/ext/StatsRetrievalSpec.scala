@@ -244,6 +244,28 @@ class StatsRetrievalSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("q132 Count-Min: never undercounts, top-10 truth ordering preserved") {
+    val c = Registry.queries("q132_count_min")(spark, sf()).cache()
+    assert(c.count() == 10)
+    assert(c.filter(col("cms_est") < col("true_n")).count() == 0,
+      "CMS point estimates must be >= the true count")
+    assert(c.filter(col("overestimate") =!= col("cms_est") - col("true_n"))
+      .count() == 0)
+    c.unpersist()
+  }
+
+  test("q133 Bloom: no false negatives, fp rate within [0,1]") {
+    val b = Registry.queries("q133_bloom_filter")(spark, sf()).head
+    val (probes, positive, members, fps) = (b.getAs[Long]("n_probes"),
+      b.getAs[Long]("n_bloom_positive"), b.getAs[Long]("n_true_members"),
+      b.getAs[Long]("n_false_positives"))
+    assert(positive >= members, "a Bloom filter never misses a member")
+    assert(positive == members + fps)
+    assert(fps <= probes - members)
+    val rate = b.getAs[Double]("fp_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
