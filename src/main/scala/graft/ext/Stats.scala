@@ -367,11 +367,15 @@ object Stats {
               col("s2") / lit(B.toDouble)
                 - (col("s1") / lit(B.toDouble)) * (col("s1") / lit(B.toDouble))))
               .as("std"))
+        // localCheckpoint: z is read twice (probe + candidates); without
+        // truncation each reference re-evaluates the whole span/bucket/
+        // grid lineage — the Explain audit showed 12 event-table scans
         val z = grid.join(stats, Seq("user_id"))
           .select(col("user_id"), col("bin"),
             when(col("std") > 0,
               floor((col("a_micro") - col("mean")) / col("std") * 1000000
                 + lit(0.500001)).cast("long")).otherwise(lit(0L)).as("z_micro"))
+          .localCheckpoint()
         val probe = broadcast(z.filter(col("user_id") === 0)
           .select(col("bin"), col("z_micro").as("p_micro")))
         z.filter(col("user_id") =!= 0)
