@@ -86,8 +86,12 @@ object Behavior {
     Query(
       "q118_assoc_lift",
       (s, d) => {
+        // localCheckpoint: ut is read four times (self-join sides,
+        // support counts, user total) — truncation stops each from
+        // re-running the events distinct
         val ut = Tables.events(s, d)
           .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint()
         val nu = ut.select(col("user_id")).distinct()
           .agg(count(lit(1)).as("n_users")) // 1 row
         val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))

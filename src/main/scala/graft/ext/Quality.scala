@@ -218,8 +218,12 @@ object Quality {
       (s, d) => {
         def report(df: org.apache.spark.sql.DataFrame, label: String,
             column: String) = {
+          // localCheckpoint: counts feeds both the stats aggregate and
+          // the top-3 — truncation stops the second reference from
+          // re-scanning the base table
           val counts = df.groupBy(col(column).cast("long").as("k"))
             .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint()
           val stats = counts.agg(sum(col("cnt")).as("n_rows"),
             count(lit(1)).as("n_keys"), max(col("cnt")).as("max_per_key"))
           val top3 = counts.orderBy(col("cnt").desc, col("k")).limit(3)

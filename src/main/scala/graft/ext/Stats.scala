@@ -126,10 +126,14 @@ object Stats {
         val docs = Tables.documents(s, d)
         val g = docs.agg(min(col("n_chars")).as("gmin"),
           max(col("n_chars")).as("gmax")) // 1 row
+        // localCheckpoint: binned feeds three aggregates (per-source,
+        // per-bin, per-source-total) — truncation stops each from
+        // re-scanning documents
         val binned = docs.crossJoin(broadcast(g))
           .select(col("source"),
             least(lit(9), expr("((n_chars - gmin) * 10) div (gmax - gmin + 1)"))
               .as("bin"))
+          .localCheckpoint()
         val sb = binned.groupBy(col("source"), col("bin"))
           .agg(count(lit(1)).as("n_sb"))
         val gb = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_gb"))
