@@ -541,5 +541,103 @@ object Corpus2 {
         SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM j
         WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
         ORDER BY doc_a, doc_b"""),
-      "containment-coefficient near-dup pairs over informative 5-grams: catches subset duplication symmetric Jaccard misses"))
+      "containment-coefficient near-dup pairs over informative 5-grams: catches subset duplication symmetric Jaccard misses"),
+
+    // --------------------------------------------------------------- q134
+    // Incremental ingest dedup: the incoming batch (odd doc_ids) is
+    // deduped AGAINST the existing corpus (even doc_ids) — the
+    // operational shape of dedup in a continuously-fed pipeline, where
+    // the new batch never self-joins and the old corpus is an index.
+    // Two staged verdicts per new doc: exact_dup (SHA-256 digest hit
+    // in the old corpus, earliest old id wins) else near_dup
+    // (containment of the new doc's informative df<=20 5-grams in one
+    // old doc >= 0.8; best match = highest intersection, then lowest
+    // old id) else unique. Scale: the digest index and the rare-gram
+    // join both key on content hashes — the new batch's cost is
+    // proportional to ITS size, not the corpus's (the property that
+    // makes nightly ingest O(batch)).
+    Query(
+      "q134_incremental_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val isNew = col("doc_id") % 2 === 1
+        val oldDig = docs.filter(!isNew)
+          .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("old_id"))
+          .groupBy(col("dig")).agg(min(col("old_id")).as("exact_old"))
+        val exact = docs.filter(isNew)
+          .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+          .join(oldDig, Seq("dig"), "left")
+          .select(col("doc_id"), col("exact_old"))
+        val w = Window.partitionBy(col("tg"))
+        val rt = ngrams(docs).withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+          .localCheckpoint() // read 3x: new sizes, new side, old side
+        val nNew = rt.filter(isNew).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_new"))
+        val best = rt.filter(isNew).as("a")
+          .join(rt.filter(!isNew).as("b"), col("a.tg") === col("b.tg"))
+          .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old"))
+          .agg(count(lit(1)).as("i"))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("i"), (lit(0L) - col("old")).as("no"))).as("m"))
+          .select(col("doc_id"), col("m.i").as("best_i"),
+            (lit(0L) - col("m.no")).as("near_old"))
+        exact
+          .join(nNew, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_old").isNotNull, lit("exact_dup"))
+              .when(col("best_i") / col("n_new").cast("double") >= 0.8,
+                lit("near_dup"))
+              .otherwise(lit("unique")).as("verdict"),
+            when(col("exact_old").isNotNull, col("exact_old"))
+              .when(col("best_i") / col("n_new").cast("double") >= 0.8,
+                col("near_old"))
+              .otherwise(lit(-1L)).as("matched_old_id"),
+            Num.r4(coalesce(col("best_i") / col("n_new").cast("double"),
+              lit(0.0))).as("containment"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $sqlNgrams,
+        old_dig AS (
+          SELECT sha256(text) AS dig, MIN(doc_id) AS exact_old
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY sha256(text)),
+        exact AS (
+          SELECT d.doc_id, o.exact_old
+          FROM documents d LEFT JOIN old_dig o ON o.dig = sha256(d.text)
+          WHERE d.doc_id % 2 = 1),
+        rt AS (
+          SELECT doc_id, tg FROM (
+            SELECT doc_id, tg, COUNT(*) OVER (PARTITION BY tg) AS df
+            FROM tri)
+          WHERE df <= 20),
+        n_new AS (
+          SELECT doc_id, COUNT(*) AS n_new FROM rt
+          WHERE doc_id % 2 = 1 GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id, b.doc_id AS old, COUNT(*) AS i
+          FROM rt a JOIN rt b ON a.tg = b.tg
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY a.doc_id, b.doc_id),
+        best AS (
+          SELECT doc_id, i AS best_i, old AS near_old FROM (
+            SELECT doc_id, i, old, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY i DESC, old) AS rn
+            FROM inter) WHERE rn = 1)
+        SELECT e.doc_id,
+          CASE WHEN exact_old IS NOT NULL THEN 'exact_dup'
+               WHEN best_i / CAST(n_new AS DOUBLE) >= 0.8 THEN 'near_dup'
+               ELSE 'unique' END AS verdict,
+          CAST(CASE WHEN exact_old IS NOT NULL THEN exact_old
+               WHEN best_i / CAST(n_new AS DOUBLE) >= 0.8 THEN near_old
+               ELSE -1 END AS BIGINT) AS matched_old_id,
+          ${Num.sql("COALESCE(best_i / CAST(n_new AS DOUBLE), 0)", 4)}
+            AS containment
+        FROM exact e
+        LEFT JOIN n_new USING (doc_id)
+        LEFT JOIN best USING (doc_id)
+        ORDER BY e.doc_id"""),
+      "incremental ingest dedup: new batch (odd ids) vs existing corpus (even ids) — staged exact-digest then rare-5-gram containment verdicts, O(batch) not O(corpus)"))
 }

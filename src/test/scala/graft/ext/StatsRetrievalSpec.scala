@@ -266,6 +266,26 @@ class StatsRetrievalSpec extends SparkSpec {
     assert(rate >= 0.0 && rate <= 1.0)
   }
 
+  test("q134 incremental ingest: covers every new doc, exact dups caught, verdicts consistent") {
+    val v = Registry.queries("q134_incremental_ingest")(spark, sf()).cache()
+    val newCount = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(v.count() == newCount, "one verdict per incoming doc")
+    // every new doc whose text also exists under an even id must be exact_dup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val crossDup = docs.filter(col("doc_id") % 2 === 1).as("n")
+      .join(docs.filter(col("doc_id") % 2 === 0).as("o"),
+        col("n.text") === col("o.text"))
+      .select(col("n.doc_id").as("doc_id")).distinct()
+    val missed = crossDup.join(v.filter(col("verdict") === "exact_dup"),
+      Seq("doc_id"), "left_anti")
+    assert(missed.count() == 0, "a cross-parity exact duplicate was not flagged")
+    assert(v.filter(col("containment") < 0 || col("containment") > 1).count() == 0)
+    assert(v.filter(col("verdict") === "unique" &&
+      col("matched_old_id") =!= -1).count() == 0)
+    v.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
