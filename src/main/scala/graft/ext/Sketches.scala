@@ -154,5 +154,265 @@ object Sketches {
           ${Num.sql("COUNT(*) FILTER (WHERE bloom_positive AND is_member IS NULL) / CAST(COUNT(*) - COUNT(is_member) AS DOUBLE)", 6)} AS fp_rate
         FROM tested LEFT JOIN members USING (c_custkey)"""
       },
-      "Bloom-filter membership audit (2048 bits, 3 seeded hashes): customer keys probed against the supplier-key filter with exact ground truth and measured FP rate"))
+      "Bloom-filter membership audit (2048 bits, 3 seeded hashes): customer keys probed against the supplier-key filter with exact ground truth and measured FP rate"),
+
+    // --------------------------------------------------------------- q135
+    // AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over
+    // event user_ids: 9 independent +/-1 sign hashes, Z_j = sum of
+    // signs over ROWS (= sum_x f_x*sigma_j(x)), estimate = median of
+    // Z_j^2, reported next to the exact F2 = sum f_x^2. F2 is the
+    // self-join size — the quantity a planner needs to cost a
+    // skew-prone self join without materializing it. All-integer
+    // arithmetic makes the sketch oracle-exact.
+    // Scale: per-row constant work into a 9-row aggregate — the
+    // sketch state is 9 counters no matter how many keys exist; the
+    // exact twin is one partial-aggregated groupBy kept for audit.
+    Query(
+      "q135_ams_f2",
+      (s, d) => {
+        val R = 9
+        val ev = Tables.events(s, d)
+          .select(col("user_id").cast("string").as("uid"))
+        val ests = ev.select(explode(array((0 until R).map(j =>
+            struct(lit(j).as("sk"),
+              (lit(1) - lit(2) * (Dedup.h60(concat(lit(s"ams$j|"), col("uid"))) % 2)
+                .cast("int")).as("sgn"))): _*)).as("c"))
+          .select(col("c.sk"), col("c.sgn"))
+          .groupBy(col("sk")).agg(sum(col("sgn")).as("z"))
+          .select((col("z") * col("z")).as("est"))
+        val med = ests.agg(sort_array(collect_list(col("est"))).as("es"))
+          .select(element_at(col("es"), (R + 1) / 2).as("ams_f2"))
+        val exact = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("exact_f2"))
+        broadcast(med).crossJoin(exact)
+          .select(col("exact_f2").cast("long").as("exact_f2"),
+            col("ams_f2").cast("long").as("ams_f2"),
+            Num.r6((col("ams_f2") - col("exact_f2"))
+              / col("exact_f2").cast("double")).as("rel_err"))
+      },
+      Some {
+        def sgn(j: Int) =
+          s"1 - 2 * (${Dedup.sqlH60(s"'ams$j|' || CAST(user_id AS VARCHAR)")} % 2)"
+        val branches = (0 until 9).map(j =>
+          s"SELECT $j AS sk, ${sgn(j)} AS sgn FROM events")
+          .mkString("\n            UNION ALL ")
+        s"""
+        WITH zs AS (
+          SELECT sk, SUM(sgn) AS z FROM (
+            $branches)
+          GROUP BY sk),
+        ests AS (SELECT z * z AS est FROM zs),
+        med AS (SELECT est AS ams_f2 FROM ests ORDER BY est LIMIT 1 OFFSET 4),
+        exact AS (
+          SELECT SUM(f * f) AS exact_f2 FROM (
+            SELECT COUNT(*) AS f FROM events GROUP BY user_id))
+        SELECT CAST(exact_f2 AS BIGINT) AS exact_f2,
+          CAST(ams_f2 AS BIGINT) AS ams_f2,
+          ${Num.sql("(ams_f2 - exact_f2) / CAST(exact_f2 AS DOUBLE)", 6)}
+            AS rel_err
+        FROM med CROSS JOIN exact"""
+      },
+      "AMS F2 (self-join-size) sketch: median of 9 signed-sum estimators vs the exact second frequency moment, all-integer and oracle-exact"),
+
+    // --------------------------------------------------------------- q136
+    // Theta/KMV set operations: k=128 smallest-hash sketches of two
+    // order-key sets (high-value orders vs bulk-quantity lineitems),
+    // union estimate from the merged sketch, intersection by
+    // inclusion-exclusion — distinct-count algebra over sets too big
+    // to intersect exactly, the mergeable-sketch primitive of every
+    // cross-shard distinct rollup. Exact ground truth alongside.
+    // Scale: each sketch is a TakeOrdered(k) over distinct hashes —
+    // no global sort, k rows shipped per set; merging sketches (not
+    // raw sets) is what makes the union estimate shard-parallel.
+    Query(
+      "q136_theta_setops",
+      (s, d) => {
+        val K = 128
+        def hs(df: org.apache.spark.sql.DataFrame) = df
+          .select(Dedup.h60(concat(lit("kmv|"), col("k").cast("string"))).as("h"))
+          .distinct()
+        val a = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey").as("k"))
+        val b = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+          .select(col("l_orderkey").as("k")).distinct()
+        def sketch(h: org.apache.spark.sql.DataFrame, nm: String) =
+          h.orderBy(col("h")).limit(K)
+            .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+            .select(when(col("m") < K, col("m"))
+              .otherwise(floor(lit((K - 1).toDouble) * pow(lit(2.0), lit(60))
+                / col("hk").cast("double")).cast("long"))
+              .cast("long").as(s"est_$nm"))
+        val exact = a.withColumn("ina", lit(1))
+          .join(b.withColumn("inb", lit(1)), Seq("k"), "full")
+          .agg(count(col("ina")).as("exact_a"), count(col("inb")).as("exact_b"),
+            count(lit(1)).as("exact_union"),
+            count(when(col("ina").isNotNull && col("inb").isNotNull, 1))
+              .as("exact_inter"))
+        broadcast(sketch(hs(a), "a"))
+          .crossJoin(broadcast(sketch(hs(b), "b")))
+          .crossJoin(broadcast(sketch(hs(a).union(hs(b)).distinct(), "union")))
+          .crossJoin(exact)
+          .select(col("est_a"), col("exact_a"), col("est_b"), col("exact_b"),
+            col("est_union"), col("exact_union"),
+            (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+            col("exact_inter"),
+            Num.r6((col("est_union") - col("exact_union"))
+              / col("exact_union").cast("double")).as("rel_err_union"))
+      },
+      Some {
+        val h = Dedup.sqlH60("'kmv|' || CAST(k AS VARCHAR)")
+        def sk(src: String, nm: String) =
+          s"""sk_$nm AS (
+          SELECT CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+            ELSE FLOOR(127 * POWER(2, 60) / CAST(MAX(h) AS DOUBLE)) END
+            AS BIGINT) AS est_$nm
+          FROM (SELECT h FROM $src ORDER BY h LIMIT 128))"""
+        s"""
+        WITH a AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+          WHERE o_totalprice > 150000),
+        b AS (
+          SELECT DISTINCT l_orderkey AS k FROM lineitem
+          WHERE l_quantity > 40),
+        ha AS (SELECT DISTINCT $h AS h FROM a),
+        hb AS (SELECT DISTINCT $h AS h FROM b),
+        hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+        ${sk("ha", "a")},
+        ${sk("hb", "b")},
+        ${sk("hu", "union")},
+        exact AS (
+          SELECT CAST(COUNT(a.k) AS BIGINT) AS exact_a,
+            CAST(COUNT(b.k) AS BIGINT) AS exact_b,
+            CAST(COUNT(*) AS BIGINT) AS exact_union,
+            CAST(COUNT(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL)
+              AS BIGINT) AS exact_inter
+          FROM a FULL JOIN b ON a.k = b.k)
+        SELECT est_a, exact_a, est_b, exact_b, est_union, exact_union,
+          CAST(est_a + est_b - est_union AS BIGINT) AS est_inter,
+          exact_inter,
+          ${Num.sql("(est_union - exact_union) / CAST(exact_union AS DOUBLE)", 6)}
+            AS rel_err_union
+        FROM sk_a CROSS JOIN sk_b CROSS JOIN sk_union CROSS JOIN exact"""
+      },
+      "Theta/KMV k=128 set-operation sketches: union estimate from the merged sketch, intersection via inclusion-exclusion, vs exact ground truth"),
+
+    // --------------------------------------------------------------- q137
+    // Count-Min inner product = join-cardinality estimation: the size
+    // of view-events ⋈ purchase-events on user_id, estimated as
+    // min_j sum_w cmsA[j,w]*cmsB[j,w] over 4 depth rows of width-256
+    // sketches, next to the exact sum f_view(u)*f_purchase(u). The
+    // inner product never undercounts (collisions only add) — the
+    // sketch a cost-based planner consults to size a join WITHOUT
+    // running it. Narrow width (256) makes the overestimate visible.
+    // Scale: both sketches are constant-size (4x256) regardless of
+    // key cardinality; the estimate is a 1024-row join — the whole
+    // point is that the 100 TB join itself is never materialized.
+    Query(
+      "q137_cms_join_size",
+      (s, d) => {
+        val D = 4; val W = 256
+        def hj(j: Int, c: org.apache.spark.sql.Column) =
+          Dedup.h60(concat(lit(s"cms$j|"), c)) % W
+        def cms(et: String, nm: String) = Tables.events(s, d)
+          .filter(col("event_type") === et)
+          .select(col("user_id").cast("string").as("uid"))
+          .select(explode(array((0 until D).map(j =>
+            struct(lit(j).as("depth"), hj(j, col("uid")).as("bucket"))): _*))
+            .as("c"))
+          .select(col("c.depth"), col("c.bucket"))
+          .groupBy(col("depth"), col("bucket"))
+          .agg(count(lit(1)).as(nm))
+        val est = cms("view", "na").join(cms("purchase", "nb"),
+            Seq("depth", "bucket"))
+          .groupBy(col("depth")).agg(sum(col("na") * col("nb")).as("ip"))
+          .agg(min(col("ip")).as("cms_join_size"))
+        val exact = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(col("user_id"))
+          .agg(count(when(col("event_type") === "view", 1)).as("fv"),
+            count(when(col("event_type") === "purchase", 1)).as("fp"))
+          .agg(sum(col("fv") * col("fp")).as("exact_join_size"))
+        broadcast(est).crossJoin(exact)
+          .select(col("exact_join_size").cast("long").as("exact_join_size"),
+            col("cms_join_size").cast("long").as("cms_join_size"),
+            (col("cms_join_size") - col("exact_join_size")).cast("long")
+              .as("overestimate"),
+            Num.r6((col("cms_join_size") - col("exact_join_size"))
+              / col("exact_join_size").cast("double")).as("rel_err"))
+      },
+      Some {
+        def hj(j: Int) =
+          s"${Dedup.sqlH60(s"'cms$j|' || CAST(user_id AS VARCHAR)")} % 256"
+        def cells(et: String, nm: String) = {
+          val u = (0 until 4).map(j =>
+            s"SELECT $j AS depth, ${hj(j)} AS bucket FROM events WHERE event_type = '$et'")
+            .mkString("\n            UNION ALL ")
+          s"""$nm AS (
+          SELECT depth, bucket, COUNT(*) AS cnt FROM (
+            $u)
+          GROUP BY depth, bucket)"""
+        }
+        s"""
+        WITH ${cells("view", "ca")},
+        ${cells("purchase", "cb")},
+        est AS (
+          SELECT MIN(ip) AS cms_join_size FROM (
+            SELECT ca.depth, SUM(ca.cnt * cb.cnt) AS ip
+            FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+            GROUP BY ca.depth)),
+        exact AS (
+          SELECT SUM(fv * fp) AS exact_join_size FROM (
+            SELECT COUNT(*) FILTER (WHERE event_type = 'view') AS fv,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS fp
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY user_id))
+        SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size,
+          CAST(cms_join_size AS BIGINT) AS cms_join_size,
+          CAST(cms_join_size - exact_join_size AS BIGINT) AS overestimate,
+          ${Num.sql("(cms_join_size - exact_join_size) / CAST(exact_join_size AS DOUBLE)", 6)}
+            AS rel_err
+        FROM est CROSS JOIN exact"""
+      },
+      "Count-Min inner product estimates the view x purchase join size on user_id without running the join; never undercounts, exact twin alongside"),
+
+    // --------------------------------------------------------------- q138
+    // Group-aware K-fold assignment (GroupKFold): every USER — not
+    // every row — is hashed into one of 5 folds, so all of a user's
+    // events land in the same fold and no user leaks across the
+    // train/validation boundary. Reports per-fold user/event counts
+    // and the event share. The deterministic hash makes the split
+    // reproducible across engines, runs and cluster sizes.
+    // Scale: fold id is a narrow per-row expression (no user table
+    // materialized, no shuffle beyond the audit's own groupBy).
+    Query(
+      "q138_group_kfold",
+      (s, d) => {
+        val fold = Dedup.h60(concat(lit("fold|"),
+          col("user_id").cast("string"))) % 5
+        val total = Tables.events(s, d).agg(count(lit(1)).as("n_total"))
+        Tables.events(s, d)
+          .select(fold.as("fold"), col("user_id"))
+          .groupBy(col("fold"))
+          .agg(count_distinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(total))
+          .select(col("fold"), col("n_users"), col("n_events"),
+            Num.r6(col("n_events") / col("n_total").cast("double"))
+              .as("event_share"))
+          .orderBy(col("fold"))
+      },
+      Some {
+        val fold = s"${Dedup.sqlH60("'fold|' || CAST(user_id AS VARCHAR)")} % 5"
+        s"""
+        WITH total AS (SELECT COUNT(*) AS n_total FROM events)
+        SELECT $fold AS fold,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          ${Num.sql("COUNT(*) / CAST(n_total AS DOUBLE)", 6)} AS event_share
+        FROM events CROSS JOIN total
+        GROUP BY $fold, n_total
+        ORDER BY fold"""
+      },
+      "Group-aware 5-fold split: users (and all their events) hash to one fold — the leakage-safe cross-validation assignment, reproducible across engines"))
 }

@@ -286,6 +286,81 @@ class StatsRetrievalSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("q135 AMS F2: exact moment matches direct recount, estimator well-formed") {
+    val r = Registry.queries("q135_ams_f2")(spark, sf()).head
+    val (exact, est) = (r.getAs[Long]("exact_f2"), r.getAs[Long]("ams_f2"))
+    val direct = Tables.events(spark, sf())
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f"))).head.getLong(0)
+    assert(exact == direct, "exact F2 column must equal a direct recount")
+    assert(est >= 0, "a squared sum cannot be negative")
+    // median-of-9 AMS: relative stddev ~ sqrt(2) per estimator; the
+    // median is within a small constant factor with high probability
+    val rel = r.getAs[Double]("rel_err")
+    assert(math.abs(rel) < 2.0, s"AMS median estimator off by ${rel}x")
+    assert(math.abs((est - exact) / exact.toDouble - rel) < 1e-4)
+  }
+
+  test("q136 theta set ops: algebra consistent, union estimate near exact") {
+    val r = Registry.queries("q136_theta_setops")(spark, sf()).head
+    def g(n: String) = r.getAs[Long](n)
+    assert(g("exact_union") == g("exact_a") + g("exact_b") - g("exact_inter"),
+      "exact inclusion-exclusion must hold")
+    assert(g("est_inter") == g("est_a") + g("est_b") - g("est_union"),
+      "estimated inclusion-exclusion is definitional")
+    // k=128 KMV: relative error ~ 1/sqrt(k-2) ~ 9%; 50% is a safe bound
+    for (nm <- Seq("a", "b", "union")) {
+      val (e, x) = (g(s"est_$nm"), g(s"exact_$nm"))
+      assert(math.abs(e - x) <= 0.5 * x, s"est_$nm=$e vs exact_$nm=$x")
+    }
+  }
+
+  test("q137 CMS join size: never undercounts, exact side matches the real join") {
+    val r = Registry.queries("q137_cms_join_size")(spark, sf()).head
+    val (exact, est) = (r.getAs[Long]("exact_join_size"),
+      r.getAs[Long]("cms_join_size"))
+    assert(est >= exact, "CMS inner product can only overcount (collisions add)")
+    assert(r.getAs[Long]("overestimate") == est - exact)
+    // the exact column must equal the materialized join's row count
+    val ev = Tables.events(spark, sf())
+    val real = ev.filter(col("event_type") === "view").select("user_id")
+      .join(ev.filter(col("event_type") === "purchase").select("user_id"),
+        "user_id").count()
+    assert(exact == real, s"exact_join_size=$exact but real join has $real rows")
+  }
+
+  test("q138 group k-fold: partitions users and events exactly, no leakage") {
+    val f = Registry.queries("q138_group_kfold")(spark, sf()).cache()
+    assert(f.count() == 5)
+    val ev = Tables.events(spark, sf())
+    assert(f.agg(sum("n_events")).head.getLong(0) == ev.count())
+    assert(f.agg(sum("n_users")).head.getLong(0) ==
+      ev.select("user_id").distinct().count(),
+      "each user must appear in exactly one fold")
+    f.unpersist()
+  }
+
+  test("q139 z-order: conserves rows, cell key decodes to its bins, 2-D pruning bound") {
+    val z = Registry.queries("q139_zorder_layout")(spark, sf()).cache()
+    assert(z.agg(sum("n_rows")).head.getLong(0) ==
+      Tables.orders(spark, sf()).count())
+    // the Morton key must decode back to exactly (dbin, cbin)
+    def debit(c: org.apache.spark.sql.Column, off: Int) =
+      (0 until 4).map(i => pmod(floor(c / math.pow(2, 2 * i + off)).cast("long"),
+        lit(2L)) * (1L << i)).reduce(_ + _)
+    assert(z.filter(debit(col("zcell"), 1) =!= col("dbin") ||
+      debit(col("zcell"), 0) =!= col("cbin")).count() == 0)
+    // a predicate on one date bin touches at most 16 of the <=256 cells
+    val worst = z.groupBy("dbin").count().agg(max("count")).head.getLong(0)
+    assert(worst <= 16, s"a single date bin spans $worst cells (> 16)")
+    // inside every cell both dimensions are tightly bounded: the cell's
+    // day range never exceeds one bin width of the global domain
+    val b = z.agg(min("min_day").as("lo"), max("max_day").as("hi")).head
+    val width = (b.getLong(1) + 1 - b.getLong(0) + 15) / 16
+    assert(z.filter(col("max_day") - col("min_day") >= width).count() == 0)
+    z.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
