@@ -491,5 +491,79 @@ object Similarity {
           FLOOR((sum_micro / (n_vecs * 1000000.0)) * 1000000 + 0.500001) / 1000000 AS mean_x,
           min_x, max_x
         FROM g ORDER BY label, dim"""),
-      "per-label embedding centroids + per-dim range (integer micro-unit quantization makes the unordered double sum exact)"))
+      "per-label embedding centroids + per-dim range (integer micro-unit quantization makes the unordered double sum exact)"),
+
+    // --------------------------------------------------------------- q140
+    // SemDeDup-style semantic deduplication (Abbas et al. 2023, see
+    // PAPERS.md): cluster the embeddings around the q78 deterministic
+    // centroids, then inside each cluster drop every vector whose
+    // r4-rounded cosine to a LOWER-id cluster-mate exceeds the
+    // threshold — keep-lowest-id, exactly like the exact-dedup (q30)
+    // convention. The cluster bound is what makes semantic dedup
+    // scale: pairwise cosine runs within cells only, never across the
+    // corpus, so the quadratic term is (corpus/k)² per cell with k
+    // growing with the data. Verdict per vector with the duplicate's
+    // id, so the downstream filter is one semi-join.
+    Query(
+      "q140_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val cents: Array[(Long, Array[Double])] = emb
+          .select(col("vec_id"), col("v"),
+            Dedup.h60(col("vec_id").cast("string")).as("hk"))
+          .orderBy(col("hk"), col("vec_id")).limit(16).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val cells = ivfCells(emb, cents, "v", top = 1, rounded = true)
+          .select(col("vec_id"), col("v"), col("cell"))
+        val dupOf = cells.as("a")
+          .join(cells.as("b"), col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .filter(graft.Num.r4(cosine(col("a.v"), col("b.v"))) > 0.4)
+          .groupBy(col("b.vec_id").as("vec_id"))
+          .agg(min(col("a.vec_id")).as("dup_of"))
+        cells.join(dupOf, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            when(col("dup_of").isNotNull, lit("dropped"))
+              .otherwise(lit("kept")).as("verdict"),
+            coalesce(col("dup_of"), lit(-1L)).as("duplicate_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
+        def selfSql(a: String) = s"list_sum([x * x FOR x IN $a])"
+        def cosSql(a: String, b: String, digits: Int) = graft.Num.sql(
+          s"${dotSql(a, b)} / (sqrt(${selfSql(a)}) * sqrt(${selfSql(b)}))",
+          digits)
+        s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+          SELECT vec_id AS c_id, v AS cv, rn - 1 AS cell FROM (
+            SELECT vec_id, v,
+              ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+            FROM (SELECT vec_id, v,
+                    ${Dedup.sqlH60("CAST(vec_id AS VARCHAR)")} AS h
+                  FROM emb)) WHERE rn <= 16),
+        ccell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cell) AS rn
+            FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        dup AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM ccell a JOIN ccell b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.v", "b.v", 4)} > 0.4
+          GROUP BY b.vec_id)
+        SELECT c.vec_id, c.cell,
+          CASE WHEN d.dup_of IS NOT NULL THEN 'dropped' ELSE 'kept' END
+            AS verdict,
+          CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS duplicate_of
+        FROM ccell c LEFT JOIN dup d USING (vec_id)
+        ORDER BY c.vec_id"""
+      },
+      "SemDeDup: cluster-bounded semantic dedup — within each deterministic IVF cell, drop vectors with cosine > 0.4 to a lower-id cluster-mate; per-vector verdict"))
 }

@@ -88,4 +88,23 @@ class DedupSimilaritySpec extends SparkSpec {
     // every emitted pair must have sane jaccard bounds
     assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
   }
+
+  test("q140 SemDeDup: one verdict per vector, keep-lowest-id holds per cell") {
+    val v = graft.Registry.queries("q140_semantic_dedup")(spark, sf()).cache()
+    assert(v.count() == graft.Tables.embeddings(spark, sf()).count())
+    // a dropped vector points at a lower id in the SAME cell
+    val bad = v.filter(col("verdict") === "dropped").as("d")
+      .join(v.as("k"), col("d.duplicate_of") === col("k.vec_id"))
+      .filter(col("k.cell") =!= col("d.cell") ||
+        col("d.duplicate_of") >= col("d.vec_id"))
+    assert(bad.count() == 0, "duplicate_of must be a lower id in the same cell")
+    // kept vectors carry the -1 sentinel; the lowest id of every cell
+    // can never be dropped (it has no lower-id cluster-mate)
+    assert(v.filter(col("verdict") === "kept" && col("duplicate_of") =!= -1L)
+      .count() == 0)
+    val cellMins = v.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(cellMins.join(v.filter(col("verdict") === "dropped"),
+      Seq("cell", "vec_id")).count() == 0)
+    v.unpersist()
+  }
 }
