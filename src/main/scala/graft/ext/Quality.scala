@@ -275,5 +275,54 @@ object Quality {
           one("events.user_id", "events", "user_id"))
           .mkString("", "\n          UNION ALL", "\n          ORDER BY join_key")
       },
-      "join-key skew report per candidate key column: distinct keys, hottest-key count, skew factor, top-3 hottest keys (the pre-join salting decision input)"))
+      "join-key skew report per candidate key column: distinct keys, hottest-key count, skew factor, top-3 hottest keys (the pre-join salting decision input)"),
+
+    // --------------------------------------------------------------- q141
+    // Incremental aggregate maintenance (the materialized-view /
+    // streaming-state primitive): the event log is split into a BASE
+    // batch (even event_id) and a DELTA batch (odd), per-user partial
+    // aggregates are computed independently on each, and the view is
+    // produced by MERGING the partials — count+count, sum+sum,
+    // least(min), greatest(max), avg from the merged sums. The DuckDB
+    // oracle recomputes the same aggregates DIRECTLY from the full
+    // log, so the hash-match is itself the proof that merge ≡
+    // recompute. Values go through integer micro-units so the sums
+    // are associativity-proof. At 100 TB this is the pattern that
+    // turns a nightly full recompute into an O(delta) refresh.
+    Query(
+      "q141_incremental_agg",
+      (s, d) => {
+        val micro = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+        def partial(even: Boolean) = Tables.events(s, d)
+          .filter((col("event_id") % 2 === 0) === even)
+          .select(col("user_id"), micro.as("vm"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sm"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val merged = partial(even = true).as("b")
+          .join(partial(even = false).as("dl"), Seq("user_id"), "full")
+          .select(col("user_id"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("dl.n"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("b.sm"), lit(0L)) + coalesce(col("dl.sm"), lit(0L)))
+              .as("sum_micro"),
+            least(col("b.mn"), col("dl.mn")).as("min_value"),
+            greatest(col("b.mx"), col("dl.mx")).as("max_value"))
+        merged.select(col("user_id"), col("n_events"), col("sum_micro"),
+            col("min_value"), col("max_value"),
+            Num.r6(col("sum_micro") / (col("n_events") * lit(1000000.0)))
+              .as("avg_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_micro,
+          MIN(value) AS min_value, MAX(value) AS max_value,
+          ${Num.sql("SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / (COUNT(*) * 1000000.0)", 6)}
+            AS avg_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      "incremental view maintenance: per-user aggregates merged from base+delta partials; the oracle recomputes directly from the full log, so hash-match proves merge = recompute"))
 }

@@ -361,6 +361,24 @@ class StatsRetrievalSpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("q141 incremental agg: merged partials equal a direct one-pass recompute") {
+    val merged = Registry.queries("q141_incremental_agg")(spark, sf())
+    val direct = Tables.events(spark, sf())
+      .select(col("user_id"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vm"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("sum_micro"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val j = merged.as("m").join(direct.as("t"), "user_id")
+    assert(j.count() == direct.count())
+    assert(j.filter(col("m.n_events") =!= col("t.n_events") ||
+      col("m.sum_micro") =!= col("t.sum_micro") ||
+      col("m.min_value") =!= col("t.min_value") ||
+      col("m.max_value") =!= col("t.max_value")).count() == 0,
+      "merge of base+delta partials must equal the full recompute")
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
