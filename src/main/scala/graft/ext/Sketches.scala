@@ -414,5 +414,88 @@ object Sketches {
         GROUP BY $fold, n_total
         ORDER BY fold"""
       },
-      "Group-aware 5-fold split: users (and all their events) hash to one fold — the leakage-safe cross-validation assignment, reproducible across engines"))
+      "Group-aware 5-fold split: users (and all their events) hash to one fold — the leakage-safe cross-validation assignment, reproducible across engines"),
+
+    // --------------------------------------------------------------- q142
+    // Mergeable-histogram quantile estimation: p50/p90/p99 of
+    // l_extendedprice interpolated from a 64-bin equal-width
+    // histogram (uniform-within-bin assumption), next to the exact
+    // type-7 quantile. Per-partition histograms merge by adding
+    // counts — THE distributed percentile path when an exact global
+    // sort is off the table; the error column shows what the 64-bin
+    // resolution costs. Bin math is bit-exact IEEE on both engines,
+    // so even the interpolated estimate is oracle-exact.
+    // Scale: one scan into a 64-cell aggregate (constant state), a
+    // 64-row cumulative window, and a 3-row output — no sort of the
+    // data itself anywhere.
+    Query(
+      "q142_histogram_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+        val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+          count(lit(1)).as("n"),
+          Num.r6(percentile(col("x"), lit(0.5))).as("e50"),
+          Num.r6(percentile(col("x"), lit(0.9))).as("e90"),
+          Num.r6(percentile(col("x"), lit(0.99))).as("e99"))
+        val w = (col("mx") - col("mn")) / lit(64.0)
+        val hist = li.crossJoin(broadcast(bounds))
+          .select(least(lit(63L), floor((col("x") - col("mn")) / w)
+            .cast("long")).as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        // 64-row bounded frame: the cumulative count per bin
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cum_before", col("cum") - col("cnt"))
+        val ps = cum.crossJoin(broadcast(bounds))
+          .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
+            col("bin"), col("cnt"), col("cum_before"),
+            col("mn"), col("mx"), col("n"),
+            col("e50"), col("e90"), col("e99"))
+          .withColumn("r", col("p") * (col("n") - lit(1)).cast("double"))
+          .filter(col("cum_before") <= col("r") &&
+            col("r") < col("cum_before") + col("cnt"))
+        ps.select(col("p"), col("n"),
+            Num.r6(col("mn") + col("bin") * ((col("mx") - col("mn")) / lit(64.0))
+              + ((col("r") - col("cum_before")) / col("cnt"))
+                * ((col("mx") - col("mn")) / lit(64.0))).as("est_quantile"),
+            when(col("p") === 0.5, col("e50"))
+              .when(col("p") === 0.9, col("e90"))
+              .otherwise(col("e99")).as("exact_quantile"))
+          .orderBy(col("p"))
+      },
+      Some(s"""
+        WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+        bounds AS (
+          SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n,
+            ${Num.sql("QUANTILE_CONT(x, 0.5)", 6)} AS e50,
+            ${Num.sql("QUANTILE_CONT(x, 0.9)", 6)} AS e90,
+            ${Num.sql("QUANTILE_CONT(x, 0.99)", 6)} AS e99
+          FROM li),
+        hist AS (
+          SELECT LEAST(63, CAST(FLOOR((x - mn) / ((mx - mn) / 64.0)) AS BIGINT))
+            AS bin, COUNT(*) AS cnt
+          FROM li CROSS JOIN bounds
+          GROUP BY 1),
+        cum AS (
+          SELECT bin, cnt,
+            SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+          FROM hist),
+        ps AS (
+          SELECT p, bin, cnt, cum_before, mn, mx, n, e50, e90, e99,
+            p * CAST(n - 1 AS DOUBLE) AS r
+          FROM cum CROSS JOIN bounds
+          CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))) t(p)
+          WHERE cum_before <= p * CAST(n - 1 AS DOUBLE)
+            AND p * CAST(n - 1 AS DOUBLE) < cum_before + cnt)
+        SELECT p, CAST(n AS BIGINT) AS n,
+          ${Num.sql("mn + bin * ((mx - mn) / 64.0) + ((r - cum_before) / cnt) * ((mx - mn) / 64.0)", 6)}
+            AS est_quantile,
+          CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END
+            AS exact_quantile
+        FROM ps
+        ORDER BY p"""),
+      "mergeable 64-bin histogram quantiles (p50/p90/p99 by within-bin interpolation) vs exact type-7 quantiles — the no-global-sort distributed percentile path"))
 }

@@ -379,6 +379,25 @@ class StatsRetrievalSpec extends SparkSpec {
       "merge of base+delta partials must equal the full recompute")
   }
 
+  test("q142 histogram quantiles: estimates within bin resolution of exact, monotone") {
+    val q = Registry.queries("q142_histogram_quantiles")(spark, sf())
+      .orderBy("p").collect()
+    assert(q.length == 3)
+    val b = Tables.lineitem(spark, sf())
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head
+    val width = (b.getDouble(1) - b.getDouble(0)) / 64.0
+    q.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("est_quantile"),
+        r.getAs[Double]("exact_quantile"))
+      // est and exact sit in the same cumulative-count bin; the
+      // uniform-within-bin assumption costs at most ~one bin width
+      assert(math.abs(est - exact) <= 2 * width,
+        s"p=${r.getAs[Double]("p")}: est=$est exact=$exact width=$width")
+    }
+    val ests = q.map(_.getAs[Double]("est_quantile"))
+    assert(ests.sameElements(ests.sorted), "quantile estimates must be monotone")
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
