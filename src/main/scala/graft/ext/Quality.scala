@@ -324,5 +324,64 @@ object Quality {
         FROM events
         GROUP BY user_id
         ORDER BY user_id"""),
-      "incremental view maintenance: per-user aggregates merged from base+delta partials; the oracle recomputes directly from the full log, so hash-match proves merge = recompute"))
+      "incremental view maintenance: per-user aggregates merged from base+delta partials; the oracle recomputes directly from the full log, so hash-match proves merge = recompute"),
+
+    // --------------------------------------------------------------- q143
+    // Functional-dependency discovery (schema profiling): for each
+    // candidate pair A→B, the dependency holds iff every A value maps
+    // to exactly one B value — i.e. COUNT(DISTINCT A) equals
+    // COUNT(DISTINCT (A,B)). Reports both counts, the verdict, and
+    // the number of violating A values (those with >1 distinct B).
+    // The metadata-inference pass that finds natural keys, derivable
+    // columns and denormalization candidates before anyone writes a
+    // join. Scale: each candidate is two partial-aggregated distinct
+    // counts plus one grouped distinct — per-candidate narrow jobs,
+    // no row ever carries more than the two columns.
+    Query(
+      "q143_functional_deps",
+      (s, d) => {
+        def cand(table: String, df: org.apache.spark.sql.DataFrame,
+            lhs: String, rhs: String) = {
+          val pairs = df.select(col(lhs).as("a"), col(rhs).as("b"))
+          val perA = pairs.groupBy(col("a"))
+            .agg(count_distinct(col("b")).as("nb"))
+          perA.agg(count(lit(1)).as("n_lhs"), sum(col("nb")).as("n_pairs"),
+              count(when(col("nb") > 1, 1)).as("n_violating"))
+            .select(lit(s"$table.$lhs -> $table.$rhs").as("candidate"),
+              col("n_lhs"), col("n_pairs"),
+              (col("n_violating") === 0).as("holds"), col("n_violating"))
+        }
+        Seq(
+          cand("customer", Tables.customer(s, d), "c_custkey", "c_mktsegment"),
+          cand("customer", Tables.customer(s, d), "c_nationkey", "c_mktsegment"),
+          cand("orders", Tables.orders(s, d), "o_orderkey", "o_orderpriority"),
+          cand("orders", Tables.orders(s, d), "o_custkey", "o_orderstatus"),
+          cand("documents", Tables.documents(s, d), "doc_id", "source"),
+          cand("documents", Tables.documents(s, d), "source", "lang"),
+          cand("events", Tables.events(s, d), "user_id", "event_type"),
+          cand("nation", Tables.nation(s, d), "n_nationkey", "n_regionkey"))
+          .reduce(_.unionByName(_))
+          .orderBy(col("candidate"))
+      },
+      Some {
+        def cand(table: String, lhs: String, rhs: String) =
+          s"""SELECT '$table.$lhs -> $table.$rhs' AS candidate,
+            CAST(COUNT(*) AS BIGINT) AS n_lhs,
+            CAST(SUM(nb) AS BIGINT) AS n_pairs,
+            COUNT(*) FILTER (WHERE nb > 1) = 0 AS holds,
+            CAST(COUNT(*) FILTER (WHERE nb > 1) AS BIGINT) AS n_violating
+          FROM (SELECT $lhs AS a, COUNT(DISTINCT $rhs) AS nb
+                FROM $table GROUP BY $lhs)"""
+        Seq(
+          cand("customer", "c_custkey", "c_mktsegment"),
+          cand("customer", "c_nationkey", "c_mktsegment"),
+          cand("orders", "o_orderkey", "o_orderpriority"),
+          cand("orders", "o_custkey", "o_orderstatus"),
+          cand("documents", "doc_id", "source"),
+          cand("documents", "source", "lang"),
+          cand("events", "user_id", "event_type"),
+          cand("nation", "n_nationkey", "n_regionkey"))
+          .mkString("", "\n          UNION ALL ", "\n          ORDER BY candidate")
+      },
+      "functional-dependency discovery over 8 candidate column pairs: per-candidate distinct counts, holds verdict, violating-key count — the natural-key / derivable-column profiling pass"))
 }

@@ -398,6 +398,24 @@ class StatsRetrievalSpec extends SparkSpec {
     assert(ests.sameElements(ests.sorted), "quantile estimates must be monotone")
   }
 
+  test("q143 functional deps: keys always hold, dense columns don't, algebra consistent") {
+    val f = Registry.queries("q143_functional_deps")(spark, sf()).cache()
+    assert(f.count() == 8)
+    // a primary key determines every column by definition
+    for (k <- Seq("customer.c_custkey", "orders.o_orderkey",
+        "documents.doc_id", "nation.n_nationkey"))
+      assert(f.filter(col("candidate").startsWith(k)).head.getAs[Boolean]("holds"),
+        s"key candidate $k must hold")
+    // every user emits all five event types in this corpus
+    assert(!f.filter(col("candidate").startsWith("events.user_id"))
+      .head.getAs[Boolean]("holds"))
+    // holds <=> n_lhs == n_pairs <=> zero violating keys
+    assert(f.filter(col("holds") =!= (col("n_lhs") === col("n_pairs")))
+      .count() == 0)
+    assert(f.filter(col("holds") =!= (col("n_violating") === 0L)).count() == 0)
+    f.unpersist()
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
