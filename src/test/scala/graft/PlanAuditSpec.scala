@@ -48,4 +48,27 @@ class PlanAuditSpec extends SparkSpec {
           s"$q: expected a broadcast join for the bounded side")
       }
   }
+
+  test("sketch builds never sort the data: broadcast bounds, TakeOrdered k-mins") {
+    // q142's only Sort may be the 64-row cumulative window / output
+    // order; the raw scan must reach the histogram through a hash
+    // aggregate, and the min/max bounds must broadcast
+    val q142 = plan("q142_histogram_quantiles")
+    assert(q142.contains("Broadcast"), "q142: bounds row must broadcast")
+    assert(!q142.contains("CartesianProduct"))
+    // q136's k-th-min per set must be a TakeOrdered, not Sort+collect
+    val q136 = plan("q136_theta_setops")
+    assert(q136.contains("TakeOrderedAndProject"),
+      "q136: KMV sketch must use a bounded TakeOrdered for the k smallest hashes")
+    // q139's bin bounds broadcast; the cell audit is a hash aggregate
+    val q139 = plan("q139_zorder_layout")
+    assert(q139.contains("Broadcast"), "q139: bin bounds must broadcast")
+    assert(!q139.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup joins on the cell key, never all-pairs") {
+    val p = plan("q140_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "q140: the pairwise cosine must be bounded by the IVF cell join")
+  }
 }
