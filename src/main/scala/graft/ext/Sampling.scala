@@ -178,5 +178,40 @@ object Sampling {
         FROM embeddings
         WHERE ${sqlHashBucket("vec_id")} < 20
         GROUP BY label ORDER BY label"""),
-      "deterministic 20% stratified sample (hash membership is label-independent, so every stratum is sampled at the same rate)"))
+      "deterministic 20% stratified sample (hash membership is label-independent, so every stratum is sampled at the same rate)"),
+
+    // --------------------------------------------------------------- q144
+    // Two-phase distributed top-k: each source shard first keeps its
+    // OWN top-10 docs by length (a partitioned, bounded rank), and
+    // the global top-10 is taken from the union of those partials —
+    // sound because any global top-10 member is necessarily in its
+    // shard's top-10. The DuckDB oracle runs the global ORDER BY
+    // LIMIT directly, so the hash-match proves the shard-merge plan
+    // equals the single global sort it replaces. This is how top-k
+    // actually executes at 100 TB: k rows per shard cross the wire,
+    // never the table.
+    Query(
+      "q144_topk_merge",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perShard = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val partials = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(perShard))
+          .filter(col("rn") <= 10).drop("rn")
+        val globalTop = partials
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+        globalTop.withColumn("rank", row_number().over(
+            Window.orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        SELECT ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+          doc_id, source, n_chars
+        FROM documents
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 10"""),
+      "two-phase distributed top-k: per-source partial top-10s merged into the global top-10; the oracle's direct global sort proves the merge exact"))
 }

@@ -416,6 +416,16 @@ class StatsRetrievalSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("q144 top-k merge: partial-merge route equals the direct global sort") {
+    val merged = Registry.queries("q144_topk_merge")(spark, sf())
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = Tables.documents(spark, sf())
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.sameElements(direct),
+      "per-shard top-10 merge must reproduce the global top-10 exactly")
+  }
+
   test("q118 association lift: pair count bounded by min of singles, support consistent") {
     val a = Registry.queries("q118_assoc_lift")(spark, sf()).cache()
     val singles = Tables.events(spark, sf())
