@@ -433,11 +433,17 @@ object Sketches {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+        // cheap codegen'd bounds for the histogram; the EXACT quantiles
+        // (Spark's percentile buffers every value in one task — the
+        // audit baseline the sketch replaces at scale) live in their
+        // own 1-row frame so the expensive aggregate runs exactly once
         val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
-          count(lit(1)).as("n"),
-          Num.r6(percentile(col("x"), lit(0.5))).as("e50"),
-          Num.r6(percentile(col("x"), lit(0.9))).as("e90"),
-          Num.r6(percentile(col("x"), lit(0.99))).as("e99"))
+          count(lit(1)).as("n"))
+        val exacts = li.agg(percentile(col("x"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("es"))
+          .select(Num.r6(element_at(col("es"), 1)).as("e50"),
+            Num.r6(element_at(col("es"), 2)).as("e90"),
+            Num.r6(element_at(col("es"), 3)).as("e99"))
         val w = (col("mx") - col("mn")) / lit(64.0)
         val hist = li.crossJoin(broadcast(bounds))
           .select(least(lit(63L), floor((col("x") - col("mn")) / w)
@@ -448,7 +454,7 @@ object Sketches {
           sum(col("cnt")).over(Window.orderBy(col("bin"))
             .rowsBetween(Window.unboundedPreceding, 0)))
           .withColumn("cum_before", col("cum") - col("cnt"))
-        val ps = cum.crossJoin(broadcast(bounds))
+        val ps = cum.crossJoin(broadcast(bounds)).crossJoin(broadcast(exacts))
           .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
             col("bin"), col("cnt"), col("cum_before"),
             col("mn"), col("mx"), col("n"),
