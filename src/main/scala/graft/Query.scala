@@ -52,7 +52,8 @@ object Registry {
       ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries ++
       ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries ++
       ext.Behavior.queries ++ ext.Quality.queries ++ ext.Curves.queries ++
-      ext.Sketches.queries ++ ext.Layout.queries ++ ext.Trend.queries
+      ext.Sketches.queries ++ ext.Layout.queries ++ ext.Trend.queries ++
+      ext.Linkage.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

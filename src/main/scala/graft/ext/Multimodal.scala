@@ -193,5 +193,141 @@ object Multimodal {
           CAST(LENGTH(t[fi*8+1 : LEAST(fi*8+8, LENGTH(t))]) AS BIGINT) AS n_bytes,
           MD5(t[fi*8+1 : LEAST(fi*8+8, LENGTH(t))]) AS fingerprint
         FROM f ORDER BY asset_id, frame_index"""),
-      "video frame sampling (every 8th-byte stub frame, max 4) with per-frame fingerprints"))
+      "video frame sampling (every 8th-byte stub frame, max 4) with per-frame fingerprints"),
+
+    // --------------------------------------------------------------- q149
+    // Perceptual average-hash (aHash) over the image assets: the
+    // "decode + resize to 8x8" step is stubbed as a deterministic
+    // 64-point downsample of the payload bytes (position i reads byte
+    // 1 + floor(i*len/64) — a real thumbnail for a byte stream), then
+    // the REAL perceptual-hash algebra runs as narrow columnar
+    // expressions: bit_i = pixel_i*64 > sum(pixels) (strict integer
+    // compare, no float mean), packed into four 16-bit bands so the
+    // full 64-bit hash never touches the int64 sign bit. Near-identical
+    // payloads get near-identical hashes — the property q150's
+    // Hamming join exploits. Per-row bounded-array HOFs: no shuffle,
+    // no UDF; the whole hash is one projection over the scan.
+    Query(
+      "q149_phash_bands",
+      (s, d) => {
+        phashBands(Tables.documents(s, d))
+          .withColumn("popcnt", expr(
+            "cast(bit_count(band0) + bit_count(band1) + bit_count(band2) + bit_count(band3) as int)"))
+          .select(col("asset_id"), col("band0"), col("band1"),
+            col("band2"), col("band3"), col("popcnt"))
+          .orderBy(col("asset_id"))
+      },
+      Some(s"""
+        $phashSqlCtes
+        SELECT asset_id, band0, band1, band2, band3,
+          CAST(bit_count(band0) + bit_count(band1) + bit_count(band2)
+               + bit_count(band3) AS INT) AS popcnt
+        FROM bands ORDER BY asset_id"""),
+      "perceptual average-hash: stub 64-point thumbnail, real integer hash algebra in 4 16-bit bands"),
+
+    // --------------------------------------------------------------- q150
+    // Perceptual near-duplicate image pairs via BANDED Hamming join:
+    // candidates are pairs sharing at least one of the four 16-bit
+    // hash bands (pigeonhole: every pair with Hamming distance <= 3
+    // is guaranteed caught; 4..16 is LSH-style best-effort recall),
+    // verified with the exact popcount distance and kept at <= 16.
+    // The scale shape is the image-dedup standard: the join key is
+    // (band_index, band_value) — corpus-linear candidate generation,
+    // never an all-pairs cosine/hamming matrix; the exact distance
+    // runs on candidates only.
+    Query(
+      "q150_phash_neardup",
+      (s, d) => {
+        val bands = phashBands(Tables.documents(s, d))
+        val long = bands.select(col("asset_id"),
+          posexplode(array(col("band0"), col("band1"), col("band2"),
+            col("band3"))).as(Seq("b", "v")))
+        val cand = long.as("x").join(long.as("y"),
+            col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("asset_a"),
+            col("y.asset_id").as("asset_b"))
+          .distinct()
+        cand
+          .join(bands.as("ha"), col("asset_a") === col("ha.asset_id"))
+          .join(bands.as("hb"), col("asset_b") === col("hb.asset_id"))
+          .withColumn("hamming", expr(
+            """cast(bit_count(ha.band0 ^ hb.band0) + bit_count(ha.band1 ^ hb.band1)
+               + bit_count(ha.band2 ^ hb.band2) + bit_count(ha.band3 ^ hb.band3) as int)"""))
+          .filter(col("hamming") <= 16)
+          .select(col("asset_a"), col("asset_b"), col("hamming"))
+          .orderBy(col("asset_a"), col("asset_b"))
+      },
+      Some(s"""
+        $phashSqlCtes,
+        long AS (
+          SELECT asset_id, UNNEST([0, 1, 2, 3]) AS b,
+            UNNEST([band0, band1, band2, band3]) AS v
+          FROM bands),
+        cand AS (
+          SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+          FROM long x JOIN long y
+            ON x.b = y.b AND x.v = y.v AND x.asset_id < y.asset_id)
+        SELECT asset_a, asset_b,
+          CAST(bit_count(xor(ha.band0, hb.band0)) + bit_count(xor(ha.band1, hb.band1))
+               + bit_count(xor(ha.band2, hb.band2)) + bit_count(xor(ha.band3, hb.band3))
+               AS INT) AS hamming
+        FROM cand
+        JOIN bands ha ON asset_a = ha.asset_id
+        JOIN bands hb ON asset_b = hb.asset_id
+        WHERE bit_count(xor(ha.band0, hb.band0)) + bit_count(xor(ha.band1, hb.band1))
+              + bit_count(xor(ha.band2, hb.band2)) + bit_count(xor(ha.band3, hb.band3)) <= 16
+        ORDER BY asset_a, asset_b"""),
+      "banded Hamming near-dup join over perceptual hashes: (band, value) candidates, exact popcount verify"))
+
+  /** The aHash band table shared by q149/q150: image-modality assets
+    * (doc_id % 3 == 0, matching [[syntheticAssets]]) hashed to four
+    * 16-bit integer bands. Pure ASCII payloads make the byte reads
+    * reproducible as DuckDB VARCHAR indexing. */
+  private def phashBands(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("asset_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("px", expr(
+        "transform(sequence(0, 63), i -> cast(ascii(substring(text, cast(1 + (cast(i as bigint) * n) div 64 as int), 1)) as bigint))"))
+      .withColumn("tot", expr("aggregate(px, cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("bits", expr(
+        "transform(px, x -> case when x * 64 > tot then cast(1 as bigint) else cast(0 as bigint) end)"))
+      .withColumn("band0", bandExpr(0)).withColumn("band1", bandExpr(1))
+      .withColumn("band2", bandExpr(2)).withColumn("band3", bandExpr(3))
+      .select(col("asset_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+
+  private def bandExpr(b: Int) = expr(
+    s"""aggregate(transform(sequence(0, 15),
+        j -> element_at(bits, cast(j + 1 + ${16 * b} as int)) * shiftleft(cast(1 as bigint), j)),
+        cast(0 as bigint), (a, x) -> a + x)""")
+
+  /** DuckDB twin of [[phashBands]] (shared CTE prefix for q149/q150). */
+  private val phashSqlCtes = """
+        WITH img AS (
+          SELECT doc_id AS asset_id, text, CAST(LENGTH(text) AS BIGINT) AS n
+          FROM documents WHERE doc_id % 3 = 0),
+        pxt AS (
+          SELECT asset_id,
+            [CAST(unicode(text[CAST(1 + (i * n) // 64 AS INT)]) AS BIGINT)
+             FOR i IN range(0, 64)] AS px
+          FROM img),
+        btt AS (
+          SELECT asset_id, px, CAST(list_sum(px) AS BIGINT) AS tot FROM pxt),
+        bits AS (
+          SELECT asset_id,
+            list_transform(px, x -> CASE WHEN x * 64 > tot
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+          FROM btt),
+        bands AS (
+          SELECT asset_id,
+            CAST(list_sum(list_transform(range(0, 16),
+              j -> bits[CAST(j + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(j AS INT)))) AS BIGINT) AS band0,
+            CAST(list_sum(list_transform(range(0, 16),
+              j -> bits[CAST(j + 17 AS INT)] * (CAST(1 AS BIGINT) << CAST(j AS INT)))) AS BIGINT) AS band1,
+            CAST(list_sum(list_transform(range(0, 16),
+              j -> bits[CAST(j + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(j AS INT)))) AS BIGINT) AS band2,
+            CAST(list_sum(list_transform(range(0, 16),
+              j -> bits[CAST(j + 49 AS INT)] * (CAST(1 AS BIGINT) << CAST(j AS INT)))) AS BIGINT) AS band3
+          FROM bits)"""
 }
