@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for a training-data pipeline: image/audio/video
@@ -210,7 +210,7 @@ object Multimodal {
     Query(
       "q149_phash_bands",
       (s, d) => {
-        phashBands(Tables.documents(s, d))
+        cachedPhashBands(s, d)
           .withColumn("popcnt", expr(
             "cast(bit_count(band0) + bit_count(band1) + bit_count(band2) + bit_count(band3) as int)"))
           .select(col("asset_id"), col("band0"), col("band1"),
@@ -238,7 +238,7 @@ object Multimodal {
     Query(
       "q150_phash_neardup",
       (s, d) => {
-        val bands = phashBands(Tables.documents(s, d))
+        val bands = cachedPhashBands(s, d)
         val long = bands.select(col("asset_id"),
           posexplode(array(col("band0"), col("band1"), col("band2"),
             col("band3"))).as(Seq("b", "v")))
@@ -283,24 +283,61 @@ object Multimodal {
   /** The aHash band table shared by q149/q150: image-modality assets
     * (doc_id % 3 == 0, matching [[syntheticAssets]]) hashed to four
     * 16-bit integer bands. Pure ASCII payloads make the byte reads
-    * reproducible as DuckDB VARCHAR indexing. */
+    * reproducible as DuckDB VARCHAR indexing.
+    *
+    * Two shape decisions matter here, found the hard way (first cut
+    * burned 400+ s of one core at sf0.1):
+    *  - the thumbnail reads bytes through a BINARY substring, not a
+    *    string one — `UTF8String.substring` walks UTF-8 boundaries so
+    *    each of the 64 reads is O(position); the binary slice is O(1).
+    *  - `repartition(asset_id)` between building (px, tot) and
+    *    extracting the bands is a materialization barrier, not just a
+    *    parallelism spreader: without it CollapseProject inlines the
+    *    whole 64-element `px` transform into every one of the 64
+    *    `element_at` references below (HOFs are interpreted, with no
+    *    common-subexpression elimination), multiplying the work ~64×.
+    *    The exchange pays one tiny shuffle (rows of id + 64 longs) to
+    *    evaluate `px`/`tot` exactly once, and spreads the hash work
+    *    across tasks — the scan itself is one small file = one task.
+    *    In q150 the four self-references to this frame share the
+    *    identical exchange subtree, so ReuseExchange computes it once. */
   private def phashBands(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").as("asset_id"), col("text"),
+      .select(col("doc_id").as("asset_id"),
+        expr("cast(text as binary)").as("tb"),
         length(col("text")).cast("long").as("n"))
-      .withColumn("px", expr(
-        "transform(sequence(0, 63), i -> cast(ascii(substring(text, cast(1 + (cast(i as bigint) * n) div 64 as int), 1)) as bigint))"))
+      .select(col("asset_id"), expr(
+        """transform(sequence(0, 63),
+           i -> cast(ascii(cast(substring(tb, cast(1 + (cast(i as bigint) * n) div 64 as int), 1) as string)) as bigint))""")
+        .as("px"))
       .withColumn("tot", expr("aggregate(px, cast(0 as bigint), (a, x) -> a + x)"))
-      .withColumn("bits", expr(
-        "transform(px, x -> case when x * 64 > tot then cast(1 as bigint) else cast(0 as bigint) end)"))
-      .withColumn("band0", bandExpr(0)).withColumn("band1", bandExpr(1))
-      .withColumn("band2", bandExpr(2)).withColumn("band3", bandExpr(3))
-      .select(col("asset_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+      .repartition(col("asset_id"))
+      .select(col("asset_id"), bandExpr(0).as("band0"), bandExpr(1).as("band1"),
+        bandExpr(2).as("band2"), bandExpr(3).as("band3"))
 
   private def bandExpr(b: Int) = expr(
     s"""aggregate(transform(sequence(0, 15),
-        j -> element_at(bits, cast(j + 1 + ${16 * b} as int)) * shiftleft(cast(1 as bigint), j)),
+        j -> case when element_at(px, cast(j + 1 + ${16 * b} as int)) * 64 > tot
+             then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end),
         cast(0 as bigint), (a, x) -> a + x)""")
+
+  /** One cached band table per session, keyed by sf dir (the q35
+    * shingle-cache pattern): q150 references the frame four times
+    * (two explode branches + two verify joins), and without a cache
+    * each broadcast build re-executes the interpreted-HOF hash stage —
+    * measured 20 s vs ~2 s at sf0.1. Five longs per image asset,
+    * MEMORY_AND_DISK so it spills, not OOMs; a new dir evicts the old
+    * entry. */
+  private val bandCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private def cachedPhashBands(s: SparkSession, d: String): DataFrame =
+    bandCache.compute(s, (_, prev) => prev match {
+      case (`d`, df) => (d, df)
+      case other =>
+        if (other != null) other._2.unpersist()
+        (d, phashBands(Tables.documents(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })._2
 
   /** DuckDB twin of [[phashBands]] (shared CTE prefix for q149/q150). */
   private val phashSqlCtes = """
