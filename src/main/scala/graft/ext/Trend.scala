@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Num, Query, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,15 +159,18 @@ object Trend {
     // to a µs boundary — broadcast 1-row scalar, never a global sort),
     // then report per-split event/user counts plus the leakage number:
     // users with activity on BOTH sides of the cut, the population a
-    // group-aware split (q138) would have to hold out. One pass for
-    // the boundary, one pass for per-user flags, 2-row output.
+    // group-aware split (q138) would have to hold out. The cut itself
+    // comes from [[exactP80Cut]] — histogram-refined EXACT percentile
+    // with bounded state (Spark's `percentile` aggregate collects every
+    // value into one buffer: measured 10 s at 30×, OOM-certain at real
+    // scale). One boundary computation, one per-user flag pass, 2-row
+    // output.
     Query(
       "q147_time_split_audit",
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        val cut = ev.agg(floor(percentile(col("us"), lit(0.8)))
-          .cast("long").as("cut_us"))
+        val cut = exactP80Cut(ev)
         val flags = ev.crossJoin(broadcast(cut))
           .select(col("user_id"),
             when(col("us") <= col("cut_us"), lit("train"))
@@ -208,4 +212,73 @@ object Trend {
         FROM flags CROSS JOIN lk
         GROUP BY split, n_leaked_users ORDER BY split"""),
       "temporal split + entity-leakage audit: broadcast percentile cut, per-user flag pass"))
+
+  /** Exact type-7 p80 over an integer column with BOUNDED state — the
+    * distributed replacement for Spark's collecting `percentile`
+    * aggregate (whose buffer holds every input value: fine at sf0.1,
+    * a single-task OOM at 100 TB).
+    *
+    * Two-level histogram refinement, everything declarative:
+    *  1. one aggregate for (min, max, n) → broadcast; target order
+    *     statistics k0 = floor((n−1)·0.8), k1 = min(k0+1, n−1);
+    *  2. 4096-bin integer-width histogram (width = range div 4096 + 1,
+    *     division before multiplication so no int64 overflow), running
+    *     counts over the ≤ 4097-row histogram locate the bin(s)
+    *     holding k0/k1 — the windowed cumsum runs on a constant-sized
+    *     frame, never the data;
+    *  3. re-bin ONLY those bins (≤ 2·n/4096 rows) 4096 ways again —
+    *     candidates shrink to ~n/16.7M per bin;
+    *  4. rank the tiny candidate set (row_number within its level-2
+    *     bin + the bin's exact global offset) and pick ranks k0/k1.
+    * Interpolation repeats Percentile's own double formula
+    * (v0 + (v1 − v0)·(h − k0)), so the result — and the DuckDB
+    * QUANTILE_CONT twin — is bit-identical to the collecting
+    * aggregate this replaces. Ties are a non-issue: equal values make
+    * every tie-break return the same order statistic.
+    */
+  private def exactP80Cut(ev: DataFrame): DataFrame = {
+    val B = 4096L
+    val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"),
+        count(lit(1)).as("n"))
+      .withColumn("h", (col("n") - 1).cast("double") * lit(0.8))
+      .withColumn("k0", floor(col("h")).cast("long"))
+      .withColumn("k1", least(col("k0") + 1, col("n") - 1))
+      .withColumn("w1", expr(s"(mx - mn) div $B + 1"))
+      .withColumn("w2", expr(s"((mx - mn) div $B) div $B + 1"))
+    val e1 = ev.select(col("us"))
+      .crossJoin(broadcast(b.select(col("mn"), col("w1"), col("w2"))))
+      .withColumn("b1", expr("(us - mn) div w1"))
+    val winAll = Window.orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = e1.groupBy(col("b1")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(winAll), lit(0L)))
+    val selB = cum1.crossJoin(broadcast(b.select(col("k0"), col("k1"))))
+      .filter((col("cb") <= col("k0") && col("k0") < col("cb") + col("cnt")) ||
+        (col("cb") <= col("k1") && col("k1") < col("cb") + col("cnt")))
+      .select(col("b1"), col("cb"))
+    val e2 = e1.join(broadcast(selB), "b1")
+      .withColumn("b2", expr("(us - mn - b1 * w1) div w2"))
+    val winBin = Window.partitionBy(col("b1")).orderBy(col("b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = e2.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("cnt2"), min(col("cb")).as("cb0"))
+      .withColumn("cb2", col("cb0") +
+        coalesce(sum(col("cnt2")).over(winBin), lit(0L)))
+    val selB2 = cum2.crossJoin(broadcast(b.select(col("k0"), col("k1"))))
+      .filter((col("cb2") <= col("k0") && col("k0") < col("cb2") + col("cnt2")) ||
+        (col("cb2") <= col("k1") && col("k1") < col("cb2") + col("cnt2")))
+      .select(col("b1"), col("b2"), col("cb2"))
+    val ranked = e2.join(broadcast(selB2), Seq("b1", "b2"))
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("b1"), col("b2")).orderBy(col("us")))
+        .cast("long") - 1 + col("cb2"))
+    ranked.crossJoin(broadcast(b.select(col("h"), col("k0"), col("k1"))))
+      .filter(col("gr") === col("k0") || col("gr") === col("k1"))
+      .agg(
+        min(when(col("gr") === col("k0"), col("us"))).cast("double").as("v0"),
+        min(when(col("gr") === col("k1"), col("us"))).cast("double").as("v1"),
+        first(col("h")).as("hh"), first(col("k0")).as("kk"))
+      .select(floor(col("v0") + (coalesce(col("v1"), col("v0")) - col("v0"))
+        * (col("hh") - col("kk"))).cast("long").as("cut_us"))
+  }
 }
