@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.{Registry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the PCA power-iteration operator (value parity vs
+  * DuckDB is covered by the oracle gate; these pin merge-order
+  * independence and that the integer iteration tracks the true
+  * dominant direction). */
+class SpectralSpec extends SparkSpec {
+
+  test("q152: unit-scale output, and direction matches a double-precision power iteration") {
+    val out = Registry.queries("q152_pca_power")(spark, sf())
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    assert(out.length == 64)
+    assert(out.map(math.abs).max == 1000000.0,
+      "rescale must pin the max-abs component to exactly 1e6")
+    // double-precision reference: same quantized inputs, plain floats
+    val rows = Tables.embeddings(spark, sf())
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(f =>
+        math.floor(f.toDouble * 10000.0 + 0.500001)).toArray)
+    val n = rows.length.toDouble
+    val s = Array.tabulate(64)(i => rows.map(_(i)).sum)
+    val c = Array.tabulate(64, 64)((i, j) =>
+      n * rows.map(r => r(i) * r(j)).sum - s(i) * s(j))
+    var v = Array.fill(64)(1.0)
+    for (_ <- 1 to 200) { // run to convergence — direction test
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => c(i)(j) * v(j)).sum)
+      val m = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / m)
+    }
+    val dot = out.zip(v).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) / math.sqrt(out.map(x => x * x).sum)
+    assert(cos > 0.98,
+      f"integer 5-step iterate diverged from the converged dominant direction (cos=$cos%.4f)")
+  }
+
+  test("q152: covariance aggregator is invariant under input partitioning") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = udaf(new graft.functions.CovAggregator(64, 10000.0),
+      ExpressionEncoder[Seq[Float]]())
+    def moments(parts: Int) = Tables.embeddings(spark, sf())
+      .repartition(parts).agg(agg(col("embedding")).as("st"))
+      .select(col("st.n"), col("st.s"), col("st.ss"))
+      .collect().map(_.toString)
+    assert(moments(1).sameElements(moments(13)),
+      "partitioning changed the exact integer moments — merge is not associative-exact")
+  }
+}
