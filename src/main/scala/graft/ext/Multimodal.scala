@@ -278,7 +278,106 @@ object Multimodal {
         WHERE bit_count(xor(ha.band0, hb.band0)) + bit_count(xor(ha.band1, hb.band1))
               + bit_count(xor(ha.band2, hb.band2)) + bit_count(xor(ha.band3, hb.band3)) <= 16
         ORDER BY asset_a, asset_b"""),
-      "banded Hamming near-dup join over perceptual hashes: (band, value) candidates, exact popcount verify"))
+      "banded Hamming near-dup join over perceptual hashes: (band, value) candidates, exact popcount verify"),
+
+    // --------------------------------------------------------------- q153
+    // Audio feature extraction over the audio-modality assets — the
+    // missing third modality (images: q41/q149, video: q79). The PCM
+    // "decode" is STUBBED deterministically (sample_p = (byte_p*131 +
+    // p*17) mod 256 - 128 — a synthetic signed-8-bit waveform with sign
+    // structure), while the signal algebra on top is real and exact:
+    // 64-sample framing, per-frame energy Σs², zero-crossing counting
+    // via one lag window over (asset, position), peak amplitude, an
+    // all-integer mean-square (energy·1e6 div n — exact in both
+    // engines, no float RMS), and loudest-frame selection (max energy,
+    // ties to the earliest frame — the snippet a real pipeline would
+    // cut). Scale shape: samples explode corpus-linearly and aggregate
+    // in two narrow integer groupBys; the only sort is the per-asset
+    // lag window, which is how sample-adjacent analysis must
+    // distribute anyway. Overflow bound: energy·1e6 ≤ n·1.6e10 stays
+    // in int64 below ~5e8 samples per asset.
+    Query(
+      "q153_audio_features",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val samp = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id").as("asset_id"),
+            expr("cast(text as binary)").as("tb"),
+            length(col("text")).cast("long").as("n"))
+          // binary substring: O(1) byte reads (the q149 lesson); the
+          // HOF is interpreted but referenced exactly once per row
+          .select(col("asset_id"), posexplode(expr(
+            """transform(sequence(cast(0 as bigint), n - 1),
+               i -> (ascii(cast(substring(tb, cast(i + 1 as int), 1) as string)) * 131
+                     + i * 17) % 256 - 128)""")).as(Seq("p", "s")))
+          .select(col("asset_id"), col("p").cast("long").as("p"), col("s"))
+        val w = Window.partitionBy(col("asset_id")).orderBy(col("p"))
+        val fr = samp
+          .withColumn("prev_s", lag(col("s"), 1).over(w))
+          .withColumn("zx",
+            when(col("prev_s").isNull, lit(0L))
+              .when((col("s") >= 0) =!= (col("prev_s") >= 0), lit(1L))
+              .otherwise(lit(0L)))
+          .groupBy(col("asset_id"), (col("p") / 64).cast("long").as("frame"))
+          .agg(count(lit(1)).as("nf"), sum(col("s") * col("s")).as("energy"),
+            sum(col("zx")).as("zc"), max(abs(col("s"))).as("pk"))
+        val ag = fr.groupBy(col("asset_id"))
+          .agg(sum(col("nf")).as("n_samples"),
+            count(lit(1)).as("n_frames"),
+            sum(col("zc")).as("zero_crossings"),
+            sum(col("energy")).as("total_energy"),
+            max(col("pk")).cast("int").as("peak_amp"))
+        val loud = fr.groupBy(col("asset_id")).agg(max(col("energy")).as("me"))
+          .join(fr, Seq("asset_id"))
+          .filter(col("energy") === col("me"))
+          .groupBy(col("asset_id")).agg(min(col("frame")).as("loudest_frame"))
+        ag.join(loud, Seq("asset_id"))
+          .select(col("asset_id"), col("n_samples"), col("n_frames"),
+            col("zero_crossings"), col("total_energy"), col("peak_amp"),
+            expr("total_energy * 1000000 div n_samples").as("mean_square_micro"),
+            col("loudest_frame"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1),
+        sm AS (
+          SELECT asset_id,
+            unnest(range(0, LENGTH(text))) AS p,
+            unnest([(unicode(text[CAST(i + 1 AS INT)]) * 131 + i * 17) % 256 - 128
+                    FOR i IN range(0, LENGTH(text))]) AS s
+          FROM a),
+        x AS (
+          SELECT asset_id, p, s, p // 64 AS frame,
+            CASE WHEN lag(s) OVER (PARTITION BY asset_id ORDER BY p) IS NULL THEN 0
+                 WHEN (s >= 0) != (lag(s) OVER (PARTITION BY asset_id ORDER BY p) >= 0) THEN 1
+                 ELSE 0 END AS zx
+          FROM sm),
+        fr AS (
+          SELECT asset_id, frame, COUNT(*) AS nf, SUM(s * s) AS energy,
+                 SUM(zx) AS zc, MAX(ABS(s)) AS pk
+          FROM x GROUP BY asset_id, frame),
+        mx AS (SELECT asset_id, MAX(energy) AS me FROM fr GROUP BY asset_id),
+        ld AS (
+          SELECT fr.asset_id, MIN(frame) AS loudest_frame
+          FROM fr JOIN mx USING (asset_id) WHERE energy = me
+          GROUP BY fr.asset_id),
+        ag AS (
+          SELECT asset_id,
+            CAST(SUM(nf) AS BIGINT) AS n_samples,
+            CAST(COUNT(*) AS BIGINT) AS n_frames,
+            CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+            CAST(SUM(energy) AS BIGINT) AS total_energy,
+            CAST(MAX(pk) AS INT) AS peak_amp
+          FROM fr GROUP BY asset_id)
+        SELECT ag.asset_id, n_samples, n_frames, zero_crossings, total_energy,
+          peak_amp,
+          CAST(total_energy * 1000000 // n_samples AS BIGINT) AS mean_square_micro,
+          CAST(loudest_frame AS BIGINT) AS loudest_frame
+        FROM ag JOIN ld ON ag.asset_id = ld.asset_id
+        ORDER BY ag.asset_id"""),
+      "audio features over stub PCM: framed energy, zero crossings, peak, integer mean-square, loudest frame"))
 
   /** The aHash band table shared by q149/q150: image-modality assets
     * (doc_id % 3 == 0, matching [[syntheticAssets]]) hashed to four

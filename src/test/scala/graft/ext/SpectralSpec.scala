@@ -36,6 +36,21 @@ class SpectralSpec extends SparkSpec {
       f"integer 5-step iterate diverged from the converged dominant direction (cos=$cos%.4f)")
   }
 
+  test("q154: projection profile conserves the corpus and orders its bounds") {
+    val rows = Registry.queries("q154_pca_projection")(spark, sf()).collect()
+    val total = Tables.embeddings(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total,
+      "every vector must land in exactly one label row")
+    rows.foreach { r =>
+      val (n, sum, mean, mn, mx) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("sum_proj"), r.getAs[Long]("mean_proj"),
+        r.getAs[Long]("min_proj"), r.getAs[Long]("max_proj"))
+      assert(mn <= mean && mean <= mx, s"label ${r.get(0)}: bounds disordered")
+      assert(mean == sum / n, "mean must be the truncating integer division")
+      assert(mx.abs <= 64L * 10001 * 1000000, "projection exceeded its algebraic bound")
+    }
+  }
+
   test("q152: covariance aggregator is invariant under input partitioning") {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val agg = udaf(new graft.functions.CovAggregator(64, 10000.0),
