@@ -639,5 +639,97 @@ object Corpus2 {
         LEFT JOIN n_new USING (doc_id)
         LEFT JOIN best USING (doc_id)
         ORDER BY e.doc_id"""),
-      "incremental ingest dedup: new batch (odd ids) vs existing corpus (even ids) — staged exact-digest then rare-5-gram containment verdicts, O(batch) not O(corpus)"))
+      "incremental ingest dedup: new batch (odd ids) vs existing corpus (even ids) — staged exact-digest then rare-5-gram containment verdicts, O(batch) not O(corpus)"),
+
+    // --------------------------------------------------------------- q155
+    // Training-mix manifest — the capstone that composes the curation
+    // signals into the artifact a pretraining run actually consumes:
+    // per source, a token BUDGET from q98's sqrt-temperature shares
+    // (B_s = G·sq_s div Σsq, G = half the corpus tokens), filled
+    // greedily by QUALITY (integer type-token ratio in basis points,
+    // doc_id tiebreak) until the running token prefix-sum exceeds the
+    // budget. Everything is integer: the sqrt is the one correctly-
+    // rounded IEEE call (q98's convention), quantized before any
+    // ranking or division, so rank order, cumulative sums, and the
+    // selection frontier are bit-identical across engines. Scale
+    // shape: one doc-level pass, a ~|sources|-row broadcast budget
+    // join, ONE per-source sort (the window) — no global sort, no
+    // driver loop; conditional aggregation keeps a row per source even
+    // when nothing fits its budget.
+    Query(
+      "q155_training_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("nt"),
+          expr("""cast(size(array_distinct(split(text, ' '))) as bigint) * 10000
+                  div cast(size(split(text, ' ')) as bigint)""").as("q_bp"))
+        val bySrc = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("src_tokens"))
+          .withColumn("sq",
+            floor(sqrt(col("src_tokens").cast("double")) * lit(1000000.0)
+              + lit(0.500001)).cast("long"))
+        // global scalars as a broadcast 1-row aggregate (q90 rule), not
+        // a whole-frame window
+        val budgets = bySrc.crossJoin(broadcast(
+            bySrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+              sum(col("sq")).as("tot_sq"))))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            expr("(tot_tokens div 2) * sq div tot_sq").as("budget_tokens"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q_bp").desc, col("doc_id"))
+        docs.join(broadcast(budgets), Seq("source"))
+          .withColumn("cum", sum(col("nt")).over(w))
+          .groupBy(col("source"))
+          .agg(first(col("n_docs")).as("n_docs"),
+            first(col("src_tokens")).as("src_tokens"),
+            first(col("budget_tokens")).as("budget_tokens"),
+            sum(when(col("cum") <= col("budget_tokens"), 1L).otherwise(0L))
+              .as("n_selected"),
+            sum(when(col("cum") <= col("budget_tokens"), col("nt"))
+              .otherwise(0L)).as("tokens_selected"))
+          .withColumn("utilization_micro",
+            expr("tokens_selected * 1000000 div budget_tokens"))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            col("budget_tokens"), col("n_selected"), col("tokens_selected"),
+            col("utilization_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, doc_id,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt,
+            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 10000
+              // CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS q_bp
+          FROM documents),
+        by_src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS src_tokens,
+            CAST(FLOOR(sqrt(CAST(SUM(nt) AS DOUBLE)) * 1000000 + 0.500001)
+              AS BIGINT) AS sq
+          FROM docs GROUP BY source),
+        tot AS (
+          SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+            CAST(SUM(sq) AS BIGINT) AS tot_sq
+          FROM by_src),
+        budgets AS (
+          SELECT source, n_docs, src_tokens,
+            CAST((tot_tokens // 2) * sq // tot_sq AS BIGINT) AS budget_tokens
+          FROM by_src CROSS JOIN tot),
+        ranked AS (
+          SELECT d.source, d.nt, b.n_docs, b.src_tokens, b.budget_tokens,
+            SUM(d.nt) OVER (PARTITION BY d.source
+              ORDER BY d.q_bp DESC, d.doc_id) AS cum
+          FROM docs d JOIN budgets b USING (source))
+        SELECT source, ANY_VALUE(n_docs) AS n_docs,
+          ANY_VALUE(src_tokens) AS src_tokens,
+          ANY_VALUE(budget_tokens) AS budget_tokens,
+          CAST(SUM(CASE WHEN cum <= budget_tokens THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_selected,
+          CAST(SUM(CASE WHEN cum <= budget_tokens THEN nt ELSE 0 END) AS BIGINT)
+            AS tokens_selected,
+          CAST(CAST(SUM(CASE WHEN cum <= budget_tokens THEN nt ELSE 0 END)
+            AS BIGINT) * 1000000 // ANY_VALUE(budget_tokens) AS BIGINT)
+            AS utilization_micro
+        FROM ranked GROUP BY source ORDER BY source"""),
+      "training-mix manifest: sqrt-temperature token budgets filled greedily by integer quality rank — the composed curation artifact"))
 }

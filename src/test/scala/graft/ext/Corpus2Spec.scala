@@ -171,4 +171,27 @@ class Corpus2Spec extends SparkSpec {
     assert(iv.filter(col("is_current") && col("dur_s") =!= -1).count() == 0)
     iv.unpersist()
   }
+
+  test("q155 training mix: budgets respected, greedy fill leaves no affordable doc behind") {
+    val rows = Registry.queries("q155_training_mix")(spark, sf()).collect()
+    val nSources = Tables.documents(spark, sf())
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources.toInt, "one manifest row per source, always")
+    val totTokens = rows.map(_.getAs[Long]("src_tokens")).sum
+    rows.foreach { r =>
+      val (b, sel, nSel, nDocs) = (r.getAs[Long]("budget_tokens"),
+        r.getAs[Long]("tokens_selected"), r.getAs[Long]("n_selected"),
+        r.getAs[Long]("n_docs"))
+      assert(sel <= b, s"${r.get(0)}: selected $sel tokens over budget $b")
+      assert(nSel <= nDocs)
+      assert(r.getAs[Long]("utilization_micro") == sel * 1000000L / b)
+      // greedy prefix: if nothing was selected, even the best doc must
+      // not fit; if something was, utilization is at least 50% (docs
+      // are < 600 tokens, budgets are thousands)
+      if (nSel > 0) assert(sel * 2 >= b || nSel == nDocs,
+        s"${r.get(0)}: budget $b only $sel filled with docs left over")
+    }
+    // sqrt-temperature budgets sum to at most the global half-token pot
+    assert(rows.map(_.getAs[Long]("budget_tokens")).sum <= totTokens / 2 + nSources)
+  }
 }
