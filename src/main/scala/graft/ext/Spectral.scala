@@ -43,7 +43,7 @@ object Spectral {
     vCache.compute(s, (_, prev) => prev match {
       case (`d`, v) => (d, v)
       case _ =>
-        val (n, sv, ssv) = moments(s, d)
+        val (n, sv, ssv) = cachedMoments(s, d)
         val c = Array.ofDim[BigInt](Dims, Dims)
         var k = 0
         for (i <- 0 until Dims; j <- i until Dims) {
@@ -179,5 +179,69 @@ object Spectral {
           CAST(MAX(p.proj) AS BIGINT) AS max_proj
         FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
         GROUP BY e.label ORDER BY e.label"""),
-      "per-label profile of projections onto the dominant eigenvector: exact integer dots with the cached q152 direction as plan literals"))
+      "per-label profile of projections onto the dominant eigenvector: exact integer dots with the cached q152 direction as plan literals"),
+
+    // --------------------------------------------------------------- q156
+    // Variance decomposition — the "is one direction carrying the
+    // corpus" audit behind PCA compression decisions: each raw
+    // dimension's share of total scaled variance (C_ii/trace), plus
+    // the share explained by the dominant eigenvector
+    // (vᵀCv/(trace·|v|²)), all in integer micro-units. The division
+    // ORDER is part of the defined semantics — (vᵀCv div |v|²)·1e6
+    // div trace — so every step stays inside HUGEINT in DuckDB and
+    // BigInt on the driver, identically. Zero extra data-scale work:
+    // the same cached single moment pass as q152/q154; everything
+    // else is width-bounded driver algebra.
+    Query(
+      "q156_variance_explained",
+      (s, d) => {
+        val (n, sv, ssv) = cachedMoments(s, d)
+        val c = Array.ofDim[BigInt](Dims, Dims)
+        var k = 0
+        for (i <- 0 until Dims; j <- i until Dims) {
+          val x = n * ssv(k) - sv(i) * sv(j)
+          c(i)(j) = x; c(j)(i) = x; k += 1
+        }
+        val v = dominantVector(s, d).map(BigInt(_))
+        val trace = (0 until Dims).map(i => c(i)(i)).sum
+        val vtcv = (for (i <- 0 until Dims; j <- 0 until Dims)
+          yield v(i) * c(i)(j) * v(j)).sum
+        val vnorm = v.map(x => x * x).sum
+        val pc1 = ((vtcv / vnorm) * 1000000) / trace
+        val rows = ("pc1", pc1.toLong) +: (0 until Dims).map(i =>
+          (f"dim_$i%02d", ((c(i)(i) * 1000000) / trace).toLong))
+        val sq = s
+        import sq.implicits._
+        rows.toDF("component", "share_micro").orderBy(col("component"))
+      },
+      Some(s"""
+        WITH $vChainCtes,
+        tr AS (SELECT SUM(c) AS trace FROM cov WHERE i = j),
+        vn AS (SELECT SUM(v * v) AS vnorm FROM v$Iters),
+        vt AS (
+          SELECT SUM(vi.v * cov.c * vj.v) AS vtcv
+          FROM cov
+          JOIN v$Iters vi ON vi.dim = cov.i
+          JOIN v$Iters vj ON vj.dim = cov.j),
+        parts AS (
+          SELECT 'pc1' AS component,
+            CAST(((vtcv // vnorm) * 1000000) // trace AS BIGINT) AS share_micro
+          FROM vt CROSS JOIN vn CROSS JOIN tr
+          UNION ALL
+          SELECT 'dim_' || lpad(CAST(i AS VARCHAR), 2, '0') AS component,
+            CAST((c * 1000000) // trace AS BIGINT) AS share_micro
+          FROM cov CROSS JOIN tr WHERE i = j)
+        SELECT component, share_micro FROM parts ORDER BY component"""),
+      "variance decomposition in integer micro-shares: per-dimension C_ii/trace plus the PC1-explained share — same single moment pass, width-bounded algebra"))
+
+  /** The (n, Σq, Σqq) triangle, cached per (session, dir) like the
+    * eigenvector: q152/q154/q156 together cost ONE aggregation scan. */
+  private def cachedMoments(s: SparkSession, d: String): (BigInt, Array[BigInt], Array[BigInt]) =
+    mCache.compute(s, (_, prev) => prev match {
+      case (`d`, m) => (d, m)
+      case _ => (d, moments(s, d))
+    })._2
+
+  private val mCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, (BigInt, Array[BigInt], Array[BigInt]))]()
 }

@@ -51,6 +51,21 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("q156: shares are a near-partition of unity and pc1 beats the mean dim") {
+    val rows = Registry.queries("q156_variance_explained")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 65)
+    val dimShares = rows.collect { case (k, v) if k.startsWith("dim_") => v }
+    // integer floor-division loses < 1 micro-unit per dimension
+    val total = dimShares.sum
+    assert(total <= 1000000L && total > 1000000L - 64,
+      s"per-dim shares must tile unity up to truncation, got $total")
+    // the dominant direction must explain at least an average dim's worth
+    assert(rows("pc1") >= 1000000L / 64,
+      s"pc1 share ${rows("pc1")} below the uniform floor")
+    assert(rows("pc1") <= 1000000L)
+  }
+
   test("q152: covariance aggregator is invariant under input partitioning") {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val agg = udaf(new graft.functions.CovAggregator(64, 10000.0),
