@@ -731,5 +731,78 @@ object Corpus2 {
             AS BIGINT) * 1000000 // ANY_VALUE(budget_tokens) AS BIGINT)
             AS utilization_micro
         FROM ranked GROUP BY source ORDER BY source"""),
-      "training-mix manifest: sqrt-temperature token budgets filled greedily by integer quality rank — the composed curation artifact"))
+      "training-mix manifest: sqrt-temperature token budgets filled greedily by integer quality rank — the composed curation artifact"),
+
+    // --------------------------------------------------------------- q157
+    // Duplicated-span risk per document — the span-level complement to
+    // the pairwise near-dup scores (q96/q106): how much of EACH doc is
+    // made of 8-token spans that also appear elsewhere in the corpus
+    // (the memorization-risk signal substring-dedup pipelines act on,
+    // cf. PAPERS.md on training-data dedup). One distinct-span pass
+    // (posexplode + lead windows, whole-stage codegen), spans hashed to
+    // int64 before the df shuffle (the q34 narrow-shuffle convention;
+    // both engines hash identically so the rare collision is
+    // cross-engine-consistent), df via a per-span count window, then
+    // one per-doc aggregate. Docs too short for any span keep a row
+    // via the left join (n_spans = 0, risk 'low'). Corpus-linear; no
+    // pairwise anything.
+    Query(
+      "q157_dup_span_risk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = Dedup.docShingles(docs, 8)
+          .select(col("doc_id"), Dedup.hp(col("sh")).as("h"))
+        val withDf = spans.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+        val perDoc = withDf.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            max(col("df")).as("max_df"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            coalesce(col("max_df"), lit(0L)).as("max_df"))
+          .withColumn("shared_bp",
+            when(col("n_spans") === 0, lit(0L))
+              .otherwise(expr("n_shared * 10000 div n_spans")))
+          .withColumn("risk",
+            when(col("shared_bp") >= 5000, "high")
+              .when(col("shared_bp") >= 1000, "medium")
+              .otherwise("low"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sp AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+              unnest([array_to_string(t[i:i+7], ' ')
+                      FOR i IN range(1, len(t) - 6)]) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+            WHERE len(t) >= 8)),
+        hs AS (SELECT doc_id, ${Dedup.sqlHp("sh")} AS h FROM sp),
+        wd AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM hs),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+            CAST(MAX(df) AS BIGINT) AS max_df
+          FROM wd GROUP BY doc_id),
+        j AS (
+          SELECT d.doc_id,
+            COALESCE(n_spans, 0) AS n_spans,
+            COALESCE(n_shared, 0) AS n_shared,
+            COALESCE(max_df, 0) AS max_df
+          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id)
+        SELECT doc_id, n_spans, n_shared, max_df,
+          CAST(CASE WHEN n_spans = 0 THEN 0
+               ELSE n_shared * 10000 // n_spans END AS BIGINT) AS shared_bp,
+          CASE WHEN (CASE WHEN n_spans = 0 THEN 0
+                     ELSE n_shared * 10000 // n_spans END) >= 5000 THEN 'high'
+               WHEN (CASE WHEN n_spans = 0 THEN 0
+                     ELSE n_shared * 10000 // n_spans END) >= 1000 THEN 'medium'
+               ELSE 'low' END AS risk
+        FROM j ORDER BY doc_id"""),
+      "per-doc duplicated-span risk: share of 8-token spans appearing elsewhere in the corpus — span-level memorization audit, corpus-linear"))
 }

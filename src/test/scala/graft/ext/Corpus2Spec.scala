@@ -194,4 +194,29 @@ class Corpus2Spec extends SparkSpec {
     // sqrt-temperature budgets sum to at most the global half-token pot
     assert(rows.map(_.getAs[Long]("budget_tokens")).sum <= totTokens / 2 + nSources)
   }
+
+  test("q157 span risk: every doc rows out, exact dups are fully shared") {
+    val rows = Registry.queries("q157_dup_span_risk")(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf())
+    assert(rows.length == docs.count().toInt, "left join must keep short docs")
+    rows.foreach { r =>
+      val (n, sh, mx) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("max_df"))
+      assert(sh <= n)
+      assert(n == 0 || mx >= 1)
+      assert(r.getAs[Long]("shared_bp") == (if (n == 0) 0L else sh * 10000 / n))
+    }
+    // a doc whose text appears verbatim under another id shares EVERY span
+    val dupIds = docs.select(col("doc_id"), col("text")).as("x")
+      .join(docs.select(col("doc_id"), col("text")).as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    dupIds.filter(byId(_).getAs[Long]("n_spans") > 0).foreach { id =>
+      assert(byId(id).getAs[Long]("shared_bp") == 10000L,
+        s"doc $id is an exact dup but not fully span-shared")
+      assert(byId(id).getAs[String]("risk") == "high")
+    }
+  }
 }
