@@ -3,6 +3,7 @@ package graft.ext
 import graft.{Query, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spectral / linear-algebra operators over the embedding table: the
@@ -232,7 +233,83 @@ object Spectral {
             CAST((c * 1000000) // trace AS BIGINT) AS share_micro
           FROM cov CROSS JOIN tr WHERE i = j)
         SELECT component, share_micro FROM parts ORDER BY component"""),
-      "variance decomposition in integer micro-shares: per-dimension C_ii/trace plus the PC1-explained share — same single moment pass, width-bounded algebra"))
+      "variance decomposition in integer micro-shares: per-dimension C_ii/trace plus the PC1-explained share — same single moment pass, width-bounded algebra"),
+
+    // --------------------------------------------------------------- q159
+    // One-vs-rest AUC of the PC1 projection per label — the eval-metric
+    // family (is the dominant direction a usable separator?), computed
+    // as the exact Mann–Whitney rank-sum with textbook tie handling,
+    // entirely in integers: 2U = Σ_scores n_pos(s)·(2·cum_neg(<s) +
+    // n_neg(s)) counts each pos/neg pair twice (ties once), so
+    // auc_micro = 2U·1e6 div (2·n_pos·n_neg) needs no fractional
+    // ranks. One-vs-rest for all labels WITHOUT replicating rows per
+    // label: group once by (score, label), derive each label's
+    // negatives as tot(s) − pos(s) on the |labels|×|distinct scores|
+    // grid, one cumulative window per label. Scale shape: two narrow
+    // integer aggregations + a bounded-width window — no sort of the
+    // raw corpus, no per-label passes.
+    Query(
+      "q159_pc1_auc",
+      (s, d) => {
+        val v = dominantVector(s, d)
+        val vSql = v.mkString(", ")
+        val proj = Tables.embeddings(s, d)
+          .select(col("label"), expr(
+            s"""aggregate(zip_with(embedding, array($vSql),
+               (x, w) -> cast(floor(cast(x as double) * 10000.0 + 0.500001) as bigint) * w),
+               cast(0 as bigint), (a, y) -> a + y)""").as("sc"))
+        val counts = proj.groupBy(col("sc"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val tot = proj.groupBy(col("sc")).agg(count(lit(1)).as("t"))
+        val labels = proj.select(col("label")).distinct()
+        val grid = tot.crossJoin(broadcast(labels))
+          .join(counts, Seq("sc", "label"), "left")
+          .select(col("label"), col("sc"),
+            coalesce(col("c"), lit(0L)).as("np"),
+            (col("t") - coalesce(col("c"), lit(0L))).as("nn"))
+        val w = Window.partitionBy(col("label")).orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grid
+          .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .groupBy(col("label"))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+          .withColumn("auc_micro",
+            expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+          .select(col("label"), col("n_pos"), col("n_neg"), col("u2"),
+            col("auc_micro"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        WITH $vChainCtes,
+        proj AS (
+          SELECT q.vec_id, CAST(SUM(q.qv * v.v) AS BIGINT) AS sc
+          FROM q JOIN v$Iters v ON v.dim = q.dim GROUP BY q.vec_id),
+        pl AS (
+          SELECT p.sc, e.label FROM proj p
+          JOIN embeddings e ON e.vec_id = p.vec_id),
+        counts AS (
+          SELECT sc, label, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pl GROUP BY sc, label),
+        tot AS (SELECT sc, CAST(COUNT(*) AS BIGINT) AS t FROM pl GROUP BY sc),
+        grid AS (
+          SELECT l.label, tot.sc, COALESCE(c.c, 0) AS np,
+            tot.t - COALESCE(c.c, 0) AS nn
+          FROM tot CROSS JOIN (SELECT DISTINCT label FROM embeddings) l
+          LEFT JOIN counts c ON c.sc = tot.sc AND c.label = l.label),
+        cum AS (
+          SELECT label, sc, np, nn,
+            COALESCE(SUM(nn) OVER (PARTITION BY label ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+          FROM grid)
+        SELECT label, CAST(SUM(np) AS BIGINT) AS n_pos,
+          CAST(SUM(nn) AS BIGINT) AS n_neg,
+          CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) AS u2,
+          CAST(CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) * 1000000
+            // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+            AS BIGINT) AS auc_micro
+        FROM cum GROUP BY label ORDER BY label"""),
+      "exact integer one-vs-rest Mann-Whitney AUC of the PC1 projection per label — eval metrics without fractional ranks or row replication"))
 
   /** The (n, Σq, Σqq) triangle, cached per (session, dir) like the
     * eigenvector: q152/q154/q156 together cost ONE aggregation scan. */

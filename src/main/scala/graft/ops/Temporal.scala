@@ -196,5 +196,71 @@ object Temporal {
         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                LEFT JOIN p USING (user_id)
         ORDER BY u.user_id"""),
-      "ordered funnel (view -> click -> purchase): staged filtered aggregates, no row explosion"))
+      "ordered funnel (view -> click -> purchase): staged filtered aggregates, no row explosion"),
+
+    // --------------------------------------------------------------- q158
+    // Peak interval concurrency per event type — the sweep-line
+    // interval-algebra member (capacity planning: "how many 5-minute
+    // event windows were ever open at once"). Each event opens the
+    // half-open interval [ts, ts+300 s); the sweep emits +1/−1 deltas,
+    // orders by (time, delta) so closings at an instant precede
+    // openings (half-open semantics), and takes a running sum. The
+    // prefix-sum multiset is invariant to ordering WITHIN an equal
+    // (time, delta) block (+1s only climb), so the max and the
+    // earliest time it is reached are both deterministic without a
+    // full tiebreak. All integer microseconds. Scale shape: one hash
+    // exchange on event_type + per-type sort — the canonical
+    // distributed sweep; no self-join, no explode beyond 2× rows.
+    Query(
+      "q158_peak_concurrency",
+      (s, d) => {
+        val pts = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("t"))
+          .select(col("event_type"), explode(array(
+            struct(col("t"), lit(1L).as("delta")),
+            struct((col("t") + lit(300000000L)).as("t"),
+              lit(-1L).as("delta")))).as("p"))
+          .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta"))
+        val swept = pts.withColumn("cum", sum(col("delta")).over(w))
+        swept.groupBy(col("event_type")).agg(max(col("cum")).as("peak"))
+          .join(swept, Seq("event_type"))
+          .filter(col("cum") === col("peak"))
+          .groupBy(col("event_type"))
+          .agg(first(col("peak")).as("peak_concurrency"),
+            min(col("t")).as("peak_at_micros"))
+          .join(Tables.events(s, d).groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_intervals")), Seq("event_type"))
+          .select(col("event_type"), col("n_intervals"),
+            col("peak_concurrency"), col("peak_at_micros"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+        swept AS (
+          SELECT event_type, t, delta,
+            SUM(delta) OVER (PARTITION BY event_type
+              ORDER BY t, delta) AS cum
+          FROM pts),
+        mx AS (
+          SELECT event_type, MAX(cum) AS peak FROM swept GROUP BY event_type),
+        at AS (
+          SELECT s.event_type, ANY_VALUE(m.peak) AS peak_concurrency,
+            MIN(s.t) AS peak_at_micros
+          FROM swept s JOIN mx m
+            ON s.event_type = m.event_type AND s.cum = m.peak
+          GROUP BY s.event_type),
+        n AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM events GROUP BY event_type)
+        SELECT at.event_type, n.n_intervals,
+          CAST(peak_concurrency AS BIGINT) AS peak_concurrency,
+          CAST(peak_at_micros AS BIGINT) AS peak_at_micros
+        FROM at JOIN n ON at.event_type = n.event_type
+        ORDER BY at.event_type"""),
+      "sweep-line peak concurrency of 5-minute event intervals per type: +1/-1 deltas, one per-type sort, no self-join"))
 }
