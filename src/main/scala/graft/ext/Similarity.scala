@@ -184,34 +184,57 @@ object Similarity {
       "embedding near-duplicate pairs (cosine > 0.4), exact all-pairs baseline"),
 
     // ---------------------------------------------------------------- q78
-    // IVF ANN, oracle-EXACT (unlike q39's LSH): centroids are the 16
-    // corpus vectors with the smallest md5-derived key — deterministic
-    // and reproducible in SQL, standing in for the k-means fit job a
-    // 100 TB deployment would run. Cell assignment argmaxes the
-    // r6-rounded cosine (ties to the lowest centroid id), re-rank uses
-    // the r4-rounded cosine (q33's convention) — every float the two
-    // engines compare is rounded with the shared FLOOR formula first.
-    // Scale shape: corpus scanned once for assignment (centroids are
-    // plan literals — no join), candidates shuffle only the probed
-    // cells, never the n² cross product.
+    // IVF ANN, oracle-EXACT (unlike q39's LSH): k = max(16, ceil(√n))
+    // deterministic centroids (the smallest-md5-key corpus vectors —
+    // the reproducible stand-in for the k-means fit job a 100 TB
+    // deployment would run), arriving via a BROADCAST JOIN, not plan
+    // literals — k grows with the corpus without blowing up codegen or
+    // collecting vectors to the driver. k ∝ √n keeps cells at ~√n
+    // vectors, so the nprobe=4 candidate join touches Θ(√n) candidates
+    // per probe instead of degrading toward n/16-linear (q140's
+    // measured re-plan: 13.8 s → 4.1 s at 30×). Cell assignment
+    // argmaxes the r6-rounded cosine via a map-side-combinable groupBy
+    // (ties to the lowest cell id); re-rank uses the r4-rounded cosine
+    // (q33's convention) — every float the two engines compare is
+    // rounded with the shared FLOOR formula first.
     Query(
       "q78_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val cents: Array[(Long, Array[Double])] = emb
+        val k = math.max(16L,
+          math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
+        val cents = emb
           .select(col("vec_id"), col("v"),
             Dedup.h60(col("vec_id").cast("string")).as("hk"))
-          .orderBy(col("hk"), col("vec_id")).limit(16).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .orderBy(col("hk"), col("vec_id")).limit(k)
+          .withColumn("cell", row_number().over(Window
+            .orderBy(col("hk"), col("vec_id"))) - 1)
+          .select(col("cell"), col("v").as("cv"))
+        // corpus → nearest cell: argmax via max(struct(score, -cell)),
+        // partial-aggregated map-side — no n×k shuffle
+        val cCells = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(graft.Num.r6(cosine(col("v"), col("cv"))).as("cs"),
+              (lit(0L) - col("cell")).as("nc")).as("sc"))
+          .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+          .select(col("vec_id"), (lit(0L) - col("m.nc")).as("cell"))
+          .join(emb, "vec_id")
+        // probes → nprobe=4 nearest cells; probe side is tiny, so a
+        // rank window partitioned by query_id is bounded by |probes|×k
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val cCells = ivfCells(emb, cents, "v", top = 1, rounded = true)
-        val pCells = ivfCells(broadcast(probes), cents, "qv", top = 4,
-          rounded = true)
+        val pw = Window.partitionBy(col("query_id"))
+          .orderBy(col("cs").desc, col("cell"))
+        val pCells = probes.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("cell"),
+            graft.Num.r6(cosine(col("qv"), col("cv"))).as("cs"))
+          .withColumn("prn", row_number().over(pw))
+          .filter(col("prn") <= 4)
+          .select(col("query_id"), col("qv"), col("cell"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))
-        cCells.join(pCells, "cell")
+        cCells.join(broadcast(pCells), "cell")
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             graft.Num.r4(cosine(col("v"), col("qv"))).as("cosine"))
@@ -233,13 +256,16 @@ object Similarity {
         s"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        kk AS (
+          SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+          FROM emb),
         cent AS (
-          SELECT vec_id AS c_id, v AS cv, rn - 1 AS cell FROM (
-            SELECT vec_id, v,
+          SELECT v AS cv, rn - 1 AS cell FROM (
+            SELECT v,
               ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
             FROM (SELECT vec_id, v,
                     ${Dedup.sqlH60("CAST(vec_id AS VARCHAR)")} AS h
-                  FROM emb)) WHERE rn <= 16),
+                  FROM emb)) CROSS JOIN kk WHERE rn <= k),
         ccell AS (
           SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
@@ -266,7 +292,7 @@ object Similarity {
         FROM ranked WHERE rn <= 5
         ORDER BY query_id, rn"""
       },
-      "IVF ANN: deterministic centroids, nprobe=4 Voronoi cells, exact re-rank — oracle-exact"),
+      "IVF ANN: k = max(16, ceil(sqrt(n))) broadcast deterministic centroids, nprobe=4 Voronoi cells, exact re-rank — oracle-exact"),
 
     // ---------------------------------------------------------------- q39
     // LSH ANN, oracle-EXACT since r3 (same recipe as q78): the 32

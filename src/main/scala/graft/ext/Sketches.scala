@@ -12,6 +12,92 @@ import org.apache.spark.sql.functions._
   * toolbox a 100 TB pipeline leans on when exact state is too big.
   */
 object Sketches {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** Exact type-7 quantiles of a positive double column `x` with
+    * BOUNDED state — the distributed replacement for Spark's
+    * collecting `percentile` aggregate (whose buffer holds every
+    * input value in one task: fine at sf0.1, an OOM at 100 TB). The
+    * double-domain sibling of Trend.exactP80Cut's integer machinery.
+    *
+    * Two-level equal-width histogram refinement, all declarative:
+    *  1. one (min, max, n) aggregate → broadcast; per requested p the
+    *     target order statistics k0 = floor((n−1)p), k1 = min(k0+1, n−1);
+    *  2. 4096-bin double-width histogram — bin assignment is any
+    *     deterministic MONOTONE function of x (it never has to match
+    *     the oracle, only order x consistently), so plain double
+    *     division is safe here; a cumulative window over the ≤4096-row
+    *     histogram (constant-sized frame, never the data) locates the
+    *     bins holding each k0/k1;
+    *  3. re-bin ONLY those bins 4096 ways again — candidates shrink
+    *     by ~16.7M×;
+    *  4. rank the tiny candidate set (row_number within its level-2
+    *     bin + the bin's exact global offset) and pick ranks k0/k1.
+    * Interpolation is v0 + (v1 − v0)·(h − k0) in double — the same
+    * arithmetic the r6-rounded DuckDB QUANTILE_CONT twin lands in.
+    * Ties are harmless: equal values bin identically, and every
+    * tie-break returns the same order statistic.
+    */
+  private[ext] def exactQuantiles(vals: DataFrame,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val B = 4096L
+    val b = vals.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val ranks = b.select(col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("k0", floor(col("h")).cast("long"))
+      .withColumn("k1", least(col("k0") + 1, col("n") - 1))
+      .select(col("p"), col("h"), col("k0"), col("k1"))
+    val w1 = (col("mx") - col("mn")) / lit(B.toDouble)
+    // degenerate all-equal input → everything in bin 0; edge rows
+    // clamp (floor(x==mx quotient) == B) without breaking monotonicity
+    val e1 = vals.crossJoin(broadcast(b))
+      .withColumn("b1", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(B - 1),
+          floor((col("x") - col("mn")) / w1).cast("long")))))
+    val winAll = Window.orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = e1.groupBy(col("b1")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(winAll), lit(0L)))
+    def holdsTarget(cb: String, cnt: String) =
+      (col(cb) <= col("k0") && col("k0") < col(cb) + col(cnt)) ||
+        (col(cb) <= col("k1") && col("k1") < col(cb) + col(cnt))
+    val selB1 = cum1.crossJoin(broadcast(ranks))
+      .filter(holdsTarget("cb", "cnt"))
+      .select(col("b1"), col("cb")).distinct()
+    // level-2: same refinement inside the selected bins only; the
+    // small negative slack greatest(0, …) guards against FP division
+    // rounding putting x a hair below its own bin's left edge
+    val w2 = w1 / lit(B.toDouble)
+    val e2 = e1.join(broadcast(selB1), "b1")
+      .withColumn("b2", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(B - 1),
+          floor((col("x") - (col("mn") + col("b1") * w1)) / w2)
+            .cast("long")))))
+    val winBin = Window.partitionBy(col("b1")).orderBy(col("b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = e2.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("cnt2"), min(col("cb")).as("cb0"))
+      .withColumn("cb2", col("cb0") +
+        coalesce(sum(col("cnt2")).over(winBin), lit(0L)))
+    val selB2 = cum2.crossJoin(broadcast(ranks))
+      .filter(holdsTarget("cb2", "cnt2"))
+      .select(col("b1"), col("b2"), col("cb2")).distinct()
+    val ranked = e2.join(broadcast(selB2), Seq("b1", "b2"))
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("b1"), col("b2")).orderBy(col("x")))
+        .cast("long") - 1 + col("cb2"))
+    ranked.join(broadcast(ranks),
+        col("gr") === col("k0") || col("gr") === col("k1"))
+      .groupBy(col("p"), col("h"), col("k0"))
+      .agg(min(when(col("gr") === col("k0"), col("x"))).as("v0"),
+        min(when(col("gr") === col("k1"), col("x"))).as("v1"))
+      .select(col("p"), (col("v0") + (coalesce(col("v1"), col("v0"))
+        - col("v0")) * (col("h") - col("k0"))).as("eq"))
+  }
 
   def queries: Seq[Query] = Seq(
     // --------------------------------------------------------------- q132
@@ -434,16 +520,18 @@ object Sketches {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
         // cheap codegen'd bounds for the histogram; the EXACT quantiles
-        // (Spark's percentile buffers every value in one task — the
-        // audit baseline the sketch replaces at scale) live in their
-        // own 1-row frame so the expensive aggregate runs exactly once
+        // come from the two-level 4096-bin refinement (bounded state —
+        // no task ever buffers the column, unlike Spark's collecting
+        // `percentile` aggregate this replaced in round 5)
         val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
           count(lit(1)).as("n"))
-        val exacts = li.agg(percentile(col("x"),
-            array(lit(0.5), lit(0.9), lit(0.99))).as("es"))
-          .select(Num.r6(element_at(col("es"), 1)).as("e50"),
-            Num.r6(element_at(col("es"), 2)).as("e90"),
-            Num.r6(element_at(col("es"), 3)).as("e99"))
+        val exacts = exactQuantiles(li, Seq(0.5, 0.9, 0.99))
+          .agg(min(when(col("p") === 0.5, col("eq"))).as("q50"),
+            min(when(col("p") === 0.9, col("eq"))).as("q90"),
+            min(when(col("p") === 0.99, col("eq"))).as("q99"))
+          .select(Num.r6(col("q50")).as("e50"),
+            Num.r6(col("q90")).as("e90"),
+            Num.r6(col("q99")).as("e99"))
         val w = (col("mx") - col("mn")) / lit(64.0)
         val hist = li.crossJoin(broadcast(bounds))
           .select(least(lit(63L), floor((col("x") - col("mn")) / w)

@@ -111,7 +111,8 @@ object Spectral {
     // exact integer second-moment triangle (n, Σq_i, Σq_i·q_j); the
     // 64×64 scaled covariance C = n·SS − S·Sᵀ and the 40 v ← C·v
     // iterations run on the driver over BigInt — bounded by the VECTOR
-    // WIDTH, not the data (the q78 bounded-collect rule) — with a
+    // WIDTH, not the data (bounded-collect: driver state independent
+    // of row count) — with a
     // deterministic rescale each step: v' = v·1e6 div max|v|
     // (truncating division; Scala BigInt, DuckDB HUGEINT `//`, and
     // Spark `div` all truncate toward zero, verified). Fixed all-ones
