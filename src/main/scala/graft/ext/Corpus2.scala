@@ -674,7 +674,11 @@ object Corpus2 {
             bySrc.agg(sum(col("src_tokens")).as("tot_tokens"),
               sum(col("sq")).as("tot_sq"))))
           .select(col("source"), col("n_docs"), col("src_tokens"),
-            expr("(tot_tokens div 2) * sq div tot_sq").as("budget_tokens"))
+            // DECIMAL(38,0) cross term (q145 pattern): (tot/2)·sq is
+            // ~tot^1.5/2·1e6, past int64 near 1e10 total tokens — the
+            // quotient (≤ tot/2) always fits back in BIGINT
+            expr("""cast(cast(tot_tokens div 2 as decimal(38,0)) * sq
+                    div tot_sq as bigint)""").as("budget_tokens"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("q_bp").desc, col("doc_id"))
         docs.join(broadcast(budgets), Seq("source"))
@@ -687,8 +691,12 @@ object Corpus2 {
               .as("n_selected"),
             sum(when(col("cum") <= col("budget_tokens"), col("nt"))
               .otherwise(0L)).as("tokens_selected"))
+          // greatest(1,·) guards the all-zero-budget degenerate corpus
+          // (Spark div 0 → NULL, DuckDB // 0 → error); tokens_selected
+          // is then 0 too, so both engines agree on 0. The ×1e6 stays
+          // int64-safe below ~9.2e12 selected tokens.
           .withColumn("utilization_micro",
-            expr("tokens_selected * 1000000 div budget_tokens"))
+            expr("tokens_selected * 1000000 div greatest(1L, budget_tokens)"))
           .select(col("source"), col("n_docs"), col("src_tokens"),
             col("budget_tokens"), col("n_selected"), col("tokens_selected"),
             col("utilization_micro"))
@@ -713,7 +721,8 @@ object Corpus2 {
           FROM by_src),
         budgets AS (
           SELECT source, n_docs, src_tokens,
-            CAST((tot_tokens // 2) * sq // tot_sq AS BIGINT) AS budget_tokens
+            CAST((CAST(tot_tokens AS HUGEINT) // 2) * sq // tot_sq AS BIGINT)
+              AS budget_tokens
           FROM by_src CROSS JOIN tot),
         ranked AS (
           SELECT d.source, d.nt, b.n_docs, b.src_tokens, b.budget_tokens,
@@ -728,8 +737,8 @@ object Corpus2 {
           CAST(SUM(CASE WHEN cum <= budget_tokens THEN nt ELSE 0 END) AS BIGINT)
             AS tokens_selected,
           CAST(CAST(SUM(CASE WHEN cum <= budget_tokens THEN nt ELSE 0 END)
-            AS BIGINT) * 1000000 // ANY_VALUE(budget_tokens) AS BIGINT)
-            AS utilization_micro
+            AS BIGINT) * 1000000 // GREATEST(1, ANY_VALUE(budget_tokens))
+            AS BIGINT) AS utilization_micro
         FROM ranked GROUP BY source ORDER BY source"""),
       "training-mix manifest: sqrt-temperature token budgets filled greedily by integer quality rank — the composed curation artifact"),
 

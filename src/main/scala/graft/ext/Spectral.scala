@@ -75,8 +75,11 @@ object Spectral {
         SELECT i AS dim, SUM(c * v) AS w
         FROM cov JOIN v${t - 1} ON v${t - 1}.dim = cov.j GROUP BY i),
       v$t AS MATERIALIZED (
-        SELECT dim, w * 1000000 // (SELECT MAX(ABS(w)) FROM w$t) AS v
-        FROM w$t)"""
+        SELECT w$t.dim,
+          CASE WHEN (SELECT MAX(ABS(w)) FROM w$t) = 0 THEN vp.v
+               ELSE w$t.w * 1000000
+                    // GREATEST(1, (SELECT MAX(ABS(w)) FROM w$t)) END AS v
+        FROM w$t JOIN v${t - 1} vp ON vp.dim = w$t.dim)"""
     }.mkString(",\n")
     s"""e AS (
       SELECT vec_id, unnest(embedding) AS xf,
@@ -275,8 +278,15 @@ object Spectral {
           .groupBy(col("label"))
           .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
             sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+          // DECIMAL(38,0) cross terms (q145 pattern): u2 ~ n²/2, so
+          // u2·1e6 passes int64 near 4e6 rows; the quotient ≤ 1e6
+          // always fits back in BIGINT. greatest(1,·) guards a label
+          // with no negatives (n_neg = 0 ⇒ u2 = 0 ⇒ auc 0, both engines)
           .withColumn("auc_micro",
-            expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+            expr("""cast(cast(u2 as decimal(38,0)) * 1000000
+                    div greatest(cast(1 as decimal(38,0)),
+                        cast(2 as decimal(38,0)) * n_pos * n_neg)
+                    as bigint)"""))
           .select(col("label"), col("n_pos"), col("n_neg"), col("u2"),
             col("auc_micro"))
           .orderBy(col("label"))
@@ -306,8 +316,9 @@ object Spectral {
         SELECT label, CAST(SUM(np) AS BIGINT) AS n_pos,
           CAST(SUM(nn) AS BIGINT) AS n_neg,
           CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) AS u2,
-          CAST(CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) * 1000000
-            // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+          CAST(CAST(SUM(np * (cum_nn * 2 + nn)) AS HUGEINT) * 1000000
+            // GREATEST(1, 2 * CAST(SUM(np) AS HUGEINT)
+                             * CAST(SUM(nn) AS BIGINT))
             AS BIGINT) AS auc_micro
         FROM cum GROUP BY label ORDER BY label"""),
       "exact integer one-vs-rest Mann-Whitney AUC of the PC1 projection per label — eval metrics without fractional ranks or row replication"))
