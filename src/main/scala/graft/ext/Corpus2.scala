@@ -24,6 +24,58 @@ object Corpus2 {
   private def ngrams(docs: org.apache.spark.sql.DataFrame) =
     Dedup.docShingles(docs, 5).select(col("doc_id"), col("sh").as("tg"))
 
+  /** The q134 incremental-ingest dedup core, shared verbatim by the
+    * batch query and the streaming `foreachBatch` twin
+    * ([[graft.streaming.StreamingIngest]]) so batch ≡ streaming holds
+    * by construction: `docs` is index ∪ incoming batch (doc_id, text),
+    * `isNew` marks the incoming side — it must be a deterministic
+    * predicate over `doc_id` alone (the n-gram pass keeps only
+    * doc_id + gram). Per new doc, staged verdicts:
+    * exact_dup (SHA-256 digest hit in the index, earliest old id) else
+    * near_dup (containment of the doc's informative df≤20 5-grams in
+    * one index doc ≥ 0.8; best = highest intersection, lowest old id)
+    * else unique. Cost is O(batch), not O(corpus): the digest and
+    * rare-gram joins key on content hashes. */
+  def ingestVerdicts(docs: org.apache.spark.sql.DataFrame,
+      isNew: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val oldDig = docs.filter(!isNew)
+      .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("old_id"))
+      .groupBy(col("dig")).agg(min(col("old_id")).as("exact_old"))
+    val exact = docs.filter(isNew)
+      .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+      .join(oldDig, Seq("dig"), "left")
+      .select(col("doc_id"), col("exact_old"))
+    val w = Window.partitionBy(col("tg"))
+    val rt = ngrams(docs).withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+      .localCheckpoint() // read 3x: new sizes, new side, old side
+    val nNew = rt.filter(isNew).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val best = rt.filter(isNew).as("a")
+      .join(rt.filter(!isNew).as("b"), col("a.tg") === col("b.tg"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old"))
+      .agg(count(lit(1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("i"), (lit(0L) - col("old")).as("no"))).as("m"))
+      .select(col("doc_id"), col("m.i").as("best_i"),
+        (lit(0L) - col("m.no")).as("near_old"))
+    exact
+      .join(nNew, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_old").isNotNull, lit("exact_dup"))
+          .when(col("best_i") / col("n_new").cast("double") >= 0.8,
+            lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        when(col("exact_old").isNotNull, col("exact_old"))
+          .when(col("best_i") / col("n_new").cast("double") >= 0.8,
+            col("near_old"))
+          .otherwise(lit(-1L)).as("matched_old_id"),
+        Num.r4(coalesce(col("best_i") / col("n_new").cast("double"),
+          lit(0.0))).as("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   private val sqlNgrams =
     """tri AS (
           SELECT DISTINCT doc_id, tg FROM (
@@ -558,47 +610,8 @@ object Corpus2 {
     // makes nightly ingest O(batch)).
     Query(
       "q134_incremental_ingest",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-        val isNew = col("doc_id") % 2 === 1
-        val oldDig = docs.filter(!isNew)
-          .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("old_id"))
-          .groupBy(col("dig")).agg(min(col("old_id")).as("exact_old"))
-        val exact = docs.filter(isNew)
-          .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
-          .join(oldDig, Seq("dig"), "left")
-          .select(col("doc_id"), col("exact_old"))
-        val w = Window.partitionBy(col("tg"))
-        val rt = ngrams(docs).withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
-          .localCheckpoint() // read 3x: new sizes, new side, old side
-        val nNew = rt.filter(isNew).groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_new"))
-        val best = rt.filter(isNew).as("a")
-          .join(rt.filter(!isNew).as("b"), col("a.tg") === col("b.tg"))
-          .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old"))
-          .agg(count(lit(1)).as("i"))
-          .groupBy(col("doc_id"))
-          .agg(max(struct(col("i"), (lit(0L) - col("old")).as("no"))).as("m"))
-          .select(col("doc_id"), col("m.i").as("best_i"),
-            (lit(0L) - col("m.no")).as("near_old"))
-        exact
-          .join(nNew, Seq("doc_id"), "left")
-          .join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("exact_old").isNotNull, lit("exact_dup"))
-              .when(col("best_i") / col("n_new").cast("double") >= 0.8,
-                lit("near_dup"))
-              .otherwise(lit("unique")).as("verdict"),
-            when(col("exact_old").isNotNull, col("exact_old"))
-              .when(col("best_i") / col("n_new").cast("double") >= 0.8,
-                col("near_old"))
-              .otherwise(lit(-1L)).as("matched_old_id"),
-            Num.r4(coalesce(col("best_i") / col("n_new").cast("double"),
-              lit(0.0))).as("containment"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        ingestVerdicts(Tables.documents(s, d), col("doc_id") % 2 === 1),
       Some(s"""
         WITH $sqlNgrams,
         old_dig AS (
