@@ -43,12 +43,55 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
+    // streaming throughput under a PINNED protocol (full driver runs
+    // only): two FRESH forked JVMs each driving graft.StreamBench at
+    // 100 patients x 600 sim-seconds, report the better — fresh JVMs
+    // remove the warm-state wobble that made r3/r4 numbers (8300 vs
+    // 6938 ev/s) incomparable. -1 = fork failed, never throws.
+    val eps = if (args.isEmpty) streamEps() else -1L
+    val detailed =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_eps":$eps}"""
+    // full per-query map to a FILE: the driver's stdout tail keeps only
+    // ~70 of 156 queries of the detailed line, so round-over-round
+    // regression diffs read this artifact instead
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      (detailed + "\n").getBytes("UTF-8"))
     // detailed per-query line first (for humans / full logs) ...
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(detailed)
     // ... then a SHORT final line: the driver keeps only a bounded tail
     // of stdout, which starts mid-way through the ~2.6KB detailed line —
     // the LAST line must be self-contained and <150 bytes so json.loads
     // always sees one complete object at the end of the tail
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","stream_eps":$eps,"qfile":"BENCH_QUERIES.json"}""")
+  }
+
+  /** Fork `graft.StreamBench 100 600` in a fresh JVM (inheriting this
+    * JVM's module flags and classpath), twice; return the better run's
+    * events/s. Fresh-JVM + max-of-2 is the pinned streaming protocol. */
+  private def streamEps(): Long = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"),
+        "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.StreamBench", "100", "600")).asJava
+      def once(): Double = {
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val lines = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toVector
+        p.waitFor()
+        lines.reverseIterator
+          .find(_.contains("\"stream_events_per_sec\""))
+          .flatMap(l => """"value":([0-9.eE+]+)""".r.findFirstMatchIn(l))
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      }
+      math.max(once(), once()).round
+    } catch { case _: Throwable => -1L }
   }
 }
