@@ -37,9 +37,19 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      // INT64 TIMESTAMP(NANOS): read as raw nanos, truncate to micros
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP_MICROS isAdjustedToUTC=0 reads as NTZ in Spark 4; the
+      // driver's generator writes UTC wall-clock, and every session here
+      // pins spark.sql.session.timeZone=UTC, so the cast is exact and
+      // downstream unix_micros(ts) sees the same instants DuckDB does.
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

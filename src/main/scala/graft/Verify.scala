@@ -20,11 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // stdout AND an artifact: round 5's stderr-only logging let 18
+        // crashed queries vanish from the correctness record entirely
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+        println(s"[verify] FAILED $name: $msg")
+        failures(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +47,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
   }
 }

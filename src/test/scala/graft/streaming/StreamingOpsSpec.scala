@@ -84,16 +84,23 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("parquet file-stream source: windowed agg equals the batch result") {
     val batchDf = graft.Tables.events(spark, sf()) // also sets nanosAsLong
-    // file streams need a directory: point at the sf dir with a glob,
-    // and read ts as raw nanos (like Tables.events does) then truncate
-    val rawSchema = org.apache.spark.sql.types.StructType(batchDf.schema.map(f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-      else f))
-    val stream = spark.readStream
+    // file streams need a directory: point at the sf dir with a glob.
+    // Read with the file's OWN physical schema, then normalize exactly
+    // like Tables.events — the driver has shipped ts as INT64 nanos
+    // (r1-4) and as TIMESTAMP_NTZ (r5+), and this stream must track it.
+    val rawSchema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val rawStream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf())
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        rawStream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => rawStream
+    }
     val agg = StreamingOps.windowedAgg(
       stream.withColumnRenamed("ts", "et"), "user_id", "et", "value",
       "1 day", watermarkDelay = "0 seconds")
