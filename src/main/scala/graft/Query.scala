@@ -45,7 +45,7 @@ object Registry {
     ops.Relational.queries ++ ops.Temporal.queries ++
       ops.HealthQueries.queries ++ ops.Misc.queries ++
       ops.Analytics.queries ++ ops.Relational2.queries ++
-      ops.Relational3.queries ++
+      ops.Relational3.queries ++ ops.TimeModels.queries ++
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.TextRank.queries ++

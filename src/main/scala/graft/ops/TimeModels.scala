@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Num, Query, Tables}
+import graft.functions.{Ar1AnomalyAggregator, Ar1ForecastAggregator, EtsAggregator}
+
+/** ARIMA-family M1/M2 upgrades as oracle-checked queries (reference:
+  * flink_statements.tf:191-202, 305-316 — Confluent's ML built-ins are
+  * ARIMA variants; round 5's q22/q24 pin mean/trend baselines, these
+  * pin the serially-correlated models). All three run through the
+  * typed Aggregators in [[graft.functions.TimeModels]], exercised
+  * exactly as the streaming state processors would fold them.
+  */
+object TimeModels {
+
+  private val Z = graft.functions.Stats.normalQuantile(0.5 + 95.0 / 200.0)
+
+  // shared SQL fragments: lag pairs + cumulative prior-pair regression
+  private val LagCte = """
+    lagd AS (
+      SELECT user_id, event_id, ts, value,
+        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)"""
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q160
+    // AR(1) residual anomaly: fit y_t = c + phi*y_{t-1} on the key's
+    // PRIOR lag pairs (cumulative frame through 1 PRECEDING), flag the
+    // newest point outside +-z*sigma of its one-step prediction.
+    Query(
+      "q160_ar1_anomaly",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val detect = udaf(new Ar1AnomalyAggregator(30, 95.0),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("value"), 1).over(ord))
+          .withColumn("rep",
+            detect(coalesce(col("prev"), lit(Double.NaN)), col("value")).over(cum))
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            col("rep.is_anomaly").as("is_anomaly"),
+            Num.r4(col("rep.expected")).as("expected"),
+            Num.r4(col("rep.lower")).as("lower"),
+            Num.r4(col("rep.upper")).as("upper"),
+            col("rep.n_pairs").as("n_pairs"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some(s"""
+        WITH $LagCte,
+        s AS (
+          SELECT user_id, event_id, ts, value, prev,
+            REGR_COUNT(value, prev) OVER w AS np,
+            REGR_SLOPE(value, prev) OVER w AS phi,
+            REGR_AVGX(value, prev) OVER w AS mx,
+            REGR_AVGY(value, prev) OVER w AS my,
+            REGR_SXX(value, prev) OVER w AS sxx,
+            REGR_SXY(value, prev) OVER w AS sxy,
+            REGR_SYY(value, prev) OVER w AS syy
+          FROM lagd
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        e AS (
+          SELECT user_id, event_id, ts, value, prev, np, phi, mx, my,
+            (prev IS NOT NULL AND np >= 30 AND sxx > 0
+              AND (syy - sxy*sxy/sxx) > 0) AS ok,
+            CASE WHEN np >= 3 AND (syy - sxy*sxy/sxx) > 0
+                 THEN SQRT((syy - sxy*sxy/sxx)/(np-2)) END AS sigma
+          FROM s)
+        SELECT user_id, event_id, ts, value,
+          COALESCE(ok AND ABS(value - (my + phi * (prev - mx))) > $Z * sigma,
+                   FALSE) AS is_anomaly,
+          CASE WHEN ok THEN
+            FLOOR((my + phi * (prev - mx)) * 10000 + 0.500001) / 10000 END AS expected,
+          CASE WHEN ok THEN
+            FLOOR((my + phi * (prev - mx) - $Z * sigma) * 10000 + 0.500001) / 10000 END AS lower,
+          CASE WHEN ok THEN
+            FLOOR((my + phi * (prev - mx) + $Z * sigma) * 10000 + 0.500001) / 10000 END AS upper,
+          CAST(np AS BIGINT) AS n_pairs
+        FROM e ORDER BY user_id, ts, event_id"""),
+      "M1 upgrade: AR(1) one-step residual z-score per key (ARIMA(1,0,0) semantics)"),
+
+    // ---------------------------------------------------------------- q161
+    // AR(1) h-step forecast from the key's last observation with the
+    // WIDENING AR(1) error band sigma*sqrt(sum phi^{2j}) — the property
+    // that separates an ARIMA forecast from a constant-width trend band.
+    Query(
+      "q161_ar1_forecast",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val fc = udaf(new Ar1ForecastAggregator(30, 3, 95.0),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+            Encoders.scalaLong, Encoders.scalaLong))
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("value"), 1).over(ord))
+          .groupBy(col("user_id"))
+          .agg(fc(coalesce(col("prev"), lit(Double.NaN)), col("value"),
+            unix_micros(col("ts")), col("event_id").cast("long")).as("steps"))
+          .select(col("user_id"), explode(col("steps")).as("st"))
+          .select(col("user_id"), col("st.h").as("h"),
+            col("st.n_pairs").as("n_pairs"),
+            Num.r4(col("st.forecast_value")).as("forecast_value"),
+            Num.r4(col("st.lower_bound")).as("lower_bound"),
+            Num.r4(col("st.upper_bound")).as("upper_bound"))
+          .orderBy(col("user_id"), col("h"))
+      },
+      Some(s"""
+        WITH $LagCte,
+        fit AS (
+          SELECT user_id,
+            REGR_COUNT(value, prev) AS np, REGR_SLOPE(value, prev) AS phi,
+            REGR_AVGX(value, prev) AS mx, REGR_AVGY(value, prev) AS my,
+            REGR_SXX(value, prev) AS sxx, REGR_SXY(value, prev) AS sxy,
+            REGR_SYY(value, prev) AS syy
+          FROM lagd GROUP BY user_id),
+        lastv AS (
+          SELECT user_id, value AS yn FROM (
+            SELECT user_id, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+        e AS (
+          SELECT f.user_id, hh.h, f.np, f.phi,
+            my - phi * mx AS c, l.yn,
+            SQRT((syy - sxy*sxy/sxx)/(np-2)) AS sigma,
+            CASE hh.h WHEN 1 THEN 1.0 WHEN 2 THEN 1.0 + phi
+                      ELSE 1.0 + phi + phi*phi END AS sumj,
+            CASE hh.h WHEN 1 THEN 1.0 WHEN 2 THEN 1.0 + phi*phi
+                      ELSE 1.0 + phi*phi + (phi*phi)*(phi*phi) END AS sumj2,
+            CASE hh.h WHEN 1 THEN phi WHEN 2 THEN phi*phi
+                      ELSE (phi*phi)*phi END AS phih
+          FROM fit f
+          CROSS JOIN (SELECT * FROM (VALUES (1),(2),(3)) AS t(h)) hh
+          JOIN lastv l ON f.user_id = l.user_id
+          WHERE np >= 30 AND sxx > 0 AND (syy - sxy*sxy/sxx) > 0)
+        SELECT user_id, h, CAST(np AS BIGINT) AS n_pairs,
+          FLOOR((c*sumj + phih*yn) * 10000 + 0.500001) / 10000 AS forecast_value,
+          FLOOR((c*sumj + phih*yn - $Z * sigma * SQRT(sumj2)) * 10000 + 0.500001) / 10000 AS lower_bound,
+          FLOOR((c*sumj + phih*yn + $Z * sigma * SQRT(sumj2)) * 10000 + 0.500001) / 10000 AS upper_bound
+        FROM e ORDER BY user_id, h"""),
+      "M2 upgrade: AR(1) 3-step forecast with widening prediction interval"),
+
+    // ---------------------------------------------------------------- q162
+    // ETS(A,N,N) final level per key: sequential fold l <- l + a(y-l)
+    // in event order; the 1-step forecast equals the level. The oracle
+    // folds the identical doubles in the identical order (list_reduce
+    // seeds with the first element, as the aggregator does).
+    Query(
+      "q162_ets_level",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ets = udaf(new EtsAggregator(0.3), Encoders.scalaDouble)
+        Tables.events(s, d)
+          .withColumn("lvl", ets(col("value")).over(cum))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n"),
+            Num.r4(col("lvl")).as("ets_level"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          FLOOR((list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc + 0.3 * (x - acc)))
+                * 10000 + 0.500001) / 10000 AS ets_level
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      "ETS(A,N,N) simple-exponential-smoothing level per key (1-step forecast = level)")
+  )
+}

@@ -70,6 +70,29 @@ class StreamingHealthSpec extends SparkSpec {
     assert(scoredRows.filter(_._7).forall(_._2 >= minAlertStart))
   }
 
+  test("golden scenario: first alert lands within the reference's latency bound") {
+    // BASELINE.md scenario row (health_simulator.py:110-129): onset 30 s,
+    // HR glides 65→20 over 180 s, alert threshold forecast < 40. The
+    // first alert may not precede both the onset and the warm-up, and
+    // must land DURING the glide — detection that misses the 180 s
+    // excursion entirely would be clinically useless.
+    val alerts = scoredRows.filter(_._7)
+    assert(alerts.nonEmpty)
+    val firstMs = alerts.map(_._2).min - sim.originMs
+    val onsetMs = (sim.bradyOnsetS * 1000).toLong
+    val warmEndMs = MinTrain.toLong * WindowMs
+    assert(firstMs >= math.max(onsetMs, warmEndMs - WindowMs),
+      s"first alert at ${firstMs}ms precedes onset/warm-up")
+    // HR crosses 40 bpm at onset + 180*(65-40)/(65-20) = 130 s; the
+    // 1-step trend forecast leads the observation by up to one window
+    val crossMs = onsetMs + (sim.bradyDurationS * 1000 * 25.0 / 45.0).toLong
+    val glideEndMs = onsetMs + (sim.bradyDurationS * 1000).toLong
+    assert(firstMs <= glideEndMs + 2 * WindowMs,
+      s"first alert at ${firstMs}ms missed the glide (ends ${glideEndMs}ms)")
+    info(s"detection latency: first alert at ${firstMs}ms, " +
+      s"HR crossed threshold at ~${crossMs}ms, onset ${onsetMs}ms")
+  }
+
   test("no window flags anomalous during detector warm-up") {
     // warm-up = first MinTrain windows per patient
     val byPatient = scoredRows.groupBy(_._1)
