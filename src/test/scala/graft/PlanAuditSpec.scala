@@ -71,4 +71,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "q140: the pairwise cosine must be bounded by the IVF cell join")
   }
+
+  test("time models (q160-q162) shuffle the events once, on the key") {
+    // lag window, cumulative-UDAF window and the per-key aggregate all
+    // partition on user_id: Catalyst must satisfy them with ONE hash
+    // exchange (the trailing range exchange is the output ORDER BY)
+    Seq("q160_ar1_anomaly", "q161_ar1_forecast", "q162_ets_level").foreach { q =>
+      val p = plan(q)
+      val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nHash == 1, s"$q: expected exactly one hash exchange, got $nHash")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+  }
 }
