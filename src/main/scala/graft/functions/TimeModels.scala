@@ -29,7 +29,7 @@ object TimeModels {
 /** AR(1) fit summary derived from a [[RegState]] over (y_{t-1}, y_t)
   * pairs: slope φ, intercept c, and residual variance σ² = SSE/(n−2)
   * (OLS with 2 estimated parameters). */
-private[functions] object Ar1Fit {
+private[graft] object Ar1Fit {
   /** (phi, c, sigma, valid): valid requires n ≥ max(minTrain, 3) pairs,
     * x-variance > 0 (φ defined) and σ > 0 (interval defined). */
   def apply(s: RegState, minTrain: Int): (Double, Double, Double, Boolean) = {

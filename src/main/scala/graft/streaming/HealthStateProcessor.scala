@@ -28,7 +28,7 @@ final case class HealthScore(
 final case class VitalPoint(patient_id: Int, event_time: java.sql.Timestamp,
     value: Double)
 
-private final case class BucketAcc(startMs: Long, sum: Double, count: Long)
+private[streaming] final case class BucketAcc(startMs: Long, sum: Double, count: Long)
 
 /** The whole reference pipeline (flink_statements.tf statements
   * [2]→[4]) as ONE per-key stateful operator on `transformWithState` —
@@ -65,7 +65,7 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
   @transient private var trend: ValueState[RegState] = _
   @transient private var armedTimer: ValueState[Long] = _
 
-  private val z = Stats.normalQuantile(0.5 + confidencePercentage / 200.0)
+  protected val z: Double = Stats.normalQuantile(0.5 + confidencePercentage / 200.0)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     pending = getHandle.getListState("pending", Encoders.product[VitalPoint], TTLConfig.NONE)
@@ -158,8 +158,11 @@ class HealthStateProcessor(windowMs: Long, minTraining: Int,
     out.result()
   }
 
-  /** Statement [2b]+[3]+[4] for one closed window. */
-  private def closeBucket(key: Int, b: BucketAcc): HealthScore = {
+  /** Statement [2b]+[3]+[4] for one closed window. Protected so model
+    * variants ([[Ar1HealthStateProcessor]]) can swap the scoring while
+    * inheriting the watermark/bucket/timer machinery unchanged — the
+    * "same Aggregator interface" property the batch side has. */
+  protected def closeBucket(key: Int, b: BucketAcc): HealthScore = {
     val avg = b.sum / b.count
     val prior = Option(model.get()).getOrElse(WelfordState(0, 0.0, 0.0))
     val sigma = prior.stddevSamp

@@ -51,6 +51,27 @@ object StreamingHealth {
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
   }
 
+  /** [[score]] with the ARIMA-family model swapped in: AR(1) residual
+    * anomaly + AR(1) 1-step forecast alerting ([[Ar1HealthStateProcessor]]),
+    * same watermark/window semantics. */
+  def scoreAr1(events: DataFrame, watermarkDelay: String,
+      windowMs: Long = DefaultWindowMs, minTraining: Int = 30,
+      confidencePercentage: Double = 95.0, alertThreshold: Double = 40.0,
+      originMs: Long = Health.OriginMs): Dataset[HealthScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("patient_id").cast("int").as("patient_id"),
+        col("event_time"), col("value").cast("double").as("value"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[VitalPoint]
+      .groupByKey(_.patient_id)
+      .transformWithState(
+        new Ar1HealthStateProcessor(windowMs, minTraining, confidencePercentage,
+          alertThreshold, originMs),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
+  }
+
   /** Statement [4]'s final filter: the `heartbeat_alerts` stream
     * (flink_statements.tf:299-333). */
   def alerts(scored: Dataset[HealthScore]): DataFrame =
