@@ -53,7 +53,8 @@ object Registry {
       ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries ++
       ext.Behavior.queries ++ ext.Quality.queries ++ ext.Curves.queries ++
       ext.Sketches.queries ++ ext.Layout.queries ++ ext.Trend.queries ++
-      ext.Linkage.queries ++ ext.VectorStats.queries ++ ext.Spectral.queries
+      ext.Linkage.queries ++ ext.VectorStats.queries ++ ext.Spectral.queries ++
+      ext.LmQuality.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -192,6 +192,84 @@ object Dedup {
           WHERE FLOOR((COALESCE(i.n_inter, 0) / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))) * 10000 + 0.500001) / 10000 >= 0.8)"""
   }
 
+  /** Transitive near-dup clusters: (doc_id, cluster_id, cluster_size),
+    * cluster_id = the smallest doc_id reachable through the undirected
+    * verified-pair graph. CC runs on the REP graph (exact-dup groups
+    * collapsed), so a corpus with heavy verbatim duplication contributes
+    * no extra edges; membership expansion afterwards is one linear join.
+    * Computed the way web-scale pipelines do it — iterative min-label
+    * propagation (Hash-to-Min family) with pointer doubling
+    * (O(log diameter) rounds); every frame in the loop is EDGE-sized,
+    * never corpus-sized, and each round is localCheckpoint-truncated (a
+    * loop that only persists grows each round's plan with the whole
+    * previous lineage — measured 27 s at sf0.1). Shared by q84 and the
+    * q164 dedup-aware split. */
+  private[ext] def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (pairs, memb) = repCollapse(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val half = labels
+        .join(nbrMin.withColumnRenamed("src", "doc"), Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer doubling: also adopt the label OF the current label,
+      // turning O(diameter) convergence into O(log diameter) — the
+      // chain case (A~B~C~...~Z) otherwise costs one Spark job per
+      // hop, which dominates wall time long before data size does
+      val next = half
+        .join(half.select(col("doc").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      moved = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc"))
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    // expand rep labels to members; exact-dup groups of >= 2 docs
+    // whose rep has no cross-group partner are clusters on their own
+    // (identical texts are mutual near-dups, J = 1)
+    val lonely = memb.groupBy(col("rep")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .join(labels.withColumnRenamed("doc", "rep"), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc"), col("rep").as("lbl"))
+    val docLabels = memb
+      .join(labels.union(lonely).withColumnRenamed("doc", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("lbl"))
+    val sizes = docLabels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docLabels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** The q84 oracle's CTE chain through per-doc cluster ids — verified
+    * pairs, undirected edges, recursive reachability, MIN label — for
+    * reuse by oracles that consume clusters (q164). Must run under
+    * `WITH RECURSIVE`. */
+  private[ext] def sqlClusterCtes: String = s"""$sqlVerifiedCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        walk(doc, lbl) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+        clusters AS (
+          SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)"""
+
   /** Exact-dup collapse before fuzzy dedup — the standard 100 TB order
     * of operations. On a heavily-duplicated corpus the LSH candidate
     * set grows QUADRATICALLY in the duplication factor (every copy
@@ -383,89 +461,14 @@ object Dedup {
     // Transitive duplicate CLUSTERS over the verified near-dup pairs:
     // cluster_id = smallest doc_id reachable through the undirected pair
     // graph. q80's one-hop dup_of under-merges chains (A~B, B~C but not
-    // A~C); full clustering needs connected components. Computed the way
-    // web-scale pipelines do it — iterative min-label propagation
-    // (Hash-to-Min family): each round, every node takes the min of its
-    // own label and its neighbors'; rounds needed = component diameter
-    // (near-dup clusters are tiny — 2-4 docs here), each round is one
-    // small join+agg over the EDGE set only, never the corpus. The
-    // driver-side loop with a count() per round is the standard Pregel
-    // shape; all frames involved are pair-sized, not corpus-sized.
+    // A~C); full clustering needs connected components — see
+    // [[clusterLabels]], shared with the q164 dedup-aware split.
     // Oracle: DuckDB WITH RECURSIVE reachability + MIN per node.
     Query(
       "q84_dup_clusters",
-      (s, d) => {
-        // CC runs on the REP graph (exact-dup groups collapsed): nodes
-        // are distinct-text representatives, so a corpus with heavy
-        // verbatim duplication contributes no extra edges — membership
-        // expansion afterwards is one linear join.
-        // localCheckpoint (not persist) between rounds: an iterative
-        // loop that only persists grows each round's logical plan with
-        // the whole previous lineage, and one cache miss (or a cascaded
-        // unpersist) silently re-evaluates the accumulated chain —
-        // measured 27 s at sf0.1. Checkpointing truncates the plan to
-        // the materialized partitions, so every round is O(frontier).
-        val (pairs, memb) = repCollapse(s, d)
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
-        var moved = 1L
-        var rounds = 0
-        while (moved > 0 && rounds < 64) {
-          val nbrMin = edges
-            .join(labels.select(col("doc").as("dst"), col("lbl")), "dst")
-            .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-          val half = labels
-            .join(nbrMin.withColumnRenamed("src", "doc"), Seq("doc"), "left")
-            .select(col("doc"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          // pointer doubling: also adopt the label OF the current label,
-          // turning O(diameter) convergence into O(log diameter) — the
-          // chain case (A~B~C~...~Z) otherwise costs one Spark job per
-          // hop, which dominates wall time long before data size does
-          val next = half
-            .join(half.select(col("doc").as("lbl"), col("lbl").as("lbl2")),
-              Seq("lbl"), "left")
-            .select(col("doc"),
-              least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
-          moved = next
-            .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc"))
-            .filter(col("lbl") < col("prev")).count()
-          labels = next
-          rounds += 1
-        }
-        // expand rep labels to members; exact-dup groups of >= 2 docs
-        // whose rep has no cross-group partner are clusters on their own
-        // (identical texts are mutual near-dups, J = 1)
-        val lonely = memb.groupBy(col("rep")).agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .join(labels.withColumnRenamed("doc", "rep"), Seq("rep"), "left_anti")
-          .select(col("rep").as("doc"), col("rep").as("lbl"))
-        val docLabels = memb
-          .join(labels.union(lonely).withColumnRenamed("doc", "rep"), Seq("rep"))
-          .select(col("doc_id"), col("lbl"))
-        val sizes = docLabels.groupBy(col("lbl"))
-          .agg(count(lit(1)).as("cluster_size"))
-        docLabels.join(sizes, Seq("lbl"))
-          .select(col("doc_id"), col("lbl").as("cluster_id"),
-            col("cluster_size"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => clusterLabels(s, d).orderBy(col("doc_id")),
       Some(s"""
-        WITH RECURSIVE $sqlVerifiedCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM verified
-          UNION ALL SELECT doc_b, doc_a FROM verified),
-        nodes AS (SELECT DISTINCT a AS doc FROM edges),
-        walk(doc, lbl) AS (
-          SELECT doc, doc FROM nodes
-          UNION
-          SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
-        clusters AS (
-          SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc),
+        WITH RECURSIVE $sqlClusterCtes,
         sizes AS (
           SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           FROM clusters GROUP BY cluster_id)
