@@ -183,6 +183,80 @@ class Ar1ForecastAggregator(minTrainingSize: Int, horizon: Int,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Ar1Step]]()
 }
 
+/** Buffer for ETS(A,A) Holt linear trend. `l`/`b` are the plain
+  * sequential recurrence (bit-exact on the ordered-window path). For
+  * merging, the span's effect on an incoming state is tracked as an
+  * AFFINE map: one Holt step is v' = A·v + u·y with constant
+  * A = [[1−α, 1−α], [−γα, 1−γα]], u = [α, γα], so a span of steps
+  * composes to v_out = M·v_in + c with M, c accumulated by step
+  * composition — the property that makes a 2-D linear state-space
+  * model mergeable (and hence map-side combinable) at all. `firstY`
+  * seeds the key's state (l=firstY, b=0). */
+final case class HoltBuf(n: Long, firstY: Double, l: Double, b: Double,
+    m00: Double, m01: Double, m10: Double, m11: Double,
+    c0: Double, c1: Double)
+
+/** ETS(A,A) — Holt's linear trend: l' = α·y + (1−α)(l+b),
+  * b' = γ(l'−l) + (1−γ)b, seeded (l,b) = (y₁, 0). `finish` returns
+  * (level, trend); the h-step forecast is level + h·trend. Sequential
+  * use is the bit-exact plain recurrence; merged use composes the
+  * spans' affine maps (exact in real arithmetic, output-rounding
+  * covers the FP re-association). */
+class HoltAggregator(alpha: Double, gamma: Double)
+    extends Aggregator[Double, HoltBuf, (Double, Double)] {
+
+  override def zero: HoltBuf = HoltBuf(0L, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+  override def reduce(buf: HoltBuf, x: Double): HoltBuf = {
+    if (buf.n == 0L) HoltBuf(1L, x, x, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    else {
+      val l1 = alpha * x + (1.0 - alpha) * (buf.l + buf.b)
+      val b1 = gamma * (l1 - buf.l) + (1.0 - gamma) * buf.b
+      // compose one step onto the span map: M' = A·M, c' = A·c + u·x
+      val (a00, a01, a10, a11) = (1.0 - alpha, 1.0 - alpha, -gamma * alpha, 1.0 - gamma * alpha)
+      HoltBuf(buf.n + 1, buf.firstY, l1, b1,
+        a00 * buf.m00 + a01 * buf.m10, a00 * buf.m01 + a01 * buf.m11,
+        a10 * buf.m00 + a11 * buf.m10, a10 * buf.m01 + a11 * buf.m11,
+        a00 * buf.c0 + a01 * buf.c1 + alpha * x,
+        a10 * buf.c0 + a11 * buf.c1 + gamma * alpha * x)
+    }
+  }
+
+  override def merge(a: HoltBuf, bb: HoltBuf): HoltBuf = {
+    if (a.n == 0) bb
+    else if (bb.n == 0) a
+    else {
+      // bb's own first element was folded as a SEED; replay it as a
+      // regular STEP of the combined sequence, then apply bb's span map
+      val (a00, a01, a10, a11) = (1.0 - alpha, 1.0 - alpha, -gamma * alpha, 1.0 - gamma * alpha)
+      // step map for bb.firstY composed under bb.(M,c):
+      val s00 = bb.m00 * a00 + bb.m01 * a10
+      val s01 = bb.m00 * a01 + bb.m01 * a11
+      val s10 = bb.m10 * a00 + bb.m11 * a10
+      val s11 = bb.m10 * a01 + bb.m11 * a11
+      val sc0 = bb.m00 * (alpha * bb.firstY) + bb.m01 * (gamma * alpha * bb.firstY) + bb.c0
+      val sc1 = bb.m10 * (alpha * bb.firstY) + bb.m11 * (gamma * alpha * bb.firstY) + bb.c1
+      val m00 = s00 * a.m00 + s01 * a.m10
+      val m01 = s00 * a.m01 + s01 * a.m11
+      val m10 = s10 * a.m00 + s11 * a.m10
+      val m11 = s10 * a.m01 + s11 * a.m11
+      val c0 = s00 * a.c0 + s01 * a.c1 + sc0
+      val c1 = s10 * a.c0 + s11 * a.c1 + sc1
+      // recover (l, b) by applying the merged map to the seed
+      val l = m00 * a.firstY + c0
+      val b = m10 * a.firstY + c1
+      HoltBuf(a.n + bb.n, a.firstY, l, b, m00, m01, m10, m11, c0, c1)
+    }
+  }
+
+  override def finish(buf: HoltBuf): (Double, Double) =
+    if (buf.n == 0) (Double.NaN, Double.NaN) else (buf.l, buf.b)
+
+  override def bufferEncoder: Encoder[HoltBuf] = Encoders.product[HoltBuf]
+  override def outputEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+}
+
 /** Buffer for ETS(A,N,N): `level` is the plain sequential fold
   * `l ← l + α·(y − l)` seeded with the key's FIRST value — bit-exact
   * against any engine that folds the same doubles in the same order.

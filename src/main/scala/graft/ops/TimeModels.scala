@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Num, Query, Tables}
-import graft.functions.{Ar1AnomalyAggregator, Ar1ForecastAggregator, EtsAggregator}
+import graft.functions.{Ar1AnomalyAggregator, Ar1ForecastAggregator, EtsAggregator, HoltAggregator}
 
 /** ARIMA-family M1/M2 upgrades as oracle-checked queries (reference:
   * flink_statements.tf:191-202, 305-316 — Confluent's ML built-ins are
@@ -170,6 +170,62 @@ object TimeModels {
                              (acc, x) -> acc + 0.3 * (x - acc)))
                 * 10000 + 0.500001) / 10000 AS ets_level
         FROM events GROUP BY user_id ORDER BY user_id"""),
-      "ETS(A,N,N) simple-exponential-smoothing level per key (1-step forecast = level)")
+      "ETS(A,N,N) simple-exponential-smoothing level per key (1-step forecast = level)"),
+
+    // ---------------------------------------------------------------- q165
+    // ETS(A,A) Holt linear trend: per-key (level, trend) after the
+    // sequential recurrence in event order, plus the h-step forecasts
+    // level + h*trend. The oracle replays the IDENTICAL recurrence via
+    // a recursive CTE (one step per recursion level), so both engines
+    // fold the same doubles in the same order. Spark side runs the
+    // affine-mergeable HoltAggregator over the cumulative ordered
+    // frame (sequential path — bit-exact).
+    Query(
+      "q165_holt_forecast",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val holt = udaf(new HoltAggregator(0.3, 0.1), Encoders.scalaDouble)
+        Tables.events(s, d)
+          .withColumn("st", holt(col("value")).over(cum))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n"),
+            Num.r4(col("st._1")).as("level"),
+            Num.r4(col("st._2")).as("trend"),
+            Num.r4(col("st._1") + col("st._2")).as("fc1"),
+            Num.r4(col("st._1") + lit(2.0) * col("st._2")).as("fc2"),
+            Num.r4(col("st._1") + lit(3.0) * col("st._2")).as("fc3"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH RECURSIVE src AS (
+          SELECT user_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            CAST(value AS DOUBLE) AS y
+          FROM events),
+        nmax AS (SELECT user_id AS nk, CAST(MAX(rn) AS BIGINT) AS n FROM src GROUP BY user_id),
+        walk(user_id, rn, l, b) AS (
+          SELECT user_id, rn, y, CAST(0.0 AS DOUBLE) FROM src WHERE rn = 1
+          UNION ALL
+          -- complements are COMPUTED (1.0 - a), not literals: double
+          -- 1.0-0.3 is one ulp above 0.7, and the Scala side computes
+          -- the complement — a literal 0.7 here would drift 1 ulp/step
+          SELECT s.user_id, s.rn,
+            0.3 * s.y + (CAST(1.0 AS DOUBLE) - 0.3) * (w.l + w.b),
+            0.1 * ((0.3 * s.y + (CAST(1.0 AS DOUBLE) - 0.3) * (w.l + w.b)) - w.l)
+              + (CAST(1.0 AS DOUBLE) - 0.1) * w.b
+          FROM walk w JOIN src s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+        SELECT w.user_id, n,
+          FLOOR(l * 10000 + 0.500001) / 10000 AS level,
+          FLOOR(b * 10000 + 0.500001) / 10000 AS trend,
+          FLOOR((l + b) * 10000 + 0.500001) / 10000 AS fc1,
+          FLOOR((l + 2.0 * b) * 10000 + 0.500001) / 10000 AS fc2,
+          FLOOR((l + 3.0 * b) * 10000 + 0.500001) / 10000 AS fc3
+        FROM walk w JOIN nmax ON nk = w.user_id AND w.rn = n
+        ORDER BY w.user_id"""),
+      "ETS(A,A) Holt linear-trend level/trend per key with h-step forecasts (affine-mergeable state)")
   )
 }

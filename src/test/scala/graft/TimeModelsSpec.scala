@@ -142,6 +142,46 @@ class TimeModelsSpec extends SparkSpec {
     assert(math.abs(agg.finish(m2) - ref) < 1e-9)
   }
 
+  test("HoltBuf: sequential fold is the plain recurrence; affine merge matches it") {
+    val xs = ar1Series(500, c = 6.0, phi = 0.5, sigma = 1.5, seed = 13L)
+      .zipWithIndex.map { case (x, i) => x + 0.05 * i } // add a real trend
+    val agg = new HoltAggregator(0.3, 0.1)
+    // plain reference fold
+    var l = xs(0); var b = 0.0
+    for (x <- xs.drop(1)) {
+      val l1 = 0.3 * x + (1.0 - 0.3) * (l + b)
+      b = 0.1 * (l1 - l) + (1.0 - 0.1) * b
+      l = l1
+    }
+    var buf = agg.zero
+    for (x <- xs) buf = agg.reduce(buf, x)
+    val (sl, sb) = agg.finish(buf)
+    assert(sl == l && sb == b, "sequential path must be bit-exact")
+    // trend recovery needs signal >> noise (gamma=0.1 averages ~10
+    // level-diffs, each carrying alpha*sigma noise): low-noise ramp
+    var rbuf = agg.zero
+    val rng2 = new scala.util.Random(1L)
+    for (i <- 0 until 400)
+      rbuf = agg.reduce(rbuf, 2.0 + 0.5 * i + 0.05 * rng2.nextGaussian())
+    val (_, rTrend) = agg.finish(rbuf)
+    assert(math.abs(rTrend - 0.5) < 0.05, s"trend $rTrend on a 0.5/step ramp")
+    // merged spans agree to fp-roundoff (exact in real arithmetic)
+    def span(lo: Int, hi: Int) = {
+      var s = agg.zero
+      var i = lo
+      while (i < hi) { s = agg.reduce(s, xs(i)); i += 1 }
+      s
+    }
+    val m = agg.merge(agg.merge(span(0, 88), span(88, 231)), span(231, 500))
+    val (ml, mb) = agg.finish(m)
+    assert(math.abs(ml - l) < 1e-8 && math.abs(mb - b) < 1e-8,
+      s"merged ($ml,$mb) vs sequential ($l,$b)")
+    // single-element spans (the degenerate merge path)
+    val m2 = agg.merge(agg.merge(span(0, 1), span(1, 2)), span(2, 500))
+    val (m2l, m2b) = agg.finish(m2)
+    assert(math.abs(m2l - l) < 1e-8 && math.abs(m2b - b) < 1e-8)
+  }
+
   test("q160/q161/q162 run on driver data and respect warm-up at sf0.001") {
     val byName = Registry.all.map(q => q.name -> q).toMap
     val q160 = byName("q160_ar1_anomaly").run(spark, sf())
