@@ -226,6 +226,98 @@ object TimeModels {
           FLOOR((l + 3.0 * b) * 10000 + 0.500001) / 10000 AS fc3
         FROM walk w JOIN nmax ON nk = w.user_id AND w.rn = n
         ORDER BY w.user_id"""),
-      "ETS(A,A) Holt linear-trend level/trend per key with h-step forecasts (affine-mergeable state)")
+      "ETS(A,A) Holt linear-trend level/trend per key with h-step forecasts (affine-mergeable state)"),
+
+    // ---------------------------------------------------------------- q166
+    // STL-lite seasonal decomposition per event type: hourly bucket
+    // averages, trend = centered 25-bucket moving average, seasonal =
+    // mean detrended value per hour-of-day. One groupBy + one bounded
+    // ROWS window per type + one 24-row aggregate — the classical
+    // decomposition with only scale-free shuffles (hour buckets are
+    // bounded by the time span, not the row count).
+    Query(
+      "q166_seasonal_decompose",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(avg(col("value")).as("hv"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(-12, 12)
+        hourly.withColumn("detr", col("hv") - avg(col("hv")).over(w))
+          .groupBy(col("event_type"), hour(col("bucket")).as("hour_of_day"))
+          .agg(count(lit(1)).as("n_buckets"),
+            Num.r4(avg(col("detr"))).as("seasonal"))
+          .orderBy(col("event_type"), col("hour_of_day"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS hv
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        detr AS (
+          SELECT event_type, bucket,
+            hv - AVG(hv) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS detr
+          FROM hourly)
+        SELECT event_type, CAST(EXTRACT(hour FROM bucket) AS INTEGER) AS hour_of_day,
+          CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          FLOOR(AVG(detr) * 10000 + 0.500001) / 10000 AS seasonal
+        FROM detr
+        GROUP BY event_type, EXTRACT(hour FROM bucket)
+        ORDER BY event_type, hour_of_day"""),
+      "STL-lite: hourly buckets, centered-MA trend removal, per-hour-of-day seasonal profile"),
+
+    // ---------------------------------------------------------------- q167
+    // CUSUM changepoint per key, ALL-INTEGER: quantize values to
+    // micro-units, then the scaled statistic n*P_t - t*Q (P = prefix
+    // sum, Q = total) is exact int64 arithmetic in both engines, so the
+    // argmax position can never flip on a last-ulp difference the way a
+    // double prefix sum can (Spark folds running sums incrementally,
+    // DuckDB uses segment trees - different FP association). Reports
+    // the peak |CUSUM| in original units and where it happened.
+    Query(
+      "q167_cusum_changepoint",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy(col("user_id"))
+        val q = Tables.events(s, d)
+          .withColumn("vq", floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("p", sum(col("vq")).over(cum))
+          .withColumn("t", row_number().over(ord).cast("long"))
+          .withColumn("n", count(lit(1)).over(whole))
+          .withColumn("tot", sum(col("vq")).over(whole))
+          .withColumn("absc", abs(col("n") * col("p") - col("t") * col("tot")))
+        q.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("absc").desc, col("ts"), col("event_id"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n"), col("ts").as("peak_ts"),
+            Num.r4(col("absc") / (col("n") * lit(1000000.0))).as("max_cusum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT user_id, ts, event_id,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, vq,
+            SUM(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS t,
+            COUNT(*) OVER (PARTITION BY user_id) AS n,
+            SUM(vq) OVER (PARTITION BY user_id) AS tot
+          FROM q),
+        c AS (
+          SELECT user_id, ts, event_id, n, ABS(n * p - t * tot) AS absc FROM s),
+        r AS (
+          SELECT user_id, ts, n, absc,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY absc DESC, ts, event_id) AS rn
+          FROM c)
+        SELECT user_id, CAST(n AS BIGINT) AS n, ts AS peak_ts,
+          FLOOR((absc / (n * 1000000.0)) * 10000 + 0.500001) / 10000 AS max_cusum
+        FROM r WHERE rn = 1 ORDER BY user_id"""),
+      "CUSUM changepoint per key: exact-integer scaled statistic, peak position and magnitude")
   )
 }

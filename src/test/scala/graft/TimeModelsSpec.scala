@@ -182,6 +182,42 @@ class TimeModelsSpec extends SparkSpec {
     assert(math.abs(m2l - l) < 1e-8 && math.abs(m2b - b) < 1e-8)
   }
 
+  test("CUSUM locates a planted level shift; seasonal profile is mean-zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted shift: mean 10 for t < 300, mean 14 after — the scaled
+    // CUSUM statistic peaks AT the change point
+    val rng = new scala.util.Random(23L)
+    val rows = (0 until 600).map { t =>
+      val mu = if (t < 300) 10.0 else 14.0
+      (1L, new java.sql.Timestamp(1704067200000L + t * 1000L), t.toLong,
+        mu + 0.3 * rng.nextGaussian())
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("user_id"))
+    val peak = df
+      .withColumn("vq", floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("p", sum(col("vq")).over(cum))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("tot", sum(col("vq")).over(whole))
+      .withColumn("absc", abs(col("n") * col("p") - col("t") * col("tot")))
+      .orderBy(col("absc").desc).select(col("event_id")).head().getLong(0)
+    assert(math.abs(peak - 299) <= 5, s"CUSUM peak at $peak, planted at 299")
+
+    // q166 on driver data: per event_type, the seasonal components are
+    // mean-zero by construction (deviations from the trend)
+    val q166 = Registry.all.find(_.name == "q166_seasonal_decompose").get
+      .run(spark, sf()).collect()
+    q166.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val weighted = rs.map(r => r.getAs[Double]("seasonal") * r.getAs[Long]("n_buckets")).sum
+      val n = rs.map(_.getAs[Long]("n_buckets")).sum
+      assert(math.abs(weighted / n) < 0.5, s"seasonal not mean-centered for $et")
+    }
+  }
+
   test("q160/q161/q162 run on driver data and respect warm-up at sf0.001") {
     val byName = Registry.all.map(q => q.name -> q).toMap
     val q160 = byName("q160_ar1_anomaly").run(spark, sf())
