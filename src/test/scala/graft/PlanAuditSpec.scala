@@ -77,7 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     // partition on user_id: Catalyst must satisfy them with ONE hash
     // exchange (the trailing range exchange is the output ORDER BY)
     Seq("q160_ar1_anomaly", "q161_ar1_forecast", "q162_ets_level",
-      "q165_holt_forecast").foreach { q =>
+      "q165_holt_forecast", "q167_cusum_changepoint").foreach { q =>
       val p = plan(q)
       val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(nHash == 1, s"$q: expected exactly one hash exchange, got $nHash")
