@@ -318,6 +318,92 @@ object TimeModels {
         SELECT user_id, CAST(n AS BIGINT) AS n, ts AS peak_ts,
           FLOOR((absc / (n * 1000000.0)) * 10000 + 0.500001) / 10000 AS max_cusum
         FROM r WHERE rn = 1 ORDER BY user_id"""),
-      "CUSUM changepoint per key: exact-integer scaled statistic, peak position and magnitude")
+      "CUSUM changepoint per key: exact-integer scaled statistic, peak position and magnitude"),
+
+    // ---------------------------------------------------------------- q168
+    // Targeted periodogram per key: spectral power at candidate periods
+    // (12 h / 24 h / 168 h) over the MEAN-CENTERED hourly series,
+    // reporting the dominant period and its power share. Centering is
+    // mandatory: a non-integer cycle count over the span makes Σcos ≠ 0,
+    // so the DC mean otherwise leaks into (and dominates) the longest-
+    // period bin. Centering stays exact-integer via the q167 trick —
+    // c_t = n·yq_t − Σyq (milli-unit y quantization keeps c·cq < 2^63
+    // per term) — and the per-term products sum through DECIMAL(38)/
+    // HUGEINT so the total never overflows at any series length. The
+    // argmax therefore can't flip cross-engine; cos/sin enter only
+    // through the q90/q109 quantize-before-sum pattern.
+    Query(
+      "q168_periodogram",
+      (s, d) => {
+        val ordw = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        val byU = Window.partitionBy(col("user_id"))
+        val hourly = Tables.events(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(avg(col("value")).as("hv"))
+          .select(col("user_id"),
+            (row_number().over(ordw) - 1).cast("long").as("t"),
+            floor(col("hv") * lit(1000.0) + lit(0.5)).cast("long").as("yq"))
+          .withColumn("nb", count(lit(1)).over(byU))
+          .withColumn("toty", sum(col("yq")).over(byU))
+          .withColumn("c", col("nb") * col("yq") - col("toty"))
+        val periods = s.createDataFrame(Seq(Tuple1(12L), Tuple1(24L), Tuple1(168L)))
+          .toDF("p")
+        val ang = lit(2 * math.Pi) * col("t") / col("p")
+        val spec = hourly.crossJoin(broadcast(periods))
+          .withColumn("cq", floor(cos(ang) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("sq", floor(sin(ang) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .groupBy(col("user_id"), col("p"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum((col("c") * col("cq")).cast("decimal(38,0)")).as("a"),
+            sum((col("c") * col("sq")).cast("decimal(38,0)")).as("b"))
+          .withColumn("power",
+            col("a").cast("double") * col("a").cast("double") +
+              col("b").cast("double") * col("b").cast("double"))
+        val byUser = Window.partitionBy(col("user_id"))
+        spec
+          .withColumn("tot", sum(col("power")).over(byUser))
+          .withColumn("rn", row_number().over(
+            byUser.orderBy(col("power").desc, col("p"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_buckets"),
+            col("p").as("dominant_period_h"),
+            Num.r4(col("power") / col("tot")).as("power_share"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS hv
+          FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)),
+        idx AS (
+          SELECT user_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS BIGINT) AS t,
+            CAST(FLOOR(hv * 1000.0 + 0.5) AS BIGINT) AS yq,
+            COUNT(*) OVER (PARTITION BY user_id) AS nb,
+            SUM(CAST(FLOOR(hv * 1000.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id) AS toty
+          FROM hourly),
+        cent AS (
+          SELECT user_id, t, nb * yq - toty AS c FROM idx),
+        terms AS (
+          SELECT user_id, p, t, c,
+            CAST(FLOOR(COS((2 * PI()) * t / p) * 1000000.0 + 0.5) AS BIGINT) AS cq,
+            CAST(FLOOR(SIN((2 * PI()) * t / p) * 1000000.0 + 0.5) AS BIGINT) AS sq
+          FROM cent CROSS JOIN (SELECT * FROM (VALUES (CAST(12 AS BIGINT)),
+            (CAST(24 AS BIGINT)), (CAST(168 AS BIGINT))) AS v(p)) pp),
+        spec AS (
+          SELECT user_id, p, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+            CAST(SUM(c * cq) AS DOUBLE) * CAST(SUM(c * cq) AS DOUBLE) +
+            CAST(SUM(c * sq) AS DOUBLE) * CAST(SUM(c * sq) AS DOUBLE) AS power
+          FROM terms GROUP BY user_id, p),
+        ranked AS (
+          SELECT user_id, n_buckets, p, power,
+            SUM(power) OVER (PARTITION BY user_id) AS tot,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY power DESC, p) AS rn
+          FROM spec)
+        SELECT user_id, n_buckets, p AS dominant_period_h,
+          FLOOR((power / tot) * 10000 + 0.500001) / 10000 AS power_share
+        FROM ranked WHERE rn = 1 ORDER BY user_id"""),
+      "targeted periodogram on the mean-centered hourly series: exact-integer spectral power at 12/24/168 h, dominant period per key")
   )
 }

@@ -218,6 +218,43 @@ class TimeModelsSpec extends SparkSpec {
     }
   }
 
+  test("periodogram recovers a planted 24-hour cycle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 31 days of hourly points with a clean daily sinusoid + noise
+    val rng = new scala.util.Random(31L)
+    val rows = (0 until 744).map { h =>
+      (7L, new java.sql.Timestamp(1704067200000L + h * 3600_000L), h.toLong,
+        70.0 + 8.0 * math.sin(2 * math.Pi * h / 24.0) + 0.5 * rng.nextGaussian())
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val ordw = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val byU = Window.partitionBy(col("user_id"))
+    // mean-centered exactly as q168 does (n*yq - tot): without
+    // centering, the 70-unit DC mean leaks into the non-integer-cycle
+    // 168 h bin and dominates the true 24 h signal
+    val hourly = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg(col("value")).as("hv"))
+      .select(col("user_id"),
+        (row_number().over(ordw) - 1).cast("long").as("t"),
+        floor(col("hv") * lit(1000.0) + lit(0.5)).cast("long").as("yq"))
+      .withColumn("c", count(lit(1)).over(byU) * col("yq") - sum(col("yq")).over(byU))
+    val periods = spark.createDataFrame(Seq(Tuple1(12L), Tuple1(24L), Tuple1(168L))).toDF("p")
+    val ang = lit(2 * math.Pi) * col("t") / col("p")
+    val spec = hourly.crossJoin(broadcast(periods))
+      .withColumn("cq", floor(cos(ang) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("sq", floor(sin(ang) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("p"))
+      .agg((sum((col("c") * col("cq")).cast("decimal(38,0)")).cast("double") *
+        sum((col("c") * col("cq")).cast("decimal(38,0)")).cast("double") +
+        sum((col("c") * col("sq")).cast("decimal(38,0)")).cast("double") *
+        sum((col("c") * col("sq")).cast("decimal(38,0)")).cast("double")).as("power"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(spec(24L) > 10 * spec(12L) && spec(24L) > 10 * spec(168L),
+      s"24h power must dominate: $spec")
+  }
+
   test("q160/q161/q162 run on driver data and respect warm-up at sf0.001") {
     val byName = Registry.all.map(q => q.name -> q).toMap
     val q160 = byName("q160_ar1_anomaly").run(spark, sf())
