@@ -72,6 +72,28 @@ object StreamingHealth {
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
   }
 
+  /** [[score]] with ETS(A,A) Holt trend scoring
+    * ([[HoltHealthStateProcessor]]): the 1-step forecast level + trend
+    * drives the alert, so a declining vital alerts earlier than a
+    * level-only model. */
+  def scoreHolt(events: DataFrame, watermarkDelay: String,
+      windowMs: Long = DefaultWindowMs, minTraining: Int = 30,
+      alertThreshold: Double = 40.0, originMs: Long = Health.OriginMs,
+      alpha: Double = 0.3, gamma: Double = 0.1): Dataset[HealthScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("patient_id").cast("int").as("patient_id"),
+        col("event_time"), col("value").cast("double").as("value"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[VitalPoint]
+      .groupByKey(_.patient_id)
+      .transformWithState(
+        new HoltHealthStateProcessor(windowMs, minTraining, 95.0,
+          alertThreshold, originMs, alpha, gamma),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
+  }
+
   /** Statement [4]'s final filter: the `heartbeat_alerts` stream
     * (flink_statements.tf:299-333). */
   def alerts(scored: Dataset[HealthScore]): DataFrame =

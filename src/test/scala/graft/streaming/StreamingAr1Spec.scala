@@ -91,6 +91,59 @@ class StreamingAr1Spec extends SparkSpec {
     }
   }
 
+  test("streaming Holt equals the batch aggregator fold bit-for-bit") {
+    import spark.implicits._
+    val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+    val scored = StreamingHealth.scoreHolt(mem.toDF(), watermarkDelay = "5 seconds",
+      windowMs = WindowMs, minTraining = MinTrain, alertThreshold = 40.0,
+      originMs = sim.originMs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "holtck").toString
+    val q = scored.toDF().writeStream.format("memory").queryName("holtscored")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      vitals.grouped(300).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      (1 to 2).foreach { i =>
+        mem.addData(VitalPoint(999,
+          new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedHolt = spark.table("holtscored").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(10)) None else Some(r.getDouble(10)),
+          r.getBoolean(14))).toMap
+    // batch twin: Holt udaf over the cumulative window on window avgs
+    val holtU = udaf(new graft.functions.HoltAggregator(0.3, 0.1),
+      Encoders.scalaDouble)
+    val wa = graft.ops.Health.windowedAvg(vitals.toDF(), "patient_id",
+      "event_time", "value", "5 seconds")
+    val ord = Window.partitionBy(col("patient_id")).orderBy(col("window_start"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batchHolt = wa
+      .withColumn("st", holtU(col("avg_value")).over(cum))
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .select(col("patient_id"), unix_millis(col("window_start")).as("ms"),
+        col("st._1").as("level"), col("st._2").as("trend"), col("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(streamedHolt.size == batchHolt.size)
+    streamedHolt.foreach { case (key, (lvl, fc, alert)) =>
+      val (bl, bt, k) = batchHolt(key)
+      val warm = k >= MinTrain
+      assert(lvl.isDefined == warm, s"warm gate at $key")
+      if (warm) {
+        assert(lvl.get == bl, s"level at $key (must be bit-equal)")
+        assert(fc.get == bl + bt, s"forecast at $key")
+        assert(alert == (bl + bt < 40.0), s"alert at $key")
+      }
+    }
+  }
+
   test("AR(1) alerting fires on the bradycardia patient only, after warm-up") {
     val alerts = streamed.values.filter(_.getBoolean(14)).toSeq
     assert(alerts.nonEmpty, "expected AR(1) bradycardia alerts")
