@@ -72,6 +72,19 @@ class PlanAuditSpec extends SparkSpec {
       "q140: the pairwise cosine must be bounded by the IVF cell join")
   }
 
+  test("q163/q166/q168 broadcast their scalar/period sides, never cartesian") {
+    Seq("q163_bigram_nll", "q166_seasonal_decompose", "q168_periodogram")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      }
+    // q163's vocab scalar and corpus-stats row must arrive via broadcast
+    assert(plan("q163_bigram_nll").contains("Broadcast"),
+      "q163: stats/vocab rows must broadcast")
+    assert(plan("q168_periodogram").contains("Broadcast"),
+      "q168: the 3-row period table must broadcast")
+  }
+
   test("time models (q160-q162) shuffle the events once, on the key") {
     // lag window, cumulative-UDAF window and the per-key aggregate all
     // partition on user_id: Catalyst must satisfy them with ONE hash
