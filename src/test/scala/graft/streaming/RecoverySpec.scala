@@ -85,4 +85,48 @@ class RecoverySpec extends SparkSpec {
     assert(afterFirst > 0 && afterFirst < rows.length,
       "restart test degenerated: all output emitted in one phase")
   }
+
+  test("AR(1) processor state survives checkpoint restart bit-exactly") {
+    import spark.implicits._
+    // the Ar1Buf ValueState nests RegState (8 doubles) — encoder bugs
+    // in nested product state only surface on RocksDB RESTORE, so the
+    // interrupted run must equal an uninterrupted reference run exactly
+    val vitals = sim.run(120.0).map(e =>
+      VitalPoint(e.patient_id, e.event_time, e.vitals.heart_rate.toDouble))
+    val (first, second) = vitals.splitAt(vitals.size / 2)
+    val sentinels = (1 to 2).map(i =>
+      VitalPoint(999, new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+
+    def run(chunks: Seq[Seq[VitalPoint]], restartBetween: Boolean): Map[(Int, Long), (Boolean, Option[Double])] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "ar1rec").toString
+      val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+      def start() = StreamingHealth.scoreAr1(mem.toDF(), watermarkDelay = "5 seconds",
+        windowMs = 10000L, minTraining = 3, originMs = sim.originMs)
+        .toDF().writeStream.format("parquet").option("path", s"$base/out")
+        .outputMode("append").option("checkpointLocation", s"$base/ckpt").start()
+      var q = start()
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        if (restartBetween && i == 0) { q.stop(); q = start() }
+      }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/out").filter(col("patient_id") =!= 999)
+        .select("patient_id", "window_start_ms", "is_anomaly", "expected")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    }
+
+    val interrupted = run(Seq(first, second), restartBetween = true)
+    val reference = run(Seq(first, second), restartBetween = false)
+    assert(interrupted.size == reference.size,
+      s"window sets differ: ${interrupted.size} vs ${reference.size}")
+    reference.foreach { case (k, (flag, exp)) =>
+      val (iflag, iexp) = interrupted(k)
+      assert(iflag == flag, s"flag diverged after restore at $k")
+      assert(iexp == exp, s"expected diverged after restore at $k (bit compare)")
+    }
+  }
 }
