@@ -404,6 +404,88 @@ object TimeModels {
         SELECT user_id, n_buckets, p AS dominant_period_h,
           FLOOR((power / tot) * 10000 + 0.500001) / 10000 AS power_share
         FROM ranked WHERE rn = 1 ORDER BY user_id"""),
-      "targeted periodogram on the mean-centered hourly series: exact-integer spectral power at 12/24/168 h, dominant period per key")
+      "targeted periodogram on the mean-centered hourly series: exact-integer spectral power at 12/24/168 h, dominant period per key"),
+
+    // ---------------------------------------------------------------- q169
+    // Seasonal-adjusted robust outliers — the composition q166+q103: an
+    // hourly reading is anomalous only if it deviates AFTER removing
+    // the trend (centered MA) and the hour-of-day seasonal profile,
+    // judged by the robust MAD rule on the remainders. A raw-value
+    // detector would flag every rush-hour peak; this one flags what the
+    // season can't explain. Same shuffles as q166 plus q103's two
+    // grouped percentile passes and broadcast joins.
+    Query(
+      "q169_seasonal_outliers",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(-12, 12)
+        val detr = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(avg(col("value")).as("hv"))
+          .withColumn("detr", col("hv") - avg(col("hv")).over(w))
+          .withColumn("hod", hour(col("bucket")))
+        val seasonal = detr.groupBy(col("event_type"), col("hod"))
+          .agg(avg(col("detr")).as("seas"))
+        val rem = detr.join(broadcast(seasonal), Seq("event_type", "hod"))
+          .withColumn("r", col("detr") - col("seas"))
+        val med = rem.groupBy(col("event_type"))
+          .agg(Num.r4(percentile(col("r"), lit(0.5))).as("med"))
+        val dev = rem.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("r") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"),
+            Num.r4(percentile(col("dev"), lit(0.5))).as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .withColumn("is_out", col("dev") > col("mad") * lit(3.0) * lit(1.4826))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("dev").desc, col("bucket"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_buckets")).as("n_buckets"),
+            max(col("mad")).as("mad"),
+            count(when(col("is_out"), 1)).as("n_outliers"),
+            max(when(col("rn") === 1, col("bucket"))).as("peak_bucket"))
+          .select(col("event_type"), col("n_buckets"), col("mad"),
+            col("n_outliers"), col("peak_bucket"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS hv
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        detr AS (
+          SELECT event_type, bucket,
+            CAST(EXTRACT(hour FROM bucket) AS INTEGER) AS hod,
+            hv - AVG(hv) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS detr
+          FROM hourly),
+        seasonal AS (
+          SELECT event_type, hod, AVG(detr) AS seas
+          FROM detr GROUP BY event_type, hod),
+        rem AS (
+          SELECT d.event_type, d.bucket, d.detr - s.seas AS r
+          FROM detr d JOIN seasonal s ON s.event_type = d.event_type AND s.hod = d.hod),
+        med AS (
+          SELECT event_type,
+            FLOOR(quantile_cont(r, 0.5) * 10000 + 0.500001) / 10000 AS med
+          FROM rem GROUP BY event_type),
+        dev AS (
+          SELECT r.event_type, r.bucket, ABS(r.r - m.med) AS dev
+          FROM rem r JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+            FLOOR(quantile_cont(dev, 0.5) * 10000 + 0.500001) / 10000 AS mad
+          FROM dev GROUP BY event_type),
+        ranked AS (
+          SELECT d.event_type, d.bucket, d.dev, m.n_buckets, m.mad,
+            (d.dev > m.mad * 3.0 * 1.4826) AS is_out,
+            ROW_NUMBER() OVER (PARTITION BY d.event_type
+                               ORDER BY d.dev DESC, d.bucket) AS rn
+          FROM dev d JOIN mad m USING (event_type))
+        SELECT event_type, MAX(n_buckets) AS n_buckets, MAX(mad) AS mad,
+          CAST(COUNT(*) FILTER (WHERE is_out) AS BIGINT) AS n_outliers,
+          MAX(CASE WHEN rn = 1 THEN bucket END) AS peak_bucket
+        FROM ranked GROUP BY event_type ORDER BY event_type"""),
+      "seasonal-adjusted robust outliers: STL-lite remainder (q166) judged by the MAD rule (q103) — flags what the season can't explain")
   )
 }
