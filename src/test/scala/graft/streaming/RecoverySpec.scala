@@ -129,4 +129,44 @@ class RecoverySpec extends SparkSpec {
       assert(iexp == exp, s"expected diverged after restore at $k (bit compare)")
     }
   }
+
+  test("Holt processor state survives checkpoint restart bit-exactly") {
+    import spark.implicits._
+    // HoltBuf carries 10 doubles (plain l/b plus the affine span map);
+    // same restore-only encoder risk class as Ar1Buf
+    val vitals = sim.run(120.0).map(e =>
+      VitalPoint(e.patient_id, e.event_time, e.vitals.heart_rate.toDouble))
+    val (first, second) = vitals.splitAt(vitals.size / 2)
+    val sentinels = (1 to 2).map(i =>
+      VitalPoint(999, new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+
+    def run(restartBetween: Boolean): Map[(Int, Long), (Option[Double], Boolean)] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "holtrec").toString
+      val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+      def start() = StreamingHealth.scoreHolt(mem.toDF(), watermarkDelay = "5 seconds",
+        windowMs = 10000L, minTraining = 3, originMs = sim.originMs)
+        .toDF().writeStream.format("parquet").option("path", s"$base/out")
+        .outputMode("append").option("checkpointLocation", s"$base/ckpt").start()
+      var q = start()
+      Seq(first, second).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        if (restartBetween && i == 0) { q.stop(); q = start() }
+      }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/out").filter(col("patient_id") =!= 999)
+        .select("patient_id", "window_start_ms", "forecast_value", "is_alert")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))).toMap
+    }
+
+    val interrupted = run(restartBetween = true)
+    val reference = run(restartBetween = false)
+    assert(interrupted.size == reference.size)
+    reference.foreach { case (k, v) =>
+      assert(interrupted(k) == v, s"Holt state diverged after restore at $k")
+    }
+  }
 }
