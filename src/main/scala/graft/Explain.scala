@@ -30,10 +30,20 @@ object Explain {
         // count DISTINCT stage ids, not node occurrences
         val codegenStages =
           "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
+        // single-partition windows (empty partitionSpec) — acceptable
+        // only on bounded inputs (top-k / digit / source tables);
+        // anything corpus-sized here is a scale bug
+        val globalWins = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }.size
         println(f"${q.name}%-28s exchanges=${n("Exchange")}%2d " +
           f"sorts=${n("(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ")}%2d " +
           f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
-          f"codegen=$codegenStages%2d scans=${n("FileScan|Scan parquet")}%2d")
+          f"codegen=$codegenStages%2d scans=${n("FileScan|Scan parquet")}%2d " +
+          f"globalwin=$globalWins%2d")
       }
     }
     spark.stop()

@@ -46,15 +46,17 @@ object Registry {
       ops.HealthQueries.queries ++ ops.Misc.queries ++
       ops.Analytics.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.TimeModels.queries ++
+      ops.TimeModels2.queries ++
       ext.Extensions.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.TextRank.queries ++
       ext.Sampling.queries ++ ext.Corpus.queries ++ ext.Corpus2.queries ++
       ext.Graph.queries ++ ext.Retrieval.queries ++ ext.Stats.queries ++
-      ext.Behavior.queries ++ ext.Quality.queries ++ ext.Curves.queries ++
+      ext.Behavior.queries ++ ext.Quality.queries ++ ext.Quality2.queries ++
+      ext.Curves.queries ++
       ext.Sketches.queries ++ ext.Layout.queries ++ ext.Trend.queries ++
       ext.Linkage.queries ++ ext.VectorStats.queries ++ ext.Spectral.queries ++
-      ext.LmQuality.queries
+      ext.LmQuality.queries ++ ext.LmQuality2.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

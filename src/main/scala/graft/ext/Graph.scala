@@ -233,5 +233,72 @@ object Graph {
           SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
         GROUP BY node ORDER BY node"""
       },
-      "bounded k-core peeling (k=6, 4 rounds) on the co-purchase backbone: per-round degree filter + edge semi-joins, all-integer"))
+      "bounded k-core peeling (k=6, 4 rounds) on the co-purchase backbone: per-round degree filter + edge semi-joins, all-integer"),
+
+    // --------------------------------------------------------------- q176
+    // Label-propagation communities on the co-purchase backbone: 4
+    // SYNCHRONOUS rounds of "adopt the most frequent neighbor label"
+    // with the deterministic (count DESC, label ASC) tie-break — the
+    // near-linear community detector (Raghavan et al. 2007) that
+    // complements q84's connectivity-only clusters and q126's density
+    // cores. Each round is one join on the 5000-edge backbone + one
+    // grouped count + one bounded rank window; `localCheckpoint`
+    // truncates the per-round lineage exactly as q101/q126 do, so four
+    // rounds stay four plans. Synchronous update + integer tie-break
+    // makes every round bit-reproducible — no arrival-order
+    // sensitivity, unlike the asynchronous textbook variant.
+    Query(
+      "q176_label_propagation",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint() // referenced once per round
+        var lab = edges.select(col("a").as("node")).distinct()
+          .withColumn("lbl", col("node"))
+          .localCheckpoint()
+        for (_ <- 1 to 4) {
+          lab = edges
+            .join(lab.select(col("node").as("b"), col("lbl")), Seq("b"))
+            .groupBy(col("a").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+                .orderBy(col("c").desc, col("lbl"))))
+            .filter(col("rn") === 1)
+            .select(col("node"), col("lbl"))
+            .localCheckpoint()
+        }
+        val sizes = lab.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("community_size"))
+        lab.join(sizes, Seq("lbl"))
+          .select(col("node").as("node_id"),
+            col("lbl").cast("long").as("community"),
+            col("community_size"))
+          .orderBy(col("node_id"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""l$i AS MATERIALIZED (
+              SELECT node, lbl FROM (
+                SELECT e.a AS node, l.lbl, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY e.a
+                                     ORDER BY COUNT(*) DESC, l.lbl) AS rn
+                FROM e JOIN l$p l ON l.node = e.b
+                GROUP BY e.a, l.lbl) WHERE rn = 1)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+        ${(1 to 4).map(round).mkString(",\n        ")},
+        sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+                  FROM l4 GROUP BY lbl)
+        SELECT node AS node_id, CAST(l4.lbl AS BIGINT) AS community,
+          community_size
+        FROM l4 JOIN sizes USING (lbl) ORDER BY node_id"""
+      },
+      "label-propagation communities (4 synchronous rounds, deterministic tie-break) on the bounded backbone"))
 }

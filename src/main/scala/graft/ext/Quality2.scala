@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation of the data-quality family: distributional
+  * audits whose statistic must be cross-engine exact.
+  */
+object Quality2 {
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q175
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-data screen: natural multi-scale amounts follow
+    // P(d) = log10(1 + 1/d); injected or templated values don't. The
+    // leading digit comes from the DECIMAL-CENTS INTEGER rendered as a
+    // string (both engines print an int64 identically), never from
+    // log10 of a double (whose boundary cells could flip cross-engine).
+    // One corpus-linear groupBy(digit) does all the counting; the
+    // chi-square total is micro-quantized per digit BEFORE the 9-term
+    // sum (the q90/q109 quantize-before-sum pattern), so association
+    // order can't surface.
+    Query(
+      "q175_benford",
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(substring(
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+              .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        val tot = digits.agg(sum(col("n_orders")).as("n"))
+        val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0))
+        val scored = digits.crossJoin(broadcast(tot))
+          .withColumn("exp", col("n").cast("double") * p)
+          .withColumn("term_micro",
+            floor((col("n_orders").cast("double") - col("exp")) *
+              (col("n_orders").cast("double") - col("exp")) / col("exp") *
+              lit(1000000.0) + lit(0.5)).cast("long"))
+        val chi2 = scored.agg(sum(col("term_micro")).as("chi2_micro"))
+        scored.crossJoin(broadcast(chi2))
+          .select(col("digit"), col("n_orders"),
+            Num.r6(col("n_orders").cast("double") / col("n").cast("double"))
+              .as("share"),
+            Num.r6(p).as("benford_share"),
+            Num.r4(col("chi2_micro").cast("double") / lit(1000000.0))
+              .as("chi2_total"))
+          .orderBy(col("digit"))
+      },
+      Some("""
+        WITH digits AS (
+          SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        tot AS (SELECT SUM(n_orders) AS n FROM digits),
+        scored AS (
+          SELECT digit, n_orders, n,
+            LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS p,
+            CAST(n AS DOUBLE) * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)) AS exp
+          FROM digits CROSS JOIN tot),
+        terms AS (
+          SELECT digit, n_orders, n, p,
+            CAST(FLOOR((CAST(n_orders AS DOUBLE) - exp)
+                       * (CAST(n_orders AS DOUBLE) - exp) / exp
+                       * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+          FROM scored),
+        chi2 AS (SELECT SUM(term_micro) AS chi2_micro FROM terms)
+        SELECT digit, n_orders,
+          FLOOR((CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1000000 + 0.500001) / 1000000 AS share,
+          FLOOR(p * 1000000 + 0.500001) / 1000000 AS benford_share,
+          FLOOR((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                * 10000 + 0.500001) / 10000 AS chi2_total
+        FROM terms CROSS JOIN chi2
+        ORDER BY digit"""),
+      "Benford first-digit audit of order totals: integer-string leading digit, micro-quantized chi-square")
+  )
+}
