@@ -20,30 +20,33 @@ object LmQuality2 {
     // ---------------------------------------------------------------- q171
     // Per-doc repetition metrics: share of bigram positions covered by
     // the doc's most frequent bigram, and the fraction of 5-gram
-    // positions whose 5-gram repeats within the doc. One posexplode +
-    // one doc_id window builds every n-gram (the q163 path: all lead
-    // columns ride the same doc_id exchange); the count tables group by
-    // (doc, gram) — corpus-linear, no joins beyond the final per-doc
-    // assembly. Ratios are double divisions of exact integers.
+    // positions whose 5-gram repeats within the doc. TWO independent
+    // single-pass pipelines (posexplode + doc_id lead window + grouped
+    // count each — the q163 path), deliberately NOT a shared cached
+    // n-gram table: materializing every position × 5 lead strings is a
+    // multi-GB cache at 100× (it OOMed the 100× bench) while each pass
+    // is a cheap columnar scan + one keyed shuffle. n_tokens falls out
+    // of the 5-gram pass (positions + 4 — every doc has ≥ 5 tokens).
+    // Ratios are double divisions of exact integers.
     Query(
       "q171_repetition",
       (s, d) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val grams = Tables.documents(s, d)
+        def toks(s2: org.apache.spark.sql.SparkSession) = Tables.documents(s2, d)
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        val topBg = toks(s)
           .withColumn("w2", lead(col("w1"), 1).over(w))
-          .withColumn("w3", lead(col("w1"), 2).over(w))
-          .withColumn("w4", lead(col("w1"), 3).over(w))
-          .withColumn("w5", lead(col("w1"), 4).over(w))
-          .localCheckpoint() // feeds token counts, bigrams, and 5-grams
-        val ntok = grams.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"))
-        val topBg = grams.filter(col("w2").isNotNull)
+          .filter(col("w2").isNotNull)
           .groupBy(col("doc_id"), col("w1"), col("w2"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(max(col("c")).as("top"))
-        val dup5 = grams.filter(col("w5").isNotNull)
+        val dup5 = toks(s)
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .withColumn("w3", lead(col("w1"), 2).over(w))
+          .withColumn("w4", lead(col("w1"), 3).over(w))
+          .withColumn("w5", lead(col("w1"), 4).over(w))
+          .filter(col("w5").isNotNull)
           .groupBy(col("doc_id"),
             concat_ws(" ", col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
               .as("g5"))
@@ -51,7 +54,8 @@ object LmQuality2 {
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("tot5"),
             coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup5"))
-        ntok.join(topBg, Seq("doc_id")).join(dup5, Seq("doc_id"))
+          .withColumn("n_tokens", col("tot5") + lit(4))
+        topBg.join(dup5, Seq("doc_id"))
           .select(col("doc_id"), col("n_tokens"),
             Num.r4(col("top").cast("double") /
               (col("n_tokens") - lit(1)).cast("double")).as("top_bigram_share"),
@@ -187,12 +191,16 @@ object LmQuality2 {
     Query(
       "q174_ks_drift",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val counts = docs.groupBy(col("source"), col("n_chars"))
+        // ONE corpus pass: every other table below derives from the
+        // bounded (source × length) counts grid, so the parquet scan
+        // happens once no matter how many aggregates reference it
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars"))
           .agg(count(lit(1)).as("cnt"))
-        val lens = docs.select(col("n_chars")).distinct()
-        val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n1"))
-        val tot = docs.agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val lens = counts.select(col("n_chars")).distinct()
+        val srcs = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n1"))
+        val tot = counts.agg(sum(col("cnt")).as("n"))
         val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = srcs.crossJoin(broadcast(lens))
@@ -250,6 +258,87 @@ object LmQuality2 {
                  / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
                 * 1000000 + 0.500001) / 1000000 AS ks_stat
         FROM r WHERE rn = 1 ORDER BY source"""),
-      "two-sample KS statistic per source vs rest-of-corpus over doc lengths: exact-integer argmax, no global window")
+      "two-sample KS statistic per source vs rest-of-corpus over doc lengths: exact-integer argmax, no global window"),
+
+    // ---------------------------------------------------------------- q180
+    // Jensen–Shannon divergence between each source's token
+    // distribution and the rest of the corpus — the SYMMETRIC, bounded
+    // (≤ ln 2) drift measure that complements q113's PSI (which needs
+    // binning and explodes on zero cells; JSD handles disjoint support
+    // natively, the common case for source-specific vocabulary). The
+    // grid is vocab × sources (counts-table-sized, never corpus-sized);
+    // each term p·ln(p/m), q·ln(q/m) is computed from exact integer
+    // counts and NANO-nat-quantized before the per-source sum (the
+    // q109 cut at 1e9 — terms are O(1/vocab), so micro-nats would
+    // round tiny contributions to zero).
+    Query(
+      "q180_jsd_drift",
+      (s, d) => {
+        // ONE corpus pass into the (source × token) counts — ct/ns/tot
+        // all derive from the checkpointed vocab-sized table
+        val cs = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val ct = cs.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
+        val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n1"))
+        val tot = ns.agg(sum(col("n1")).as("n"))
+        val grid = ct.crossJoin(broadcast(ns))
+          .join(cs, Seq("source", "tok"), "left")
+          .withColumn("c1", coalesce(col("c"), lit(0L)))
+          .crossJoin(broadcast(tot))
+        val p = col("c1").cast("double") / col("n1").cast("double")
+        val q = (col("ctot") - col("c1")).cast("double") /
+          (col("n") - col("n1")).cast("double")
+        val m = (p + q) / lit(2.0)
+        val termP = when(col("c1") > 0, p * log(p / m)).otherwise(lit(0.0))
+        val termQ = when(col("ctot") > col("c1"), q * log(q / m)).otherwise(lit(0.0))
+        grid
+          .withColumn("tp", floor(termP * lit(1e9) + lit(0.5)).cast("long"))
+          .withColumn("tq", floor(termQ * lit(1e9) + lit(0.5)).cast("long"))
+          .groupBy(col("source"))
+          .agg(max(col("n1")).as("n_tokens"),
+            count(when(col("c1") > 0, 1)).as("n_vocab"),
+            sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+          .select(col("source"), col("n_tokens"), col("n_vocab"),
+            Num.r6((col("sp") + col("sq")).cast("double") / lit(2.0e9))
+              .as("jsd"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY source, tok),
+        ct AS (SELECT tok, SUM(c) AS ctot FROM cs GROUP BY tok),
+        ns AS (SELECT source, SUM(c) AS n1 FROM cs GROUP BY source),
+        tot AS (SELECT SUM(n1) AS n FROM ns),
+        grid AS (
+          SELECT ct.tok, ct.ctot, ns.source, ns.n1,
+            COALESCE(cs.c, 0) AS c1, t.n
+          FROM ct CROSS JOIN ns
+          LEFT JOIN cs ON cs.source = ns.source AND cs.tok = ct.tok
+          CROSS JOIN tot t),
+        terms AS (
+          SELECT source, n1, c1,
+            CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p,
+            CAST(ctot - c1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS q
+          FROM grid),
+        qt AS (
+          SELECT source, n1, c1,
+            CAST(FLOOR(CASE WHEN c1 > 0
+                   THEN p * LN(p / ((p + q) / 2.0)) ELSE 0.0 END
+                 * 1e9 + 0.5) AS BIGINT) AS tp,
+            CAST(FLOOR(CASE WHEN q > 0
+                   THEN q * LN(q / ((p + q) / 2.0)) ELSE 0.0 END
+                 * 1e9 + 0.5) AS BIGINT) AS tq
+          FROM terms)
+        SELECT source, CAST(MAX(n1) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) FILTER (WHERE c1 > 0) AS BIGINT) AS n_vocab,
+          FLOOR((CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2e9)
+                * 1000000 + 0.500001) / 1000000 AS jsd
+        FROM qt GROUP BY source ORDER BY source"""),
+      "Jensen-Shannon divergence per source vs rest-of-corpus token distribution: nano-nat quantized terms, bounded by ln 2")
   )
 }

@@ -24,11 +24,14 @@ object Quality2 {
     Query(
       "q175_benford",
       (s, d) => {
+        // ONE corpus pass: the ≤9-row digit table is checkpointed so
+        // the total / expected / chi-square chain never re-scans orders
         val digits = Tables.orders(s, d)
           .select(substring(
             floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
               .cast("string"), 1, 1).cast("int").as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+          .localCheckpoint()
         val tot = digits.agg(sum(col("n_orders")).as("n"))
         val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
           log(lit(10.0))

@@ -207,5 +207,55 @@ object Analytics {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY COALESCE(l_returnflag, 'ZZZ'), COALESCE(l_linestatus, 'ZZZ')"""),
-      "explicit grouping sets + GROUPING() indicators via the SQL surface"))
+      "explicit grouping sets + GROUPING() indicators via the SQL surface"),
+
+    // ---------------------------------------------------------------- q179
+    // CUMULATE windows (Flink's third window TVF, alongside q21's
+    // TUMBLE and q51's HOP): within each 6 h period, expanding windows
+    // [period_start, period_start + j·1 h) for j = 1..6 — the "running
+    // total that resets each period" dashboards ask for. An event at
+    // ts joins every window of ITS period whose end lies strictly
+    // after ts: j from (ts − pstart) div step + 1 up to 6, emitted by
+    // an exploded `sequence` — constant ≤ 6 fan-out per event (the
+    // same assignment rule Flink's CUMULATE applies), then ONE keyed
+    // aggregation. All window math is exact integer µs.
+    Query(
+      "q179_cumulate_windows",
+      (s, d) => {
+        val stepUs = 3600000000L
+        val sizeUs = 6L * stepUs
+        val ev = Tables.events(s, d)
+          .withColumn("tsu", unix_micros(col("ts")))
+          .withColumn("pstart", expr(s"tsu div $sizeUs") * lit(sizeUs))
+          .withColumn("jmin",
+            (expr(s"(tsu - pstart) div $stepUs") + lit(1)).cast("int"))
+        ev.select(col("event_type"), col("value"), col("pstart"),
+            explode(sequence(col("jmin"), lit(6))).as("j"))
+          .groupBy(col("event_type"),
+            timestamp_micros(col("pstart")).as("window_start"),
+            timestamp_micros(col("pstart") + col("j") * lit(stepUs))
+              .as("window_end"))
+          .agg(count(lit(1)).as("n_events"),
+            Num.r4(avg(col("value"))).as("avg_value"))
+          .orderBy(col("event_type"), col("window_start"), col("window_end"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, value,
+            (epoch_us(ts) // 21600000000) * 21600000000 AS pstart,
+            CAST((epoch_us(ts) - (epoch_us(ts) // 21600000000) * 21600000000)
+                 // 3600000000 + 1 AS INTEGER) AS jmin
+          FROM events),
+        fan AS (
+          SELECT event_type, value, pstart, unnest(range(jmin, 7)) AS j
+          FROM ev)
+        SELECT event_type,
+          make_timestamp(pstart) AS window_start,
+          make_timestamp(pstart + j * 3600000000) AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          FLOOR(AVG(value) * 10000 + 0.500001) / 10000 AS avg_value
+        FROM fan
+        GROUP BY event_type, pstart, j
+        ORDER BY event_type, window_start, window_end"""),
+      "CUMULATE window TVF (step 1 h, size 6 h): expanding per-period windows via bounded sequence fan-out"))
 }

@@ -24,9 +24,11 @@ object TimeModels2 {
     // and every product goes through DECIMAL(38)/HUGEINT sums, so
     // r_k = Σc_t·c_{t+k} / Σc_t² has bit-identical integer numerator
     // and denominator in both engines (the nb² scale factor cancels in
-    // the ratio). Bounds: nb ≤ time-span hours (720 here — scale-free),
-    // |yq| ≤ 5.6e5 milli-units ⇒ |c| ≤ 8.1e8 and per-term |c·c| ≤
-    // 6.5e17 < 2^63; the SUM side is 128-bit on both engines.
+    // the ratio). Bounds: |c| ≤ 2·nb·|yq| grows with the time span
+    // (nb = bucket count), so the c·c products are formed in
+    // DECIMAL(19,0)×DECIMAL — exact at ANY span (ScaleUp's 100× events
+    // stretch to 74k buckets/key, where an int64 c·c would overflow) —
+    // and the SUM side is 128-bit on both engines.
     Query(
       "q170_acf",
       (s, d) => {
@@ -44,11 +46,12 @@ object TimeModels2 {
         val withLeads = lags.foldLeft(cent) { (df, k) =>
           df.withColumn(s"l$k", lead(col("c"), k).over(ordB))
         }
+        val cd = col("c").cast("decimal(19,0)")
         val aggs =
           max(col("nb")).as("n_buckets") +:
-            sum((col("c") * col("c")).cast("decimal(38,0)")).as("den") +:
+            sum(cd * col("c").cast("decimal(19,0)")).as("den") +:
             lags.flatMap(k => Seq(
-              sum((col("c") * col(s"l$k")).cast("decimal(38,0)")).as(s"num$k"),
+              sum(cd * col(s"l$k").cast("decimal(19,0)")).as(s"num$k"),
               count(col(s"l$k")).as(s"np$k")))
         val perLag = array(lags.map(k =>
           struct(lit(k).as("lag"), col(s"num$k").as("num"), col(s"np$k").as("np"))): _*)
@@ -124,10 +127,10 @@ object TimeModels2 {
           .agg(count(lit(1)).as("n_points"))
         val a = pts.select(col("user_id"), col("rn").as("rna"),
           col("x").as("xa"), col("vq").as("va"))
-        val b = pts.select(col("user_id"), col("rn").as("rnb"),
+        val b = pts.select(col("user_id").as("ub"), col("rn").as("rnb"),
           col("x").as("xb"), col("vq").as("vb"))
-        a.join(b, col("rnb") < col("rna") && a("user_id") === b("user_id"))
-          .drop(b("user_id"))
+        a.join(b, col("rnb") < col("rna") && col("ub") === col("user_id"))
+          .drop("ub")
           .filter(col("xb") =!= col("xa"))
           .withColumn("sl",
             (col("vb") - col("va")).cast("double") /
@@ -161,6 +164,189 @@ object TimeModels2 {
         FROM pairs p JOIN npts n USING (user_id)
         GROUP BY p.user_id, n.n_points
         ORDER BY p.user_id"""),
-      "Theil-Sen robust slope per key: median pairwise slope over the last-32 readings (bounded pairs)")
+      "Theil-Sen robust slope per key: median pairwise slope over the last-32 readings (bounded pairs)"),
+
+    // ---------------------------------------------------------------- q177
+    // Mann–Kendall trend test per key over the same LAST-32 readings —
+    // the significance companion to q173's magnitude estimate (the
+    // standard pairing: MK says WHETHER a monotone trend exists,
+    // Theil–Sen says how steep). Everything before the final z is
+    // exact-integer: S = Σ sign-pairs ∈ [-496, 496], and the variance
+    // is carried as the INTEGER 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    // (t = tied-value group sizes), so both engines feed bit-identical
+    // ints into the same sqrt/divide. Continuity-corrected z, ±1.96
+    // verdict. Same bounded-pair shape as q173: prune to 32 rows/key
+    // BEFORE the self-join.
+    Query(
+      "q177_mann_kendall",
+      (s, d) => {
+        val recent = Window.partitionBy(col("user_id"))
+          .orderBy(col("x").desc, col("event_id").desc)
+        val pts = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("x"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .withColumn("rn", row_number().over(recent))
+          .filter(col("rn") <= 32)
+          .localCheckpoint() // feeds both join sides and the tie table
+        val a = pts.select(col("user_id"), col("rn").as("rna"), col("vq").as("va"))
+        val b = pts.select(col("user_id").as("ub"), col("rn").as("rnb"),
+          col("vq").as("vb"))
+        val sstat = a.join(b, col("rnb") < col("rna") && col("ub") === col("user_id"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("vb") > col("va"), 1L)
+            .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_stat"))
+        val ties = pts.groupBy(col("user_id"), col("vq"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"),
+            sum(col("t")).as("n"))
+        val z = sstat.join(ties, Seq("user_id"))
+          .withColumn("var18",
+            col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+          .withColumn("zraw",
+            when(col("var18") <= 0, lit(0.0))
+              .when(col("s_stat") > 0,
+                (col("s_stat") - lit(1)).cast("double") /
+                  sqrt(col("var18").cast("double") / lit(18.0)))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + lit(1)).cast("double") /
+                  sqrt(col("var18").cast("double") / lit(18.0)))
+              .otherwise(lit(0.0)))
+        z.select(col("user_id"), col("n").as("n_points"), col("s_stat"),
+            col("var18"), Num.r4(col("zraw")).as("z"),
+            when(col("zraw") > 1.96, lit("increasing"))
+              .when(col("zraw") < -1.96, lit("decreasing"))
+              .otherwise(lit("none")).as("trend"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH last32 AS (
+          SELECT user_id, event_id,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events QUALIFY rn <= 32),
+        sstat AS (
+          SELECT a.user_id,
+            SUM(CASE WHEN b.vq > a.vq THEN 1
+                     WHEN b.vq < a.vq THEN -1 ELSE 0 END) AS s_stat
+          FROM last32 a JOIN last32 b
+            ON b.user_id = a.user_id AND b.rn < a.rn
+          GROUP BY a.user_id),
+        ties AS (
+          SELECT user_id, SUM(t * (t - 1) * (2 * t + 5)) AS tsum,
+            CAST(SUM(t) AS BIGINT) AS n
+          FROM (SELECT user_id, vq, COUNT(*) AS t
+                FROM last32 GROUP BY user_id, vq)
+          GROUP BY user_id),
+        z AS (
+          SELECT s.user_id, t.n, s.s_stat,
+            n * (n - 1) * (2 * n + 5) - tsum AS var18,
+            CASE WHEN n * (n - 1) * (2 * n + 5) - tsum <= 0 THEN 0.0
+                 WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                   / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0)
+                 WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                   / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0)
+                 ELSE 0.0 END AS zraw
+          FROM sstat s JOIN ties t USING (user_id))
+        SELECT user_id, n AS n_points, CAST(s_stat AS BIGINT) AS s_stat,
+          CAST(var18 AS BIGINT) AS var18,
+          FLOOR(zraw * 10000 + 0.500001) / 10000 AS z,
+          CASE WHEN zraw > 1.96 THEN 'increasing'
+               WHEN zraw < -1.96 THEN 'decreasing'
+               ELSE 'none' END AS trend
+        FROM z ORDER BY user_id"""),
+      "Mann-Kendall trend test per key over the last-32 readings: integer S and 18*Var, continuity-corrected z"),
+
+    // ---------------------------------------------------------------- q178
+    // Cross-correlation between event-type hourly series at lags
+    // ±{1,3,6,12,24} h (plus 0): "does `error` lead `purchase` by k
+    // hours?" — the lead/lag diagnostic behind alert-propagation and
+    // causal-ordering hunches. Series are mean-centered with the
+    // integer trick PER TYPE (each type's nb·nb scale factor cancels
+    // between the numerator and its own √denominator), products are
+    // decimal-exact, and denominators are the FULL-series energies, so
+    // ccf ∈ [−1, 1]. Alignment is by ABSOLUTE hour index (µs div 3.6e9)
+    // — not per-type row number — so gaps stay gaps. The join output
+    // is (hours × type-pairs × lags): bounded by the time span, never
+    // by the row count.
+    Query(
+      "q178_cross_correlation",
+      (s, d) => {
+        val byT = Window.partitionBy(col("event_type"))
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(avg(col("value")).as("hv"))
+          .select(col("event_type"),
+            (unix_micros(col("bucket")) / lit(3600000000L)).cast("long").as("hidx"),
+            floor(col("hv") * lit(1000.0) + lit(0.5)).cast("long").as("yq"))
+          .withColumn("nb", count(lit(1)).over(byT))
+          .withColumn("toty", sum(col("yq")).over(byT))
+          .withColumn("c", col("nb") * col("yq") - col("toty"))
+          .select(col("event_type"), col("hidx"),
+            col("c").cast("decimal(19,0)").as("cd"))
+          .localCheckpoint() // feeds both join sides and the energy table
+        val den = hourly.groupBy(col("event_type"))
+          .agg(sum(col("cd") * col("cd")).as("den"))
+        val lags = s.createDataFrame(
+          Seq(-24L, -12L, -6L, -3L, -1L, 0L, 1L, 3L, 6L, 12L, 24L).map(Tuple1(_)))
+          .toDF("lag")
+        val aSide = hourly.select(col("event_type").as("type_a"),
+          col("hidx"), col("cd").as("ca"))
+          .crossJoin(broadcast(lags))
+          .withColumn("target", col("hidx") + col("lag"))
+        val bSide = hourly.select(col("event_type").as("type_b"),
+          col("hidx").as("bh"), col("cd").as("cb"))
+        aSide.join(bSide,
+            col("target") === col("bh") && col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"), col("lag"))
+          .agg(count(lit(1)).as("n_overlap"), sum(col("ca") * col("cb")).as("num"))
+          .join(broadcast(den.select(col("event_type").as("type_a"),
+            col("den").as("da"))), Seq("type_a"))
+          .join(broadcast(den.select(col("event_type").as("type_b"),
+            col("den").as("db"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("lag"), col("n_overlap"),
+            Num.r4(col("num").cast("double") /
+              sqrt(col("da").cast("double") * col("db").cast("double")))
+              .as("ccf"))
+          .orderBy(col("type_a"), col("type_b"), col("lag"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS hv
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        cent AS (
+          SELECT event_type,
+            epoch_us(bucket) // 3600000000 AS hidx,
+            COUNT(*) OVER (PARTITION BY event_type)
+              * CAST(FLOOR(hv * 1000.0 + 0.5) AS BIGINT)
+              - SUM(CAST(FLOOR(hv * 1000.0 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY event_type) AS c
+          FROM hourly),
+        den AS (
+          SELECT event_type, SUM(CAST(c AS HUGEINT) * c) AS den
+          FROM cent GROUP BY event_type),
+        lagv AS (SELECT * FROM (VALUES (-24),(-12),(-6),(-3),(-1),(0),
+                                       (1),(3),(6),(12),(24)) AS v(lag)),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(l.lag AS BIGINT) AS lag,
+            CAST(COUNT(*) AS BIGINT) AS n_overlap,
+            SUM(CAST(a.c AS HUGEINT) * b.c) AS num
+          FROM cent a CROSS JOIN lagv l
+          JOIN cent b ON b.hidx = a.hidx + l.lag
+                     AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type, l.lag)
+        SELECT p.type_a, p.type_b, p.lag, p.n_overlap,
+          FLOOR((CAST(num AS DOUBLE)
+                 / SQRT(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)))
+                * 10000 + 0.500001) / 10000 AS ccf
+        FROM pairs p
+        JOIN den da ON da.event_type = p.type_a
+        JOIN den db ON db.event_type = p.type_b
+        ORDER BY type_a, type_b, lag"""),
+      "cross-correlation between event-type hourly series at lags 0/±1/±3/±6/±12/±24 h: exact-integer centered, absolute-hour aligned")
   )
 }

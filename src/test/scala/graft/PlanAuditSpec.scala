@@ -97,4 +97,31 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
     }
   }
+
+  test("q170/q179 stay lean: bounded exchanges, no sort-merge join, no cartesian") {
+    // q170 folds six lags through lead columns in ONE window pass — a
+    // per-lag self-join would show up as extra exchanges or an SMJ
+    val p170 = plan("q170_acf")
+    val h170 = "Exchange hashpartitioning".r.findAllIn(p170).length
+    assert(h170 <= 2, s"q170: expected <=2 hash exchanges, got $h170")
+    assert(!p170.contains("SortMergeJoin") && !p170.contains("CartesianProduct"),
+      "q170: the lag fold must not become a join")
+    // q179's CUMULATE fan-out is a per-row explode + ONE keyed agg
+    val p179 = plan("q179_cumulate_windows")
+    val h179 = "Exchange hashpartitioning".r.findAllIn(p179).length
+    assert(h179 == 1, s"q179: expected one hash exchange, got $h179")
+    assert(p179.contains("Generate"), "q179: window assignment must be an explode")
+    assert(!p179.contains("SortMergeJoin") && !p179.contains("CartesianProduct"))
+  }
+
+  test("q174/q175/q180 scan their base table exactly once (derive, don't re-read)") {
+    // every derived aggregate (totals, grids, chi-square) must come
+    // from the ONE checkpointed bounded counts table, not a re-scan
+    Seq("q174_ks_drift", "q175_benford", "q180_jsd_drift").foreach { q =>
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$q: $scans parquet scans in final plan (counts must be checkpointed)")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+  }
 }

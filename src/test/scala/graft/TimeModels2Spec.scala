@@ -93,6 +93,80 @@ class TimeModels2Spec extends SparkSpec {
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("q177: strictly increasing series maxes S; constant series zeroes the test") {
+    import spark.implicits._
+    val rows = (0 until 32).flatMap { h =>
+      Seq((h.toLong, new java.sql.Timestamp(1704067200000L + h * 3600_000L), 1L,
+        "hr", 10.0 + h, "{}"), // strictly increasing
+        (1000L + h, new java.sql.Timestamp(1704067200000L + h * 3600_000L), 2L,
+          "hr", 42.0, "{}")) // constant
+    }
+    val d = plantDir("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = byName("q177_mann_kendall").run(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("s_stat") == 496, "S = C(32,2) for strict increase")
+    assert(out(1L).getAs[String]("trend") == "increasing")
+    assert(out(2L).getAs[Long]("s_stat") == 0)
+    assert(out(2L).getAs[Long]("var18") == 0, "all-tied variance collapses")
+    assert(out(2L).getAs[String]("trend") == "none")
+  }
+
+  test("q178: a 6-hour planted shift puts the ccf peak at lag 6, |ccf| <= 1") {
+    import spark.implicits._
+    // type 'aaa' leads: 'bbb' is the same daily sinusoid delayed 6 h
+    val rows = (0 until 744).flatMap { h =>
+      val base = 50.0 + 10.0 * math.sin(2 * math.Pi * h / 24.0)
+      val delayed = 50.0 + 10.0 * math.sin(2 * math.Pi * (h - 6) / 24.0)
+      Seq((h.toLong, new java.sql.Timestamp(1704067200000L + h * 3600_000L), 1L,
+        "aaa", base, "{}"),
+        (10000L + h, new java.sql.Timestamp(1704067200000L + h * 3600_000L), 2L,
+          "bbb", delayed, "{}"))
+    }
+    val d = plantDir("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val ccf = byName("q178_cross_correlation").run(spark, d).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ccf")).toMap
+    ccf.values.foreach(v => assert(math.abs(v) <= 1.0001))
+    val best = ccf.maxBy(_._2)
+    assert(best._1 == 6L, s"peak at lag ${best._1}, planted 6: $ccf")
+    assert(best._2 > 0.9)
+    assert(ccf(-6L) < -0.9, "anti-phase at the mirrored lag")
+  }
+
+  test("q179 CUMULATE: final window of each period = tumble; counts expand monotonically") {
+    val rows = byName("q179_cumulate_windows").run(spark, sf("0.01")).collect()
+    assert(rows.nonEmpty)
+    val total = rows.filter { r =>
+      val st = r.getAs[java.sql.Timestamp]("window_start").getTime
+      val en = r.getAs[java.sql.Timestamp]("window_end").getTime
+      en - st == 6 * 3600 * 1000L
+    }.map(_.getAs[Long]("n_events")).sum
+    assert(total == 10000L, s"j=6 windows must cover every event once, got $total")
+    rows.groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("window_start"))).foreach { case (_, rs) =>
+      val byEnd = rs.sortBy(_.getAs[java.sql.Timestamp]("window_end").getTime)
+        .map(_.getAs[Long]("n_events"))
+      assert(byEnd.zip(byEnd.tail).forall { case (a, b) => a <= b },
+        s"cumulate counts must be non-decreasing: ${byEnd.mkString(",")}")
+    }
+  }
+
+  test("q180 JSD: bounded by ln 2; identical sources diverge by 0") {
+    import spark.implicits._
+    val text = (0 until 20).map(i => s"w${i % 7}").mkString(" ")
+    val docs = Seq((1L, text, "en", "a", 100L), (2L, text, "en", "b", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = plantDir("documents" -> docs)
+    byName("q180_jsd_drift").run(spark, d).collect().foreach { r =>
+      assert(r.getAs[Double]("jsd") == 0.0, s"$r")
+    }
+    byName("q180_jsd_drift").run(spark, sf("0.01")).collect().foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-6, s"jsd $j out of [0, ln2]")
+    }
+  }
+
   test("q174: identical length distributions give ks=0; disjoint give ks=1") {
     import spark.implicits._
     def doc(id: Long, src: String, len: Long) =
