@@ -44,7 +44,8 @@ object Registry {
   def all: Seq[Query] =
     ops.Relational.queries ++ ops.Temporal.queries ++
       ops.HealthQueries.queries ++ ops.Misc.queries ++
-      ops.Analytics.queries ++ ops.Relational2.queries ++
+      ops.Analytics.queries ++ ops.Analytics2.queries ++
+      ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.TimeModels.queries ++
       ops.TimeModels2.queries ++
       ext.Extensions.queries ++

@@ -300,5 +300,70 @@ object Graph {
           community_size
         FROM l4 JOIN sizes USING (lbl) ORDER BY node_id"""
       },
-      "label-propagation communities (4 synchronous rounds, deterministic tie-break) on the bounded backbone"))
+      "label-propagation communities (4 synchronous rounds, deterministic tie-break) on the bounded backbone"),
+
+    // --------------------------------------------------------------- q182
+    // Bounded BFS: hop distance (≤ 4) from the backbone's top-degree
+    // supplier — the "blast radius" / reachability primitive the other
+    // graph ops don't expose (components say WHETHER connected, k-core
+    // says how dense; BFS says HOW FAR). Each round is one join from
+    // the current frontier + one anti-join against the visited set,
+    // lineage truncated per round; the frontier can never exceed the
+    // 5000-edge backbone's node set, so four rounds are four bounded
+    // plans. The seed is the (degree DESC, node ASC) argmax, fetched
+    // like q78's centroid scalar (bounded driver algebra).
+    Query(
+      "q182_bfs_hops",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint() // referenced once per round
+        val seed = edges.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("node")).limit(1)
+          .select(col("node"), lit(0).as("dist"))
+          .localCheckpoint()
+        var visited = seed
+        var frontier = seed.select(col("node"))
+        for (i <- 1 to 4) {
+          frontier = edges
+            .join(frontier.select(col("node").as("a")), Seq("a"))
+            .select(col("b").as("node")).distinct()
+            .join(visited.select(col("node")), Seq("node"), "left_anti")
+            .localCheckpoint()
+          visited = visited
+            .unionByName(frontier.withColumn("dist", lit(i)))
+            .localCheckpoint()
+        }
+        visited.select(col("node").cast("long").as("node_id"),
+            col("dist").cast("int").as("hops"))
+          .orderBy(col("node_id"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""f$i AS MATERIALIZED (
+              SELECT DISTINCT e.b AS node FROM e
+              JOIN f$p ON f$p.node = e.a
+              WHERE e.b NOT IN (SELECT node FROM v$p)),
+          v$i AS MATERIALIZED (
+              SELECT node, dist FROM v$p
+              UNION ALL SELECT node, $i AS dist FROM f$i)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        seed AS (
+          SELECT node FROM (
+            SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a)
+          ORDER BY deg DESC, node LIMIT 1),
+        f0 AS (SELECT node FROM seed),
+        v0 AS (SELECT node, 0 AS dist FROM seed),
+        ${(1 to 4).map(round).mkString(",\n        ")}
+        SELECT CAST(node AS BIGINT) AS node_id, CAST(dist AS INTEGER) AS hops
+        FROM v4 ORDER BY node_id"""
+      },
+      "bounded BFS (4 hops) from the top-degree backbone node: per-round frontier join + anti-join, k-bounded forever"))
 }

@@ -87,4 +87,53 @@ class StreamingCumulateSpec extends SparkSpec {
       assert(streamed(k)._2 == s, s"$k: micro sum ${streamed(k)._2} != $s")
     }
   }
+
+  test("cumulate MapState + timers survive checkpoint restart exactly") {
+    // the per-step MapState AND the armed timers both live in the state
+    // store; a restart between chunks must neither drop a step
+    // accumulator nor lose a pending window boundary
+    val rows = Tables.events(spark, sf())
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+      .collect()
+      .map(r => CumEvent(r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.event_us)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val lastUs = rows.last.event_us
+    val sentinels = (1 to 2).map(i =>
+      CumEvent("zz_sentinel",
+        new java.sql.Timestamp((lastUs + 43200000000L * i) / 1000),
+        lastUs + 43200000000L * i, 0L))
+
+    def run(restartBetween: Boolean): Map[(String, Long, Long), (Long, Long)] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "cumrec").toString
+      val mem = MemoryStream[CumEvent](Encoders.product[CumEvent], spark)
+      def start() = StreamingCumulate.cumulate(mem.toDF())
+        .toDF().writeStream.format("parquet").option("path", s"$base/out")
+        .outputMode("append").option("checkpointLocation", s"$base/ckpt").start()
+      var q = start()
+      Seq(first, second).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        if (restartBetween && i == 0) { q.stop(); q = start() }
+      }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/out")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+    }
+
+    val interrupted = run(restartBetween = true)
+    val reference = run(restartBetween = false)
+    assert(interrupted.size == reference.size,
+      s"window sets differ: ${interrupted.size} vs ${reference.size}")
+    reference.foreach { case (k, v) =>
+      assert(interrupted(k) == v, s"window $k diverged after restore")
+    }
+  }
 }
