@@ -609,5 +609,109 @@ object Similarity {
         FROM ccell c LEFT JOIN dup d USING (vec_id)
         ORDER BY c.vec_id"""
       },
-      "SemDeDup: cluster-bounded semantic dedup with k = max(16, ceil(sqrt(n))) deterministic centroids — n^1.5 total work; drop vectors with cosine > 0.4 to a lower-id cluster-mate"))
+      "SemDeDup: cluster-bounded semantic dedup with k = max(16, ceil(sqrt(n))) deterministic centroids — n^1.5 total work; drop vectors with cosine > 0.4 to a lower-id cluster-mate"),
+
+    // ---------------------------------------------------------------- q185
+    // Int8 retrieval-quality audit: recall@10 of the q88-quantized
+    // representation against the exact float top-10, per probe — the
+    // measurement that decides whether a fleet ships 4× smaller
+    // vectors. Both rankings use the SAME r4-rounded-cosine (cos DESC,
+    // id) order (the q33 convention), the dequantized values are the
+    // IDENTICAL double expression on both engines, and recall is a
+    // ratio of exact integers. capCorpus guards the brute-force
+    // baseline exactly as q33/q91 — the ANN paths (q39/q78) are the
+    // uncapped production route this audit scores against ground truth.
+    Query(
+      "q185_int8_recall",
+      (s, d) => {
+        val K = 10
+        val emb = Similarity.capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v")))
+          .localCheckpoint() // feeds the exact side AND the quantization
+        val dims = emb
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val deq = emb
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .join(broadcast(dims), Seq("dim"))
+          .withColumn("qv",
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+                * 255.0 + 0.5).cast("long")))
+          .withColumn("dq",
+            col("mn") + col("qv") * (col("mx") - col("mn")) / 255.0)
+          .groupBy(col("vec_id"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("dq")))).as("sd"))
+          .select(col("vec_id"),
+            expr("transform(sd, s -> s.dq)").as("v"))
+          .localCheckpoint() // bounded (capCorpus) — reused for probes + corpus
+        def topK(corpus: org.apache.spark.sql.DataFrame) = {
+          val probes = corpus.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))
+          corpus.crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              graft.Num.r4(Similarity.cosine(col("v"), col("qv"))).as("cosine"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= K)
+        }
+        val exact = topK(emb).select(col("query_id"), col("neighbor_id"),
+          (col("rn") === 1).as("is_top1"))
+        val int8 = topK(deq).select(col("query_id").as("q2"),
+          col("neighbor_id").as("n2"), (col("rn") === 1).as("i8_top1"))
+        exact.join(int8,
+            col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("n2")).as("n_overlap"),
+            max(when(col("is_top1"), col("i8_top1"))).as("top1_kept"))
+          .select(col("query_id"), col("n_overlap"),
+            graft.Num.r4(col("n_overlap").cast("double") / lit(K.toDouble))
+              .as("recall_at_10"),
+            coalesce(col("top1_kept"), lit(false)).as("top1_kept"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ex AS (
+          SELECT vec_id, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim
+          FROM e),
+        dims AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        deq AS (
+          SELECT vec_id, list(
+              mn + (CASE WHEN mx = mn THEN 0
+                    ELSE CAST(FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+                    END) * (mx - mn) / 255.0 ORDER BY dim) AS v
+          FROM ex JOIN dims USING (dim) GROUP BY vec_id),
+        exact AS (
+          SELECT query_id, neighbor_id, rn = 1 AS is_top1 FROM (
+            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                FLOOR(LIST_COSINE_SIMILARITY(e2.v, q.v) * 10000 + 0.500001) / 10000 DESC,
+                e2.vec_id) AS rn
+            FROM e e2, (SELECT * FROM e WHERE vec_id < 10) q
+            WHERE e2.vec_id <> q.vec_id) WHERE rn <= 10),
+        int8 AS (
+          SELECT query_id, neighbor_id, rn = 1 AS i8_top1 FROM (
+            SELECT q.vec_id AS query_id, d2.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                FLOOR(LIST_COSINE_SIMILARITY(d2.v, q.v) * 10000 + 0.500001) / 10000 DESC,
+                d2.vec_id) AS rn
+            FROM deq d2, (SELECT * FROM deq WHERE vec_id < 10) q
+            WHERE d2.vec_id <> q.vec_id) WHERE rn <= 10)
+        SELECT x.query_id,
+          CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+          FLOOR((CAST(COUNT(i.neighbor_id) AS DOUBLE) / 10.0)
+                * 10000 + 0.500001) / 10000 AS recall_at_10,
+          COALESCE(MAX(CASE WHEN x.is_top1 THEN i.i8_top1 END), FALSE)
+            AS top1_kept
+        FROM exact x LEFT JOIN int8 i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id ORDER BY x.query_id"""),
+      "int8 retrieval audit: recall@10 and top-1 retention of q88-quantized vectors vs the exact float ranking"))
 }

@@ -94,6 +94,27 @@ object StreamingHealth {
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
   }
 
+  /** [[score]] with Page–Hinkley drift detection
+    * ([[PhHealthStateProcessor]]): flags a sustained mean shift online
+    * — the streaming counterpart of batch q167's CUSUM changepoint. */
+  def scorePh(events: DataFrame, watermarkDelay: String,
+      windowMs: Long = DefaultWindowMs, minTraining: Int = 30,
+      alertThreshold: Double = 40.0, originMs: Long = Health.OriginMs,
+      delta: Double = 0.5, lambda: Double = 15.0): Dataset[HealthScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("patient_id").cast("int").as("patient_id"),
+        col("event_time"), col("value").cast("double").as("value"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[VitalPoint]
+      .groupByKey(_.patient_id)
+      .transformWithState(
+        new PhHealthStateProcessor(windowMs, minTraining, 95.0,
+          alertThreshold, originMs, delta, lambda),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
+  }
+
   /** Statement [4]'s final filter: the `heartbeat_alerts` stream
     * (flink_statements.tf:299-333). */
   def alerts(scored: Dataset[HealthScore]): DataFrame =

@@ -68,6 +68,19 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
+  test("q185: int8 recall bounded and high; top-1 retention implies overlap") {
+    val rows = byName("q185_int8_recall").run(spark, sf("0.01")).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(n >= 0 && n <= 10 && rec == n / 10.0)
+      // 8-bit affine codes must not destroy coarse ranking structure
+      assert(rec >= 0.5, s"quantization broke retrieval: $r")
+      if (r.getAs[Boolean]("top1_kept")) assert(n >= 1)
+    }
+  }
+
   test("q184: strict consecutiveness — an interleaved event breaks the match") {
     import spark.implicits._
     def ev(u: Long, i: Int, et: String) =
