@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation: embedding-space LABEL-QUALITY audits — the
+  * checks a pipeline runs before trusting labels (or an embedding
+  * model) enough to train on them.
+  *
+  *  - q187: per-label separation margin (silhouette-style): how much
+  *    more similar is a point to its own label than to the most
+  *    similar OTHER label. Low/negative margins mean the labels don't
+  *    cluster in embedding space.
+  *  - q189: leave-one-out 1-NN label disagreement — the classic
+  *    label-noise estimate (a point whose nearest neighbor carries a
+  *    different label is a mislabel candidate; Wilson's editing rule).
+  *
+  * Both are deliberately-quadratic BASELINES over the capCorpus-guarded
+  * corpus (like q33/q37/q185): at 100 TB the same audits run on the
+  * q78 IVF / q39 LSH candidate sets instead of all pairs.
+  */
+object Similarity2 {
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q187
+    // Per-label embedding separation margin. For each point: a = mean
+    // cosine to its OWN label's other points, b = max over other
+    // labels of the mean cosine to that label; margin = a − b
+    // (positive ⇒ the point sits closer to its own label). Cosines are
+    // quantized to integer 1e-4 ticks BEFORE the per-(point, label)
+    // mean (integer sums — association-proof); the final per-label
+    // mean is r4-rounded per house convention. Points whose label has
+    // no second member have no intra mean and are excluded (documented).
+    Query(
+      "q187_label_silhouette",
+      (s, d) => {
+        val emb = Similarity.capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.toDouble(col("embedding")).as("v")))
+          .localCheckpoint() // bounded baseline corpus, reused both sides
+        val other = emb.select(col("vec_id").as("j"), col("label").as("lab_j"),
+          col("v").as("vj"))
+        val perLabel = emb.crossJoin(other)
+          .filter(col("vec_id") =!= col("j"))
+          .select(col("vec_id"), col("label"), col("lab_j"),
+            floor(Similarity.cosine(col("v"), col("vj")) * lit(10000.0) +
+              lit(0.500001)).cast("long").as("qc"))
+          .groupBy(col("vec_id"), col("label"), col("lab_j"))
+          .agg(sum(col("qc")).as("sq"), count(lit(1)).as("nq"))
+          .withColumn("m",
+            col("sq").cast("double") / col("nq").cast("double") / lit(10000.0))
+        val a = perLabel.filter(col("label") === col("lab_j"))
+          .select(col("vec_id"), col("label"), col("m").as("a"))
+        val b = perLabel.filter(col("label") =!= col("lab_j"))
+          .groupBy(col("vec_id")).agg(max(col("m")).as("b"))
+        a.join(b, Seq("vec_id"))
+          .withColumn("margin", col("a") - col("b"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_points"),
+            Num.r4(avg(col("margin"))).as("avg_margin"),
+            Num.r4(count(when(col("margin") > 0, 1)).cast("double") /
+              count(lit(1)).cast("double")).as("frac_separated"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id, a.label, b.label AS lab_j,
+            CAST(FLOOR(LIST_COSINE_SIMILARITY(a.v, b.v) * 10000.0 + 0.500001)
+                 AS BIGINT) AS qc
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        plm AS (
+          SELECT vec_id, label, lab_j,
+            CAST(SUM(qc) AS DOUBLE) / COUNT(*) / 10000.0 AS m
+          FROM p GROUP BY vec_id, label, lab_j),
+        ia AS (SELECT vec_id, label, m AS a FROM plm WHERE label = lab_j),
+        ib AS (SELECT vec_id, MAX(m) AS b FROM plm WHERE label <> lab_j
+               GROUP BY vec_id),
+        mg AS (SELECT ia.label, ia.a - ib.b AS margin
+               FROM ia JOIN ib USING (vec_id))
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+          FLOOR(AVG(margin) * 10000 + 0.500001) / 10000 AS avg_margin,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE margin > 0) AS DOUBLE) / COUNT(*))
+                * 10000 + 0.500001) / 10000 AS frac_separated
+        FROM mg GROUP BY label ORDER BY label"""),
+      "per-label embedding separation margin: own-label mean cosine minus best other-label mean (silhouette-style)"),
+
+    // ---------------------------------------------------------------- q189
+    // Leave-one-out 1-NN label-noise audit: each point's nearest OTHER
+    // point by the r4-rounded cosine total order (ties to the lower
+    // vec_id — the q33/q185 ranking convention); a label disagreement
+    // with the nearest neighbor flags a mislabel candidate. Per label:
+    // disagreement rate and the labels most confused with it would
+    // follow; here the rate plus flagged count (the editing-rule
+    // deletion set size).
+    Query(
+      "q189_knn_label_noise",
+      (s, d) => {
+        val emb = Similarity.capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.toDouble(col("embedding")).as("v")))
+          .localCheckpoint()
+        val other = emb.select(col("vec_id").as("j"), col("label").as("lab_j"),
+          col("v").as("vj"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("j"))
+        emb.crossJoin(other)
+          .filter(col("vec_id") =!= col("j"))
+          .select(col("vec_id"), col("label"), col("j"), col("lab_j"),
+            Num.r4(Similarity.cosine(col("v"), col("vj"))).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_points"),
+            count(when(col("lab_j") =!= col("label"), 1)).as("n_flagged"),
+            Num.r4(count(when(col("lab_j") =!= col("label"), 1)).cast("double") /
+              count(lit(1)).cast("double")).as("noise_rate"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nn AS (
+          SELECT vec_id, label, lab_j FROM (
+            SELECT a.vec_id, a.label, b.label AS lab_j,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                FLOOR(LIST_COSINE_SIMILARITY(a.v, b.v) * 10000 + 0.500001) / 10000
+                  DESC, b.vec_id) AS rn
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn = 1)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+          CAST(COUNT(*) FILTER (WHERE lab_j <> label) AS BIGINT) AS n_flagged,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE lab_j <> label) AS DOUBLE)
+                 / COUNT(*)) * 10000 + 0.500001) / 10000 AS noise_rate
+        FROM nn GROUP BY label ORDER BY label"""),
+      "leave-one-out 1-NN label disagreement per label (Wilson editing-rule mislabel estimate)")
+  )
+}

@@ -93,6 +93,85 @@ object Analytics2 {
         FROM calc"""),
       "Welch two-sample t-test between md5-hashed A/B arms over purchase values: exact integer moments, identical IEEE formula"),
 
+    // ---------------------------------------------------------------- q188
+    // Mann–Whitney U between the same md5 A/B arms as q181 — the
+    // rank-based companion that stays valid when purchase values are
+    // heavy-tailed (Welch assumes finite-variance means; U compares
+    // whole distributions). Exact integer machinery end-to-end: values
+    // quantized to micro-units, per-VALUE counts on the cents-bounded
+    // grid (domain-bounded like q174's length grid, ≤ ~50k rows at any
+    // corpus size), doubled ranks 2·U = Σ ca·(2·cumB_before + cb) so
+    // ties never leave integers, and the tie-corrected normal z
+    // assembled from identical integer inputs in both engines. The
+    // only window runs on the bounded checkpointed grid.
+    Query(
+      "q188_mann_whitney",
+      (s, d) => {
+        val armed = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+        val grid = armed.groupBy(col("vq"))
+          .agg(count(when(col("arm") === 0, 1)).as("ca"),
+            count(when(col("arm") === 1, 1)).as("cb"))
+          .localCheckpoint() // bounded by the 2-decimal price domain
+        val wv = Window.orderBy(col("vq"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = grid
+          .withColumn("befb", coalesce(sum(col("cb")).over(wv), lit(0L)))
+          .localCheckpoint() // window materialized on the bounded grid only
+        val t = col("ca") + col("cb")
+        val agg = cum.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca") * (col("befb") * 2 + col("cb"))).as("u2"),
+          sum((t * t * t - t).cast("decimal(38,0)")).as("ties3"))
+        val na = col("na").cast("double")
+        val nb = col("nb").cast("double")
+        val nn = na + nb
+        val varU = na * nb / lit(12.0) *
+          ((nn + lit(1.0)) - col("ties3").cast("double") / (nn * (nn - lit(1.0))))
+        val z = (col("u2").cast("double") - na * nb) / (lit(2.0) * sqrt(varU))
+        agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+          (col("u2").cast("double") / lit(2.0)).as("u_stat"),
+          Num.r4(z).as("z_stat"),
+          (abs(z) > lit(1.96)).as("significant"))
+      },
+      Some(s"""
+        WITH armed AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+          FROM events WHERE event_type = 'purchase'),
+        grid AS (
+          SELECT vq,
+            CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS ca,
+            CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS cb
+          FROM armed GROUP BY vq),
+        cum AS (
+          SELECT vq, ca, cb,
+            COALESCE(SUM(cb) OVER (ORDER BY vq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befb
+          FROM grid),
+        agg AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+            CAST(SUM(ca * (befb * 2 + cb)) AS DOUBLE) AS u2,
+            CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS DOUBLE)
+              AS ties3
+          FROM cum),
+        calc AS (
+          SELECT na, nb, u2, ties3,
+            CAST(na AS DOUBLE) * nb / 12.0 *
+              ((na + nb + 1.0) - ties3 /
+               ((na + nb) * (na + nb - 1.0))) AS varu
+          FROM agg)
+        SELECT na AS n_a, nb AS n_b, u2 / 2.0 AS u_stat,
+          FLOOR(((u2 - CAST(na AS DOUBLE) * nb) / (2.0 * SQRT(varu)))
+                * 10000 + 0.500001) / 10000 AS z_stat,
+          (ABS((u2 - CAST(na AS DOUBLE) * nb) / (2.0 * SQRT(varu))) > 1.96)
+            AS significant
+        FROM calc"""),
+      "Mann-Whitney U rank test between md5 A/B arms: integer doubled-rank U on the domain-bounded value grid, tie-corrected z"),
+
     // ---------------------------------------------------------------- q183
     // Sliding-window DISTINCT users per event type (6 h window, 1 h
     // slide): the live-dashboard "unique actives" metric. The batch

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property pins for the data-selection / label-quality batch: DSIR
+  * importance weights (q186), label silhouette margins (q187),
+  * Mann–Whitney U (q188), 1-NN label noise (q189) and BH-FDR drift
+  * control (q190). Value parity vs DuckDB is the oracle gate's job;
+  * these pin the semantics on planted data where the right answer is
+  * known by construction. */
+class LmSim3Spec extends SparkSpec {
+
+  private val byName = Registry.all.map(q => q.name -> q).toMap
+
+  private def plantDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm3").toString
+    tables.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def embDF(rows: Seq[(Long, Array[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("q186: target-vocabulary docs score positive, alien-vocabulary docs negative") {
+    // src0 speaks vocabulary A, every other source vocabulary B — a
+    // doc's DSIR score must recover which side it came from
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    val vocabB = "one two three four five six"
+    val docs = (0L until 10L).map(i => (i, vocabA, "src0")) ++
+      (10L until 40L).map(i => (i, vocabB, s"src${1 + i % 3}"))
+    val out = byName("q186_dsir_weights")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sel = r.getAs[Boolean]("selected")
+      val score = r.getAs[Double]("dsir_score")
+      if (id < 10) assert(sel && score > 0, s"target doc must be selected: $r")
+      else assert(!sel && score < 0, s"alien doc must not be selected: $r")
+      assert(r.getAs[Long]("n_tokens") == 6)
+    }
+  }
+
+  test("q186: score is per-token additive — duplicating a doc's text doubles it") {
+    val docs = Seq((0L, "alpha beta", "src0"), (1L, "alpha beta", "srcX"),
+      (2L, "alpha beta alpha beta", "srcX"))
+    val out = byName("q186_dsir_weights")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_score"))).toMap
+    assert(out(1L)._1 == 2 && out(2L)._1 == 4)
+    // same bucket multiset twice ⇒ exactly double the (pre-rounding
+    // integer) score; r4 rounding keeps it within a tick
+    assert(math.abs(out(2L)._2 - 2 * out(1L)._2) < 3e-4, s"$out")
+  }
+
+  test("q187: orthogonal label clusters separate with margin ~1; a planted straddler drops its label") {
+    def v(x: Double, y: Double, jitter: Double) =
+      Array(x.toFloat, y.toFloat, jitter.toFloat, 0.1f)
+    // label 0 along e1, label 1 along e2 (tiny deterministic jitter so
+    // cosines are distinct), plus one label-0 point sitting ON the
+    // label-1 axis — its margin must be negative
+    val clean = (0 until 4).map(i => (i.toLong, v(1.0, 0.02 * i, 0.01), 0)) ++
+      (4 until 8).map(i => (i.toLong, v(0.02 * (i - 4), 1.0, 0.01), 1))
+    val out1 = byName("q187_label_silhouette")
+      .run(spark, plantDir("embeddings" -> embDF(clean))).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Double]("avg_margin"), r.getAs[Double]("frac_separated"))).toMap
+    assert(out1(0)._1 > 0.5 && out1(0)._2 == 1.0, s"$out1")
+    assert(out1(1)._1 > 0.5 && out1(1)._2 == 1.0, s"$out1")
+
+    val straddler = clean :+ (8L, v(0.01, 1.0, 0.01), 0)
+    val out2 = byName("q187_label_silhouette")
+      .run(spark, plantDir("embeddings" -> embDF(straddler))).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("frac_separated")).toMap
+    assert(out2(0) < 1.0, s"straddler must break label 0's separation: $out2")
+    assert(out2(1) == 1.0, s"label 1 stays clean: $out2")
+  }
+
+  test("q188: a planted distribution shift is significant, the null is not, U stays in bounds") {
+    import spark.implicits._
+    val arms = (1L to 200L).toDF("user_id").select(col("user_id"),
+        (ext.Dedup.h60(concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def events(shift: Double) = (1L to 200L).flatMap { u =>
+      (0 until 20).map { i =>
+        val noise = ((u * 31 + i * 7) % 11).toDouble
+        (u * 1000 + i, new java.sql.Timestamp(1704067200000L + i * 60000L), u,
+          "purchase", 50.0 + noise + (if (arms(u) == 0) shift else 0.0), "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hit = byName("q188_mann_whitney")
+      .run(spark, plantDir("events" -> events(25.0))).collect().head
+    assert(hit.getAs[Boolean]("significant"), s"shifted arms must flag: $hit")
+    val na = hit.getAs[Long]("n_a"); val nb = hit.getAs[Long]("n_b")
+    val u = hit.getAs[Double]("u_stat")
+    assert(u >= 0 && u <= na.toDouble * nb, s"U out of range: $hit")
+    // a +25 shift on arm A means nearly every A value beats every B value
+    assert(u > 0.95 * na.toDouble * nb, s"U must be near its maximum: $hit")
+    val nul = byName("q188_mann_whitney")
+      .run(spark, plantDir("events" -> events(0.0))).collect().head
+    assert(!nul.getAs[Boolean]("significant"), s"identical arms must not flag: $nul")
+  }
+
+  test("q189: clean clusters have zero noise; one flipped label is flagged exactly once") {
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val clean = Seq(0.0, 1.0, 2.0, 3.0).zipWithIndex.map { case (a, i) =>
+      (i.toLong, ang(a), 0)
+    } ++ Seq(90.0, 89.0, 88.0, 87.0).zipWithIndex.map { case (a, i) =>
+      ((i + 4).toLong, ang(a), 1)
+    }
+    val out1 = byName("q189_knn_label_noise")
+      .run(spark, plantDir("embeddings" -> embDF(clean))).collect()
+    out1.foreach(r => assert(r.getAs[Long]("n_flagged") == 0 &&
+      r.getAs[Double]("noise_rate") == 0.0, s"clean data flagged: $r"))
+    // a label-1 point at 10 deg: its NN is the 3-deg label-0 point (flag),
+    // while every label-0 point still has a closer label-0 neighbor
+    val flipped = clean :+ (8L, ang(10.0), 1)
+    val out2 = byName("q189_knn_label_noise")
+      .run(spark, plantDir("embeddings" -> embDF(flipped))).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_flagged")).toMap
+    assert(out2 == Map(0 -> 0L, 1 -> 1L), s"exactly the flipped point flags: $out2")
+  }
+
+  test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
+    // 19 sources share one length distribution; srcDRIFT's lengths are
+    // disjoint — D = 1 against the pooled rest, p ~ 0
+    val same = for (s <- 0 until 19; i <- 0 until 50) yield
+      (s * 1000L + i, "x" * (100 + (i % 10)), s"src$s")
+    val drift = (0 until 50).map(i => (90000L + i, "x" * (900 + (i % 10)), "srcDRIFT"))
+    val out = byName("q190_fdr_drift")
+      .run(spark, plantDir("documents" -> docsDF(same ++ drift))).collect()
+    assert(out.length == 20)
+    val top = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(top.getAs[String]("source") == "srcDRIFT")
+    assert(top.getAs[Boolean]("bh_significant"))
+    assert(top.getAs[Double]("ks_stat") > 0.9)
+    out.filter(_.getAs[String]("source") != "srcDRIFT").foreach { r =>
+      assert(!r.getAs[Boolean]("bh_significant"),
+        s"undrifted source must survive BH: $r")
+      // p-values monotone in rank by construction of the step-up order
+      assert(r.getAs[Double]("p_value") >= top.getAs[Double]("p_value"))
+    }
+  }
+}
