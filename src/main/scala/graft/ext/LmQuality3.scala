@@ -93,6 +93,169 @@ object LmQuality3 {
         GROUP BY doc_id, source ORDER BY doc_id"""),
       "DSIR importance weights: hashed-token target-vs-raw log-likelihood ratio per doc, integer nano-nat sums"),
 
+    // ---------------------------------------------------------------- q191
+    // Per-source conditional bigram entropy H(W₂|W₁) next to the
+    // unigram entropy H(W₁) and the redundancy share 1 − H₂/H₁ — the
+    // information-theoretic "how predictable is this source" audit
+    // (Shannon 1951): boilerplate-heavy sources have high redundancy,
+    // diverse prose low. H(W₂|W₁) = (1/N)·Σ c₁₂·ln(c₁/c₁₂),
+    // H(W₁) = (1/N)·Σ c₁·ln(N/c₁) — each per-pair log is quantized to
+    // integer nano-nats BEFORE the count-weighted sum (association-
+    // proof); the grids are (source × vocab)-bounded like q180's.
+    Query(
+      "q191_conditional_entropy",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .select(col("source"), col("doc_id"), col("w1"),
+            lead(col("w1"), 1).over(w).as("w2"))
+          .filter(col("w2").isNotNull)
+          .localCheckpoint() // one tokenize pass feeds all three grids
+        val c2 = bg.groupBy(col("source"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = c2.groupBy(col("source"), col("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        val nTot = c1.groupBy(col("source")).agg(sum(col("c1")).as("n"))
+        val h2 = c2.join(c1, Seq("source", "w1"))
+          .select(col("source"), (col("c12") *
+            floor(log(col("c1").cast("double") / col("c12").cast("double"))
+              * lit(1e9) + lit(0.5)).cast("long")).cast("decimal(38,0)").as("t"))
+          .groupBy(col("source")).agg(sum(col("t")).as("s2"))
+        val h1 = c1.join(broadcast(nTot), Seq("source"))
+          .select(col("source"), (col("c1") *
+            floor(log(col("n").cast("double") / col("c1").cast("double"))
+              * lit(1e9) + lit(0.5)).cast("long")).cast("decimal(38,0)").as("t"))
+          .groupBy(col("source")).agg(sum(col("t")).as("s1"))
+        h1.join(h2, Seq("source")).join(broadcast(nTot), Seq("source"))
+          .select(col("source"), col("n").as("n_bigrams"),
+            Num.r6(col("s1").cast("double") / col("n") / lit(1e9)).as("h_unigram"),
+            Num.r6(col("s2").cast("double") / col("n") / lit(1e9)).as("h_cond"),
+            Num.r6(lit(1.0) - (col("s2").cast("double") / col("s1").cast("double")))
+              .as("redundancy"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        bg AS (
+          SELECT source, unnest([{'w1': t[i], 'w2': t[i+1]}
+                                 FOR i IN range(1, len(t))], recursive := true)
+          FROM toks),
+        c2 AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+               FROM bg GROUP BY source, w1, w2),
+        c1 AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM c2 GROUP BY source, w1),
+        nt AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n FROM c1 GROUP BY source),
+        h2 AS (
+          SELECT c2.source, SUM(c12 * CAST(FLOOR(
+              LN(CAST(c1 AS DOUBLE) / c12) * 1e9 + 0.5) AS BIGINT)) AS s2
+          FROM c2 JOIN c1 USING (source, w1) GROUP BY c2.source),
+        h1 AS (
+          SELECT c1.source, SUM(c1 * CAST(FLOOR(
+              LN(CAST(n AS DOUBLE) / c1) * 1e9 + 0.5) AS BIGINT)) AS s1
+          FROM c1 JOIN nt USING (source) GROUP BY c1.source)
+        SELECT source, n AS n_bigrams,
+          FLOOR((CAST(s1 AS DOUBLE) / n / 1e9) * 1000000 + 0.500001) / 1000000
+            AS h_unigram,
+          FLOOR((CAST(s2 AS DOUBLE) / n / 1e9) * 1000000 + 0.500001) / 1000000
+            AS h_cond,
+          FLOOR((1.0 - CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE))
+                * 1000000 + 0.500001) / 1000000 AS redundancy
+        FROM h1 JOIN h2 USING (source) JOIN nt USING (source)
+        ORDER BY source"""),
+      "per-source conditional bigram entropy vs unigram entropy with redundancy share (Shannon predictability audit)"),
+
+    // ---------------------------------------------------------------- q193
+    // Source-purity audit: each document's TF-IDF cosine to its OWN
+    // source's centroid; documents more than one stddev below their
+    // source's mean cohesion are misfiled-content candidates (the
+    // "this crawl bucket contains something else" check). Exactness:
+    // TF-IDF weights are quantized to integer micro-units, centroids
+    // kept as INTEGER component sums (divide-free until the final
+    // cosine), and all dot/norm accumulations run in DECIMAL(38)/
+    // HUGEINT. Scale shape: everything is sparse joins on term — the
+    // centroid table is (source × vocab)-bounded, the doc-side join is
+    // corpus-linear in token instances, and no dense vectors exist.
+    Query(
+      "q193_source_purity",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // one tokenize pass feeds df, weights, centroids
+        val nDocs = tf.select(col("doc_id")).distinct().count()
+        val df_ = tf.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val wts = tf.join(df_, Seq("term"))
+          .select(col("doc_id"), col("source"), col("term"),
+            floor(col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double"))
+              * lit(1e6) + lit(0.5)).cast("long").as("wq"))
+        val cent = wts.groupBy(col("source"), col("term"))
+          .agg(sum(col("wq")).as("cq"), count(lit(1)).as("nd"))
+        val srcN = wts.select(col("source"), col("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        // dot(doc, centroid·n_src) and the two norms — integer sums
+        val dots = wts.join(cent, Seq("source", "term"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("wq").cast("decimal(38,0)") * col("cq")).as("dot"),
+            sum(col("wq").cast("decimal(38,0)") * col("wq")).as("nd2"))
+        val cnorm = cent.groupBy(col("source"))
+          .agg(sum(col("cq").cast("decimal(38,0)") * col("cq")).as("nc2"))
+        val cos = dots.join(broadcast(cnorm), Seq("source"))
+          .select(col("doc_id"), col("source"),
+            (col("dot").cast("double") /
+              (sqrt(col("nd2").cast("double")) * sqrt(col("nc2").cast("double"))))
+              .as("c"))
+          .localCheckpoint() // feeds per-source stats AND the output rows
+        val stats = cos.groupBy(col("source"))
+          .agg(avg(col("c")).as("mu"), stddev_samp(col("c")).as("sd"))
+        cos.join(broadcast(stats), Seq("source"))
+          .select(col("doc_id"), col("source"),
+            Num.r4(col("c")).as("centroid_cos"),
+            (col("c") < col("mu") - col("sd")).as("is_outlier"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY doc_id, source, term),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        wts AS (
+          SELECT doc_id, source, term,
+            CAST(FLOOR(tf * LN(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5)
+                 AS BIGINT) AS wq
+          FROM tf JOIN df USING (term) CROSS JOIN nd),
+        cent AS (SELECT source, term, SUM(wq) AS cq
+                 FROM wts GROUP BY source, term),
+        dots AS (
+          SELECT w.doc_id, w.source,
+            SUM(CAST(w.wq AS HUGEINT) * c.cq) AS dot,
+            SUM(CAST(w.wq AS HUGEINT) * w.wq) AS nd2
+          FROM wts w JOIN cent c ON c.source = w.source AND c.term = w.term
+          GROUP BY w.doc_id, w.source),
+        cn AS (SELECT source, SUM(CAST(cq AS HUGEINT) * cq) AS nc2
+               FROM cent GROUP BY source),
+        cos AS (
+          SELECT doc_id, d.source,
+            CAST(dot AS DOUBLE) /
+              (SQRT(CAST(nd2 AS DOUBLE)) * SQRT(CAST(nc2 AS DOUBLE))) AS c
+          FROM dots d JOIN cn USING (source)),
+        st AS (SELECT source, AVG(c) AS mu, STDDEV_SAMP(c) AS sd
+               FROM cos GROUP BY source)
+        SELECT doc_id, source,
+          FLOOR(c * 10000 + 0.500001) / 10000 AS centroid_cos,
+          (c < mu - sd) AS is_outlier
+        FROM cos JOIN st USING (source)
+        ORDER BY doc_id"""),
+      "per-doc TF-IDF cosine to own-source centroid with below-mean-minus-sigma outlier flag (misfiled-content audit)"),
+
     // ---------------------------------------------------------------- q190
     // Benjamini–Hochberg FDR over the q174 per-source KS drift tests:
     // the asymptotic two-sample p-value p = min(1, 2·exp(−2·ne·D²))

@@ -172,6 +172,264 @@ object Analytics2 {
         FROM calc"""),
       "Mann-Whitney U rank test between md5 A/B arms: integer doubled-rank U on the domain-bounded value grid, tie-corrected z"),
 
+    // ---------------------------------------------------------------- q192
+    // Exact 5%-trimmed and winsorized means per event type — the
+    // robust location estimates a metrics pipeline reports when the
+    // tails are untrusted. No sort of raw rows: per-type counts on the
+    // domain-bounded value grid (the q188 machinery), per-type
+    // KEY-PARTITIONED cumulative counts, and the kept/clamped mass per
+    // value derived from rank interval intersection — all integer
+    // until the final divisions. lo = floor(0.05·n) rows trimmed from
+    // each tail; winsorizing clamps them to the surviving extremes.
+    Query(
+      "q192_trimmed_means",
+      (s, d) => {
+        val grid = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .groupBy(col("event_type"), col("vq"))
+          .agg(count(lit(1)).as("c"))
+        val wT = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(col("event_type"))
+        val cum = grid
+          .withColumn("cumv", sum(col("c")).over(wT))
+          .withColumn("n", sum(col("c")).over(wN))
+          .withColumn("lo", floor(col("n") * lit(0.05)).cast("long"))
+          .withColumn("hi", col("n") - col("lo"))
+        // rows of this value at overall ranks (cumv-c, cumv]; keep the
+        // intersection with the trimmed interval (lo, hi]
+        val kept = greatest(lit(0L),
+          least(col("cumv"), col("hi")) - greatest(col("cumv") - col("c"), col("lo")))
+        cum.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            sum(col("c") * col("vq")).as("sall"),
+            sum(kept * col("vq")).as("skept"),
+            sum(kept).as("nkept"),
+            // clamp values: the smallest/largest SURVIVING value absorbs
+            // the trimmed mass on its side
+            min(when(col("cumv") > col("lo"), col("vq"))).as("vlo"),
+            min(when(col("cumv") >= col("hi"), col("vq"))).as("vhi"),
+            max(col("lo")).as("lo"))
+          .select(col("event_type"), col("n"),
+            Num.r4(col("sall").cast("double") / col("n") / lit(1e6)).as("mean"),
+            Num.r4(col("skept").cast("double") / col("nkept") / lit(1e6))
+              .as("trimmed_mean"),
+            Num.r4((col("skept") + col("lo") * col("vlo") +
+              (col("n") - col("nkept") - col("lo")) * col("vhi")).cast("double") /
+              col("n") / lit(1e6)).as("winsorized_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH grid AS (
+          SELECT event_type, CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, vq),
+        cum AS (
+          SELECT event_type, vq, c,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY vq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+            SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM grid),
+        lim AS (
+          SELECT event_type, vq, c, cumv, n,
+            CAST(FLOOR(n * 0.05) AS BIGINT) AS lo,
+            n - CAST(FLOOR(n * 0.05) AS BIGINT) AS hi
+          FROM cum),
+        agg AS (
+          SELECT event_type, MAX(n) AS n,
+            SUM(c * vq) AS sall,
+            SUM(GREATEST(0, LEAST(cumv, hi) - GREATEST(cumv - c, lo)) * vq) AS skept,
+            SUM(GREATEST(0, LEAST(cumv, hi) - GREATEST(cumv - c, lo))) AS nkept,
+            MIN(CASE WHEN cumv > lo THEN vq END) AS vlo,
+            MIN(CASE WHEN cumv >= hi THEN vq END) AS vhi,
+            MAX(lo) AS lo
+          FROM lim GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+          FLOOR((CAST(sall AS DOUBLE) / n / 1e6) * 10000 + 0.500001) / 10000
+            AS mean,
+          FLOOR((CAST(skept AS DOUBLE) / nkept / 1e6) * 10000 + 0.500001) / 10000
+            AS trimmed_mean,
+          FLOOR((CAST(skept + lo * vlo + (n - nkept - lo) * vhi AS DOUBLE)
+                 / n / 1e6) * 10000 + 0.500001) / 10000 AS winsorized_mean
+        FROM agg ORDER BY event_type"""),
+      "exact 5%-trimmed and winsorized means per event type via rank-interval intersection on the bounded value grid"),
+
+    // ---------------------------------------------------------------- q194
+    // Two-proportion z-test on USER-level conversion between the md5
+    // A/B arms — the third leg of the experimentation family: q181
+    // compares means, q188 distributions, q194 rates. Conversion is
+    // "any purchase of 200+" (every user in this data makes SOME
+    // purchase, so plain did-purchase is degenerate at p=1 and the
+    // pooled variance is 0). User-level conversion avoids within-user
+    // event correlation. All counts integer; the pooled-variance z is
+    // the identical IEEE expression both engines.
+    Query(
+      "q194_proportion_ztest",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 200, 1).otherwise(0))
+            .as("converted"))
+          .select((graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            col("converted"))
+        val agg = users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+          .localCheckpoint() // 2 bounded rows
+        val a = agg.filter(col("arm") === 0)
+          .select(col("n").as("na"), col("k").as("ka"))
+        val b = agg.filter(col("arm") === 1)
+          .select(col("n").as("nb"), col("k").as("kb"))
+        val na = col("na").cast("double"); val nb = col("nb").cast("double")
+        val pa = col("ka").cast("double") / na
+        val pb = col("kb").cast("double") / nb
+        val pp = (col("ka") + col("kb")).cast("double") / (na + nb)
+        val z = (pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+        a.crossJoin(broadcast(b))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            col("ka").as("conv_a"), col("kb").as("conv_b"),
+            Num.r4(pa).as("rate_a"), Num.r4(pb).as("rate_b"),
+            Num.r4(z).as("z_stat"),
+            (abs(z) > lit(1.96)).as("significant"))
+      },
+      Some(s"""
+        WITH users AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+            MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id),
+        agg AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(converted) AS BIGINT) AS k
+          FROM users GROUP BY arm),
+        piv AS (
+          SELECT
+            (SELECT n FROM agg WHERE arm = 0) AS na,
+            (SELECT k FROM agg WHERE arm = 0) AS ka,
+            (SELECT n FROM agg WHERE arm = 1) AS nb,
+            (SELECT k FROM agg WHERE arm = 1) AS kb),
+        calc AS (
+          SELECT na, nb, ka, kb,
+            CAST(ka AS DOUBLE) / na AS pa, CAST(kb AS DOUBLE) / nb AS pb,
+            CAST(ka + kb AS DOUBLE) / (CAST(na AS DOUBLE) + nb) AS pp
+          FROM piv)
+        SELECT na AS n_a, nb AS n_b, ka AS conv_a, kb AS conv_b,
+          FLOOR(pa * 10000 + 0.500001) / 10000 AS rate_a,
+          FLOOR(pb * 10000 + 0.500001) / 10000 AS rate_b,
+          FLOOR(((pa - pb) / SQRT(pp * (1.0 - pp)
+                 * (1.0 / na + 1.0 / nb))) * 10000 + 0.500001) / 10000 AS z_stat,
+          (ABS((pa - pb) / SQRT(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))) > 1.96)
+            AS significant
+        FROM calc"""),
+      "two-proportion z-test on user-level purchase conversion between md5 A/B arms (pooled variance)"),
+
+    // ---------------------------------------------------------------- q195
+    // CUPED variance reduction (Deng et al. 2013): adjust each user's
+    // post-period purchase total Y by their PRE-period total X,
+    // Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled across arms —
+    // the industry-standard trick that cuts A/B experiment variance
+    // using pre-experiment behavior. The period cutoff is the midpoint
+    // of the observed time range (exact integer µs). Every moment
+    // (ΣX, ΣY, ΣXY, ΣX², ΣY², per arm and pooled) is an exact integer
+    // in micro-units with DECIMAL(38)/HUGEINT products, so θ, the
+    // adjusted means and the variance-reduction share are identical
+    // IEEE expressions both engines.
+    Query(
+      "q195_cuped",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .localCheckpoint() // one scan feeds the cutoff row and per-user sums
+        // integer midpoint: Spark's `/` on longs is DOUBLE division —
+        // `div` keeps the cutoff the same exact µs DuckDB's `//` picks
+        val cut = ev.agg((min(col("us")) + max(col("us"))).as("s2"))
+          .select(expr("s2 div 2").as("cut_us"))
+        val perUser = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("us") < col("cut_us"), col("vq")).otherwise(0L)).as("x"),
+            sum(when(col("us") >= col("cut_us"), col("vq")).otherwise(0L)).as("y"))
+          .select((graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            col("x"), col("y"))
+        val mom = perUser.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+          sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+          sum((col("y").cast("decimal(38,0)") * col("y"))).as("syy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+        val n = col("n").cast("double")
+        def d6(c: org.apache.spark.sql.Column) = c.cast("double") / lit(1e6)
+        def d12(c: org.apache.spark.sql.Column) = c.cast("double") / lit(1e12)
+        val covXY = (d12(col("sxy")) - d6(col("sx")) * d6(col("sy")) / n) / (n - lit(1.0))
+        val varX = (d12(col("sxx")) - d6(col("sx")) * d6(col("sx")) / n) / (n - lit(1.0))
+        val varY = (d12(col("syy")) - d6(col("sy")) * d6(col("sy")) / n) / (n - lit(1.0))
+        val theta = covXY / varX
+        val nb2 = n - col("na").cast("double")
+        val xbar = d6(col("sx")) / n
+        val adjA = d6(col("sya")) / col("na").cast("double") -
+          theta * (d6(col("sxa")) / col("na").cast("double") - xbar)
+        val adjB = d6(col("syb")) / nb2 - theta * (d6(col("sxb")) / nb2 - xbar)
+        val rawDiff = d6(col("sya")) / col("na").cast("double") - d6(col("syb")) / nb2
+        // var(Y') = var(Y) − θ²·var(X) = var(Y)(1 − ρ²)
+        val varRed = theta * theta * varX / varY
+        mom.select(col("n").as("n_users"),
+          Num.r6(theta).as("theta"),
+          Num.r4(rawDiff).as("diff_raw"),
+          Num.r4(adjA - adjB).as("diff_cuped"),
+          Num.r4(varRed).as("var_reduction"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+          FROM events WHERE event_type = 'purchase'),
+        cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut_us FROM ev),
+        pu AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+            SUM(CASE WHEN us < cut_us THEN vq ELSE 0 END) AS x,
+            SUM(CASE WHEN us >= cut_us THEN vq ELSE 0 END) AS y
+          FROM ev CROSS JOIN cut GROUP BY user_id),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS DOUBLE) / 1e6 AS sx, CAST(SUM(y) AS DOUBLE) / 1e6 AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) / 1e12 AS sxy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) / 1e12 AS sxx,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) / 1e12 AS syy,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) / 1e6 AS sxa,
+            CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE) / 1e6 AS sya,
+            CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) / 1e6 AS sxb,
+            CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE) / 1e6 AS syb
+          FROM pu),
+        calc AS (
+          SELECT n, na, CAST(n - na AS DOUBLE) AS nb, sxa, sya, sxb, syb, sx,
+            ((sxy - sx * sy / n) / (n - 1.0)) /
+              ((sxx - sx * sx / n) / (n - 1.0)) AS theta,
+            ((sxy - sx * sy / n) / (n - 1.0)) AS covxy,
+            ((sxx - sx * sx / n) / (n - 1.0)) AS varx,
+            ((syy - sy * sy / n) / (n - 1.0)) AS vary
+          FROM mom)
+        SELECT n AS n_users,
+          FLOOR(theta * 1000000 + 0.500001) / 1000000 AS theta,
+          FLOOR((sya / na - syb / nb) * 10000 + 0.500001) / 10000 AS diff_raw,
+          FLOOR(((sya / na - theta * (sxa / na - sx / n))
+                 - (syb / nb - theta * (sxb / nb - sx / n)))
+                * 10000 + 0.500001) / 10000 AS diff_cuped,
+          FLOOR((theta * theta * varx / vary) * 10000 + 0.500001) / 10000
+            AS var_reduction
+        FROM calc"""),
+      "CUPED pre-period adjustment of A/B purchase totals: pooled theta from exact integer moments, variance-reduction share"),
+
     // ---------------------------------------------------------------- q183
     // Sliding-window DISTINCT users per event type (6 h window, 1 h
     // slide): the live-dashboard "unique actives" metric. The batch

@@ -132,6 +132,104 @@ class LmSim3Spec extends SparkSpec {
     assert(out2 == Map(0 -> 0L, 1 -> 1L), s"exactly the flipped point flags: $out2")
   }
 
+  test("q191: a two-token loop has zero conditional entropy; branching contexts do not") {
+    val docs = Seq(
+      (0L, ("a b " * 8).trim, "loop"),
+      (1L, "a x a y a x a y a x a y", "branch"))
+    val out = byName("q191_conditional_entropy")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("h_cond"), r.getAs[Double]("redundancy"))).toMap
+    // every 'a' is followed by 'b' and every 'b' by 'a' — fully predictable
+    assert(out("loop")._1 == 0.0 && out("loop")._2 == 1.0, s"$out")
+    // 'a' branches to x/y: H(W2|W1) = 6·ln2/11
+    assert(math.abs(out("branch")._1 - 6 * math.log(2) / 11) < 1e-4, s"$out")
+    assert(out("branch")._2 < 1.0)
+  }
+
+  test("q192: planted outlier moves the mean but neither robust estimate") {
+    import spark.implicits._
+    val ev = ((1 to 99).map(_.toDouble) :+ 10000.0).zipWithIndex.map {
+      case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L), 1L,
+          "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = byName("q192_trimmed_means")
+      .run(spark, plantDir("events" -> ev)).collect().head
+    assert(r.getAs[Long]("n") == 100)
+    // lo = 5: trim ranks 1-5 and 96-100; ranks 6..95 are values 6..95
+    assert(r.getAs[Double]("mean") == 149.5, s"$r")
+    assert(r.getAs[Double]("trimmed_mean") == 50.5, s"$r")
+    // winsorize: {1..5}→6, {96,97,98,99,10000}→95 — same 50.5 by design
+    assert(r.getAs[Double]("winsorized_mean") == 50.5, s"$r")
+  }
+
+  test("q193: a misfiled document is the outlier in its source") {
+    val docs = (0L until 6L).map(i => (i, "alpha beta gamma alpha", "srcA")) ++
+      Seq((6L, "uno dos tres uno", "srcA")) ++ // misfiled: B's vocabulary
+      (7L until 12L).map(i => (i, "uno dos tres dos", "srcB"))
+    val out = byName("q193_source_purity")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("centroid_cos"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(byId(6L)._2, s"misfiled doc must flag: ${byId(6L)}")
+    (0L until 6L).foreach(i => assert(!byId(i)._2, s"clean doc $i flagged: $byId"))
+    assert(byId(6L)._1 < byId(0L)._1, "misfiled doc must score below clean docs")
+    (7L until 12L).foreach(i => assert(!byId(i)._2, s"srcB doc $i flagged"))
+  }
+
+  test("q194: planted conversion gap is significant, equal rates are not") {
+    import spark.implicits._
+    val arms = (1L to 200L).toDF("user_id").select(col("user_id"),
+        (ext.Dedup.h60(concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def events(gap: Boolean) = (1L to 200L).map { u =>
+      // gap: arm 0 buys high (converts at >=200), arm 1 low. Null case:
+      // conversion depends only on user parity — arm-independent AND
+      // non-degenerate (an all-converted pool has zero variance, which
+      // ANSI mode correctly rejects as 0/0)
+      val v = if (gap) { if (arms(u) == 0) 250.0 else 50.0 }
+      else { if (u % 2 == 0) 250.0 else 50.0 }
+      (u, new java.sql.Timestamp(1704067200000L + u * 1000L), u, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hit = byName("q194_proportion_ztest")
+      .run(spark, plantDir("events" -> events(true))).collect().head
+    assert(hit.getAs[Boolean]("significant"), s"$hit")
+    assert(hit.getAs[Double]("rate_a") == 1.0 && hit.getAs[Double]("rate_b") == 0.0)
+    assert(hit.getAs[Long]("conv_a") == hit.getAs[Long]("n_a"))
+    val nul = byName("q194_proportion_ztest")
+      .run(spark, plantDir("events" -> events(false))).collect().head
+    assert(!nul.getAs[Boolean]("significant"), s"equal rates flagged: $nul")
+    assert(math.abs(nul.getAs[Double]("z_stat")) < 1.0, s"$nul")
+  }
+
+  test("q195: pre-period covariate recovers theta~2 and shrinks the diff toward the planted shift") {
+    import spark.implicits._
+    val arms = (1L to 200L).toDF("user_id").select(col("user_id"),
+        (ext.Dedup.h60(concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t0 = 1704067200000L
+    val tenDays = 10L * 86400 * 1000
+    // pre purchase X, post purchase Y = 2X + 5 for arm 0 (the true
+    // treatment effect is exactly +5; X varies independently of arm)
+    val ev = (1L to 200L).flatMap { u =>
+      val x = 10.0 + (u * 7 % 13).toDouble
+      val y = 2 * x + (if (arms(u) == 0) 5.0 else 0.0)
+      Seq((u * 10, new java.sql.Timestamp(t0), u, "purchase", x, "{}"),
+        (u * 10 + 1, new java.sql.Timestamp(t0 + tenDays), u, "purchase", y, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = byName("q195_cuped").run(spark, plantDir("events" -> ev))
+      .collect().head
+    assert(r.getAs[Long]("n_users") == 200)
+    val theta = r.getAs[Double]("theta")
+    assert(theta > 1.5 && theta < 2.5, s"theta must recover ~2: $r")
+    val adj = r.getAs[Double]("diff_cuped")
+    assert(math.abs(adj - 5.0) < 1.0, s"CUPED diff must sit near the true +5: $r")
+    assert(r.getAs[Double]("var_reduction") > 0.5, s"$r")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
