@@ -365,5 +365,71 @@ object Graph {
         SELECT CAST(node AS BIGINT) AS node_id, CAST(dist AS INTEGER) AS hops
         FROM v4 ORDER BY node_id"""
       },
-      "bounded BFS (4 hops) from the top-degree backbone node: per-round frontier join + anti-join, k-bounded forever"))
+      "bounded BFS (4 hops) from the top-degree backbone node: per-round frontier join + anti-join, k-bounded forever"),
+
+    // ---------------------------------------------------------------- q196
+    // Adamic–Adar link prediction on the co-purchase backbone: for
+    // every NON-adjacent pair with a common neighbor, score
+    // Σ_w 1/ln(deg(w)) over shared neighbors w (Adamic & Adar 2003) —
+    // rare shared partners are stronger evidence than hubs. Completes
+    // the graph family: components say connected, triangles/k-core say
+    // dense, LPA says community, AA says WHERE THE NEXT EDGE FORMS.
+    // Bounded like its siblings, but on a deterministic 2000-edge
+    // subgraph of the backbone ((u,v)-ordered prefix): the full 5000
+    // cap leaves the small-sf co-purchase graph a complete clique
+    // (every supplier pair shares 3+ orders) with NOTHING to predict —
+    // the tighter cap guarantees absent edges exist wherever the graph
+    // has 2000+ qualifying pairs (sf0.001's 45-pair clique still yields
+    // zero rows, documented). Wedge cost is Σ deg², backbone-bounded;
+    // per-neighbor weights quantized to integer nano before the pair
+    // sum; top-20 by (score, pair) total order.
+    Query(
+      "q196_adamic_adar",
+      (s, d) => {
+        val e0 = backbone(s, d).orderBy(col("u"), col("v")).limit(2000)
+          .localCheckpoint()
+        val und = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
+        val deg = und.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
+        // wedge u—w—v (u < v), minus pairs already adjacent
+        val wedges = und.select(col("a").as("u"), col("b").as("w"))
+          .join(und.select(col("a").as("w"), col("b").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+          .join(e0, Seq("u", "v"), "left_anti")
+        wedges.join(deg, Seq("w"))
+          .filter(col("deg") >= 2) // a degree-1 node cannot bridge a pair
+          .select(col("u"), col("v"),
+            floor(lit(1e9) / log(col("deg").cast("double")) + lit(0.5))
+              .cast("long").as("wq"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("n_common"), sum(col("wq")).as("sq"))
+          .select(col("u"), col("v"), col("n_common"),
+            graft.Num.r6(col("sq").cast("double") / lit(1e9)).as("aa_score"))
+          .orderBy(col("sq").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e2 AS MATERIALIZED (SELECT u, v FROM e0 ORDER BY u, v LIMIT 2000),
+        und AS MATERIALIZED (SELECT u AS a, v AS b FROM e2
+                             UNION ALL SELECT v, u FROM e2),
+        deg AS (SELECT a AS w, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY a),
+        wedge AS (
+          SELECT x.a AS u, y.b AS v, x.b AS w
+          FROM und x JOIN und y ON x.b = y.a AND x.a < y.b
+          WHERE NOT EXISTS (SELECT 1 FROM e2
+                            WHERE e2.u = x.a AND e2.v = y.b)),
+        sc AS (
+          SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+            SUM(CAST(FLOOR(1e9 / LN(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)) AS sq
+          FROM wedge JOIN deg USING (w)
+          WHERE deg >= 2
+          GROUP BY u, v)
+        SELECT u, v, n_common,
+          FLOOR((CAST(sq AS DOUBLE) / 1e9) * 1000000 + 0.500001) / 1000000
+            AS aa_score
+        FROM sc ORDER BY sq DESC, u, v LIMIT 20"""),
+      "Adamic-Adar link prediction on the bounded backbone: inverse-log-degree common-neighbor score for non-adjacent pairs, top-20"))
 }

@@ -78,6 +78,80 @@ object Quality2 {
                 * 10000 + 0.500001) / 10000 AS chi2_total
         FROM terms CROSS JOIN chi2
         ORDER BY digit"""),
-      "Benford first-digit audit of order totals: integer-string leading digit, micro-quantized chi-square")
+      "Benford first-digit audit of order totals: integer-string leading digit, micro-quantized chi-square"),
+
+    // ---------------------------------------------------------------- q198
+    // Chi-square test of independence between document language and
+    // source (are languages distributed evenly across crawl sources?)
+    // plus Cramér's V effect size — the categorical-association audit
+    // next to q174/q180's distributional drift tests. The full
+    // lang × source grid INCLUDES zero cells (their (r·c/N) expectation
+    // still contributes); each cell term (o·N − r·c)²/(N·r·c) is the
+    // identical IEEE expression from exact integer counts, quantized
+    // to micro before the bounded-grid sum.
+    Query(
+      "q198_chi2_independence",
+      (s, d) => {
+        val obs = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint() // bounded (lang × source) grid, one scan
+        val rows = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val cols = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("n"),
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"))
+        val dn = col("o0").cast("double") * col("n").cast("double") -
+          col("r").cast("double") * col("c").cast("double")
+        val term = dn * dn /
+          (col("n").cast("double") * col("r").cast("double") *
+            col("c").cast("double"))
+        val agg = rows.crossJoin(broadcast(cols))
+          .join(obs, Seq("lang", "source"), "left")
+          .withColumn("o0", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("nl"), col("ns"),
+            floor(term * lit(1e6) + lit(0.5)).cast("long").as("tq"))
+          .groupBy(col("n"), col("nl"), col("ns"))
+          .agg(sum(col("tq")).as("chi2q"))
+        val chi2 = col("chi2q").cast("double") / lit(1e6)
+        val mindof = least(col("nl") - 1, col("ns") - 1).cast("double")
+        agg.select(col("n").as("n_docs"),
+          ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+          Num.r4(chi2).as("chi2"),
+          Num.r4(sqrt(chi2 / (col("n").cast("double") * mindof)))
+            .as("cramers_v"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY lang, source),
+        r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+        c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+                FROM obs),
+        grid AS (
+          SELECT r.lang, c.source, r.r, c.c, COALESCE(o.o, 0) AS o0
+          FROM r CROSS JOIN c
+          LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source),
+        terms AS (
+          SELECT CAST(FLOOR(
+            ((CAST(o0 AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+             * (CAST(o0 AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+             / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS tq, n, nl, ns
+          FROM grid CROSS JOIN tot),
+        agg AS (
+          SELECT n, nl, ns, SUM(tq) AS chi2q FROM terms GROUP BY n, nl, ns)
+        SELECT n AS n_docs, (nl - 1) * (ns - 1) AS dof,
+          FLOOR((CAST(chi2q AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS chi2,
+          FLOOR(SQRT((CAST(chi2q AS DOUBLE) / 1e6)
+                     / (CAST(n AS DOUBLE) * LEAST(nl - 1, ns - 1)))
+                * 10000 + 0.500001) / 10000 AS cramers_v
+        FROM agg"""),
+      "chi-square independence of document language vs source with Cramer's V: exact integer counts, micro-quantized cell terms over the full grid")
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-side operators for a training-data pipeline: BM25 scoring
@@ -242,5 +243,86 @@ object Retrieval {
           ${Num.sql("COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_sem), CAST(0 AS DOUBLE))", 6)} AS rrf
         FROM lexr l FULL OUTER JOIN semr r USING (doc_id)
         ORDER BY rrf DESC, doc_id LIMIT 50"""),
-      "reciprocal-rank fusion (k=60) of top-100 BM25 and top-100 cosine rankings — the hybrid-retrieval combiner; integer sort keys make both rank lists cross-engine exact"))
+      "reciprocal-rank fusion (k=60) of top-100 BM25 and top-100 cosine rankings — the hybrid-retrieval combiner; integer sort keys make both rank lists cross-engine exact"),
+
+    // --------------------------------------------------------------- q197
+    // Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001, µ=300) — the language-modeling IR baseline next
+    // to q109's BM25: score(q,d) = Σ_t qn·ln((tf + µ·cf/N)/(dl + µ)),
+    // where the smoothing term keeps zero-tf docs scoreable. Probes
+    // are the first five tokens of the three lowest doc_ids (on real
+    // data a shorter doc dense in those terms may legitimately outrank
+    // the probe doc itself; the planted spec pins self-rank with
+    // distinctive vocabulary instead). Exactness:
+    // each per-(doc, term) log is quantized to integer nano-nats
+    // before the multiplicity-weighted sum; ranks are integer-keyed.
+    // 100 TB shape: one tokenize pass feeds tf/dl/cf/N; the probe set
+    // is a ≤15-row broadcast, so the score grid is |q-terms|·n rows —
+    // corpus-linear, shuffled only on (doc_id, term).
+    Query(
+      "q197_qlm_retrieval",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .localCheckpoint() // one pass feeds tf, dl, cf and N
+        val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val cf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
+        val ntot = tok.agg(count(lit(1)).as("n"))
+        val probes = Tables.documents(s, d).orderBy(col("doc_id")).limit(3)
+          .select(col("doc_id").as("query_id"), explode(slice(toks, 1, 5)).as("t"))
+          .groupBy(col("query_id"), col("t")).agg(count(lit(1)).as("qn"))
+          .join(cf, Seq("t")).crossJoin(broadcast(ntot))
+          .localCheckpoint() // ≤15 bounded rows
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sq").desc, col("doc_id"))
+        len.crossJoin(broadcast(probes))
+          .join(tf, Seq("doc_id", "t"), "left")
+          .select(col("query_id"), col("doc_id"), col("qn"),
+            floor(log((coalesce(col("tf"), lit(0L)) +
+                lit(300.0) * col("cf") / col("n")) / (col("dl") + lit(300.0)))
+              * lit(1e9) + lit(0.5)).cast("long").as("q"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("qn") * col("q")).as("sq"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            Num.r4(col("sq").cast("double") / lit(1e9)).as("qlm_score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, t),
+        len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                FROM tok GROUP BY doc_id),
+        cf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY t),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        pr AS (
+          SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:5]) AS t
+          FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 3)),
+        probes AS (
+          SELECT query_id, t, CAST(COUNT(*) AS BIGINT) AS qn
+          FROM pr GROUP BY query_id, t),
+        grid AS (
+          SELECT p.query_id, l.doc_id, p.qn,
+            CAST(FLOOR(LN((COALESCE(tf.tf, 0) + 300.0 * cf.cf / nt.n)
+                          / (l.dl + 300.0)) * 1e9 + 0.5) AS BIGINT) AS q
+          FROM probes p JOIN cf USING (t) CROSS JOIN nt
+          CROSS JOIN len l
+          LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.t = p.t),
+        sc AS (
+          SELECT query_id, doc_id, SUM(qn * q) AS sq
+          FROM grid GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, sq, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sq DESC, doc_id) AS BIGINT) AS rank
+          FROM sc)
+        SELECT query_id, rank, doc_id,
+          FLOOR((CAST(sq AS DOUBLE) / 1e9) * 10000 + 0.500001) / 10000
+            AS qlm_score
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""),
+      "query-likelihood retrieval with Dirichlet smoothing (mu=300): nano-nat per-term logs, probe docs from the corpus, top-10 per probe"))
 }

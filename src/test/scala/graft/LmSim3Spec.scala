@@ -230,6 +230,65 @@ class LmSim3Spec extends SparkSpec {
     assert(r.getAs[Double]("var_reduction") > 0.5, s"$r")
   }
 
+  test("q196: star edges predict exactly the missing pair, scored 1/ln(deg)") {
+    import spark.implicits._
+    // edges (1,2), (1,3): nodes 2 and 3 are NOT adjacent but share
+    // neighbor 1 (deg 2) — the single predicted link, score 1/ln 2
+    val li = Seq((1L, 2L), (1L, 3L)).zipWithIndex.flatMap { case ((u, v), ei) =>
+      (0 until 3).flatMap(o => Seq((ei * 10L + o, u), (ei * 10L + o, v)))
+    }.toDF("l_orderkey", "l_suppkey")
+    val out = byName("q196_adamic_adar").run(spark, plantDir("lineitem" -> li))
+      .collect()
+    assert(out.length == 1, s"exactly one predictable pair: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("u") == 2 && r.getAs[Long]("v") == 3)
+    assert(r.getAs[Long]("n_common") == 1)
+    assert(math.abs(r.getAs[Double]("aa_score") - 1.0 / math.log(2)) < 1e-4)
+  }
+
+  test("q197: distinctive-vocabulary probes rank themselves first; scores descend") {
+    // probe docs (ids 0-2) use unique vocab; fillers share another
+    val docs = Seq(
+      (0L, "qq ww ee rr tt qq ww", "srcP"),
+      (1L, "aa ss dd ff gg aa ss", "srcP"),
+      (2L, "zz xx cc vv bb zz xx", "srcP")) ++
+      (3L until 30L).map(i => (i, "one two three four five six", "srcF"))
+    val out = byName("q197_qlm_retrieval")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+    val top = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    assert(top == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      s"each probe must retrieve itself first: $top")
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("qlm_score") >= b.getAs[Double]("qlm_score"))
+      case _ => }
+    }
+  }
+
+  test("q198: exclusive lang-source pairing maximizes Cramer's V; a product design zeroes it") {
+    // dependent: each lang lives in exactly one source
+    val dep = for (l <- 0 until 4; i <- 0 until 25) yield
+      (l * 100L + i, "x", s"L$l", s"src$l")
+    def docsLS(rows: Seq[(Long, String, String, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text, lang, src) => (id, text, lang, src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val rd = byName("q198_chi2_independence")
+      .run(spark, plantDir("documents" -> docsLS(dep))).collect().head
+    assert(rd.getAs[Double]("cramers_v") == 1.0, s"$rd")
+    assert(rd.getAs[Long]("dof") == 9)
+    // independent: every (lang, source) cell equally filled
+    val ind = for (l <- 0 until 4; s0 <- 0 until 4; i <- 0 until 5) yield
+      ((l * 16 + s0 * 4) * 100L + i, "x", s"L$l", s"src$s0")
+    val ri = byName("q198_chi2_independence")
+      .run(spark, plantDir("documents" -> docsLS(ind))).collect().head
+    assert(ri.getAs[Double]("chi2") == 0.0 && ri.getAs[Double]("cramers_v") == 0.0,
+      s"$ri")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
