@@ -256,6 +256,95 @@ object LmQuality3 {
         ORDER BY doc_id"""),
       "per-doc TF-IDF cosine to own-source centroid with below-mean-minus-sigma outlier flag (misfiled-content audit)"),
 
+    // ---------------------------------------------------------------- q200
+    // One DoReMi-style multiplicative-weights step over source mixture
+    // weights (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures"):
+    // each source's EXCESS cross-entropy under the corpus bigram LM
+    // (the q163 model) drives w′ ∝ w·exp(η·excess), η = 1 — sources
+    // the reference model finds hard gain weight, easy/templated ones
+    // lose it. Per-instance NLL terms are quantized to integer
+    // nano-nats before the per-source sums; the 20-row softmax
+    // normalization quantizes each w·exp(·) to 1e-12 ticks so the
+    // bounded sum is integer-exact too.
+    Query(
+      "q200_doremi_step",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .select(col("source"), col("doc_id"), col("w1"),
+            lead(col("w1"), 1).over(w).as("w2"))
+          .filter(col("w2").isNotNull)
+          .localCheckpoint() // one pass feeds the LM grids and source sums
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val v = bg.agg(countDistinct(col("w2")).as("vocab"))
+        val inst = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(col("source"),
+            floor(-log((col("n2") + lit(0.5)) /
+                (col("n1") + lit(0.5) * col("vocab")))
+              * lit(1e9) + lit(0.5)).cast("long").as("nq"))
+        val perSrc = inst.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("nq")).as("sq"))
+          .localCheckpoint() // bounded |sources| rows
+        val tot = perSrc.agg(sum(col("n")).as("nt"), sum(col("sq")).as("st"))
+        val hs = col("sq").cast("double") / col("n") / lit(1e9)
+        val hc = col("st").cast("double") / col("nt") / lit(1e9)
+        val share = col("n").cast("double") / col("nt").cast("double")
+        val scored = perSrc.crossJoin(broadcast(tot))
+          .withColumn("excess", hs - hc)
+          .withColumn("uq",
+            floor(share * exp(col("excess")) * lit(1e12) + lit(0.5))
+              .cast("long"))
+          .localCheckpoint() // quantized unnormalized weights, bounded
+        val z = scored.agg(sum(col("uq")).as("z"))
+        scored.crossJoin(broadcast(z))
+          .select(col("source"), col("n").as("n_bigrams"),
+            Num.r6(share).as("token_share"),
+            Num.r6(col("excess")).as("excess_nll"),
+            Num.r6(col("uq").cast("double") / col("z").cast("double"))
+              .as("new_weight"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        bg AS (
+          SELECT source, unnest([{'w1': t[i], 'w2': t[i+1]}
+                                 FOR i IN range(1, len(t))], recursive := true)
+          FROM toks),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bg),
+        inst AS (
+          SELECT source,
+            CAST(FLOOR(-LN((n2 + 0.5) / (n1 + 0.5 * vocab)) * 1e9 + 0.5)
+                 AS BIGINT) AS nq
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, SUM(nq) AS sq
+               FROM inst GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sq) AS st FROM ps),
+        sc AS (
+          SELECT source, n,
+            CAST(n AS DOUBLE) / nt AS share,
+            CAST(sq AS DOUBLE) / n / 1e9 - CAST(st AS DOUBLE) / nt / 1e9
+              AS excess
+          FROM ps CROSS JOIN tot),
+        uw AS (
+          SELECT source, n, share, excess,
+            CAST(FLOOR(share * EXP(excess) * 1e12 + 0.5) AS BIGINT) AS uq
+          FROM sc),
+        z AS (SELECT SUM(uq) AS z FROM uw)
+        SELECT source, n AS n_bigrams,
+          FLOOR(share * 1000000 + 0.500001) / 1000000 AS token_share,
+          FLOOR(excess * 1000000 + 0.500001) / 1000000 AS excess_nll,
+          FLOOR((CAST(uq AS DOUBLE) / z) * 1000000 + 0.500001) / 1000000
+            AS new_weight
+        FROM uw CROSS JOIN z ORDER BY source"""),
+      "one DoReMi multiplicative-weights step over source mixture weights driven by excess corpus-LM cross-entropy, integer nano-nat and 1e-12-tick quantization"),
+
     // ---------------------------------------------------------------- q190
     // Benjamini–Hochberg FDR over the q174 per-source KS drift tests:
     // the asymptotic two-sample p-value p = min(1, 2·exp(−2·ne·D²))

@@ -289,6 +289,96 @@ class LmSim3Spec extends SparkSpec {
       s"$ri")
   }
 
+  test("q199: a stable transition pattern scores 1.0; a flipped eval pattern scores 0.0") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val day = 86400000L
+    // train (days 0-6): view->click->purchase cycles for 10 users;
+    // eval (days 9-10, past the 70% cut): view->error cycles — the
+    // trained view->click argmax is now always wrong
+    val ev = (1L to 10L).flatMap { u =>
+      val train = (0 until 9).flatMap { c =>
+        Seq("view", "click", "purchase").zipWithIndex.map { case (t, i) =>
+          (u * 1000 + c * 10 + i, new java.sql.Timestamp(
+            t0 + c * 12 * 3600000L + i * 60000L + u * 7), u, t, 1.0, "{}")
+        }
+      }
+      val eval_ = (0 until 3).flatMap { c =>
+        Seq("view", "error").zipWithIndex.map { case (t, i) =>
+          (u * 1000 + 500 + c * 10 + i, new java.sql.Timestamp(
+            t0 + 9 * day + c * 3600000L + i * 60000L + u * 7), u, t, 1.0, "{}")
+        }
+      }
+      train ++ eval_
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = byName("q199_markov_eval").run(spark, plantDir("events" -> ev))
+      .collect().map(r => r.getAs[String]("from_type") ->
+        (r.getAs[String]("pred_type"), r.getAs[Double]("accuracy"))).toMap
+    // trained argmax for view is click; every eval view is followed by error
+    assert(out("view")._1 == "click" && out("view")._2 == 0.0, s"$out")
+    // error rows exist in eval only as from-context across cycles
+    // (error -> view), never seen in train — so 'error' has no
+    // prediction row; purchase never appears as eval FROM context
+    assert(!out.contains("purchase"), s"$out")
+  }
+
+  test("q200: hard sources gain weight, easy sources lose it, weights sum to 1") {
+    // 'easy' docs repeat one bigram (predictable), 'hard' docs are
+    // shared diverse text with branching contexts
+    val docs = (0L until 10L).map(i => (i, ("a b " * 10).trim, "easy")) ++
+      (10L until 20L).map(i =>
+        (i, "a x a y a z b x b y b z c x c y c z", "hard"))
+    val out = byName("q200_doremi_step")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("excess_nll"),
+          r.getAs[Double]("new_weight"))).toMap
+    assert(out("easy")._2 < 0 && out("hard")._2 > 0,
+      s"excess must split around the corpus mean: $out")
+    assert(out("easy")._3 < out("easy")._1, s"easy must lose weight: $out")
+    assert(out("hard")._3 > out("hard")._1, s"hard must gain weight: $out")
+    val wsum = out.values.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize: $wsum")
+  }
+
+  test("q201: qhat is the 19th of 20 calibration moves; eval coverage counts exceedances exactly") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val day = 86400000L
+    // user 1: calibration diffs 1..20 (k = ceil(0.9*21) = 19 -> qhat = 19);
+    // eval diffs 1..10 (all within) => coverage 1.0
+    // user 2: same calibration; eval diffs include 2 of 10 over 19 => 0.8
+    def series(u: Long, evalDiffs: Seq[Int]) = {
+      val calDiffs = (1 to 20)
+      var v = 1000.0
+      val cal = calDiffs.zipWithIndex.map { case (dv, i) =>
+        v += (if (i % 2 == 0) dv else -dv)
+        (u * 1000 + i, new java.sql.Timestamp(t0 + i * 3600000L), u,
+          "purchase", v, "{}")
+      }
+      val ev = evalDiffs.zipWithIndex.map { case (dv, i) =>
+        v += (if (i % 2 == 0) dv else -dv)
+        (u * 1000 + 500 + i, new java.sql.Timestamp(t0 + 9 * day + i * 3600000L),
+          u, "purchase", v, "{}")
+      }
+      // the first calibration row is the lag seed (its diff is null)
+      (u * 1000 + 999, new java.sql.Timestamp(t0 - 3600000L), u, "purchase",
+        1000.0, "{}") +: (cal ++ ev)
+    }
+    val ev = (series(1L, (1 to 10)) ++
+      series(2L, Seq(1, 2, 3, 4, 5, 6, 7, 8, 25, 30)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = byName("q201_conformal_persistence")
+      .run(spark, plantDir("events" -> ev)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_cal"), r.getAs[Double]("qhat"),
+          r.getAs[Double]("coverage"))).toMap
+    assert(out(1L)._1 == 21 || out(1L)._1 == 20, s"$out") // incl. lag seed diff
+    assert(out(1L)._3 == 1.0, s"all eval moves within qhat: $out")
+    assert(out(2L)._3 == 0.8, s"exactly 2 of 10 exceed qhat: $out")
+    assert(out(1L)._2 == out(2L)._2, "identical calibration, identical qhat")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
