@@ -58,7 +58,8 @@ object Registry {
       ext.Sketches.queries ++ ext.Layout.queries ++ ext.Trend.queries ++
       ext.Linkage.queries ++ ext.VectorStats.queries ++ ext.Spectral.queries ++
       ext.LmQuality.queries ++ ext.LmQuality2.queries ++
-      ext.LmQuality3.queries ++ ext.Similarity2.queries ++ ext.Eval.queries
+      ext.LmQuality3.queries ++ ext.Similarity2.queries ++ ext.Eval.queries ++
+      ext.Corpus3.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,259 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation: corpus-shape audits — integral drift distance,
+  * frequency concentration, tokenizer fertility and keyword extraction
+  * by weighted log-odds. All run on (source × domain)-bounded grids
+  * derived from one corpus pass each; nothing is quadratic in corpus
+  * size.
+  */
+object Corpus3 {
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q202
+    // Wasserstein-1 (earth-mover) distance between each source's doc-
+    // length distribution and the rest of the corpus — the INTEGRAL
+    // drift companion to q174's KS maximum: KS sees the worst point,
+    // W₁ = ∫|F₁−F₂| accumulates the whole displaced mass, so a broad
+    // small shift (invisible to KS) still registers. Exact integers:
+    // the same |cum1·n2 − cum2·n1| numerator as q174, multiplied by
+    // the integer gap to the next grid length, summed in DECIMAL(38)
+    // and divided once at the end.
+    Query(
+      "q202_wasserstein_drift",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // bounded (source × length) grid, one scan
+        val lens = counts.select(col("n_chars")).distinct()
+        val srcs = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n1"))
+        val tot = counts.agg(sum(col("cnt")).as("n"))
+        val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        val cum = srcs.crossJoin(broadcast(lens))
+          .join(counts, Seq("source", "n_chars"), "left")
+          .withColumn("cum1", sum(coalesce(col("cnt"), lit(0L)))
+            .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("gap", lead(col("n_chars"), 1).over(wS) - col("n_chars"))
+          .filter(col("gap").isNotNull) // last grid point carries no mass gap
+        val cumAll = cum.groupBy(col("n_chars"))
+          .agg(sum(col("cum1")).as("cumall"))
+        cum.join(broadcast(cumAll), Seq("n_chars"))
+          .crossJoin(broadcast(tot))
+          .withColumn("num",
+            abs(col("cum1").cast("decimal(38,0)") * (col("n") - col("n1")) -
+              (col("cumall") - col("cum1")).cast("decimal(38,0)") * col("n1"))
+              * col("gap"))
+          .groupBy(col("source"), col("n1"), col("n"))
+          .agg(sum(col("num")).as("w1num"))
+          .select(col("source"), col("n1").as("n_docs"),
+            Num.r6(col("w1num").cast("double") /
+              (col("n1").cast("double") * (col("n") - col("n1")).cast("double")))
+              .as("w1_dist"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, n_chars, COUNT(*) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        lens AS (SELECT DISTINCT n_chars FROM documents),
+        srcs AS (SELECT source, COUNT(*) AS n1 FROM documents GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        grid AS (
+          SELECT s.source, s.n1, l.n_chars, COALESCE(c.cnt, 0) AS cnt
+          FROM srcs s CROSS JOIN lens l
+          LEFT JOIN counts c ON c.source = s.source AND c.n_chars = l.n_chars),
+        cum AS (
+          SELECT source, n1, n_chars,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            LEAD(n_chars, 1) OVER (PARTITION BY source ORDER BY n_chars)
+              - n_chars AS gap
+          FROM grid QUALIFY gap IS NOT NULL),
+        call AS (SELECT n_chars, SUM(cum1) AS cumall FROM cum GROUP BY n_chars),
+        agg AS (
+          SELECT c.source, c.n1, t.n,
+            SUM(ABS(CAST(c.cum1 AS HUGEINT) * (t.n - c.n1)
+                    - CAST(call.cumall - c.cum1 AS HUGEINT) * c.n1)
+                * gap) AS w1num
+          FROM cum c JOIN call USING (n_chars) CROSS JOIN tot t
+          GROUP BY c.source, c.n1, t.n)
+        SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+          FLOOR((CAST(w1num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+                * 1000000 + 0.500001) / 1000000 AS w1_dist
+        FROM agg ORDER BY source"""),
+      "Wasserstein-1 drift per source vs rest over doc lengths: exact integer |cum1*n2-cum2*n1|*gap sums (the integral companion to KS)"),
+
+    // ---------------------------------------------------------------- q203
+    // Gini coefficient of each source's token-frequency distribution —
+    // the concentration audit between q172's Zipf slope (shape of the
+    // top) and q117's hapax share (mass of the bottom):
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending frequencies.
+    // Ranks come from ONE key-partitioned window over the
+    // (source × vocab)-bounded grid; tied frequencies contribute the
+    // same Σ i·xᵢ under any tie order, so the (freq, term) order is
+    // for determinism only.
+    Query(
+      "q203_token_gini",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("source"), col("t")).agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("source")).orderBy(col("x"), col("t"))
+        freq.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("n_tokens"),
+            sum((col("i") * col("x")).cast("decimal(38,0)")).as("ix"))
+          .select(col("source"), col("n_terms"), col("n_tokens"),
+            Num.r6(lit(2.0) * col("ix").cast("double") /
+              (col("n_terms").cast("double") * col("n_tokens").cast("double")) -
+              (col("n_terms") + lit(1)).cast("double") /
+                col("n_terms").cast("double")).as("gini"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH freq AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          GROUP BY source, t),
+        ranked AS (
+          SELECT source, x,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, t) AS i
+          FROM freq),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+            CAST(SUM(x) AS BIGINT) AS n_tokens,
+            SUM(CAST(i AS HUGEINT) * x) AS ix
+          FROM ranked GROUP BY source)
+        SELECT source, n_terms, n_tokens,
+          FLOOR((2.0 * CAST(ix AS DOUBLE)
+                 / (CAST(n_terms AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                 - CAST(n_terms + 1 AS DOUBLE) / n_terms)
+                * 1000000 + 0.500001) / 1000000 AS gini
+        FROM agg ORDER BY source"""),
+      "Gini concentration of per-source token frequencies via one key-partitioned rank window on the vocab grid"),
+
+    // ---------------------------------------------------------------- q204
+    // Tokenizer fertility by language: characters per whitespace token
+    // and the ratio to English — the audit that decides whether a
+    // tokenizer (or a char-budget heuristic) taxes some languages more
+    // than others. Exact integer totals; the en reference row is a
+    // 1-row broadcast.
+    Query(
+      "q204_token_fertility",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            sum(col("n_toks")).as("toks"))
+          .localCheckpoint() // bounded |langs| rows, feeds itself + en row
+        val en = per.filter(col("lang") === "en")
+          .select((col("chars").cast("double") / col("toks").cast("double"))
+            .as("en_cpt"))
+        per.crossJoin(broadcast(en))
+          .select(col("lang"), col("n_docs"), col("toks").as("n_tokens"),
+            Num.r4(col("chars").cast("double") / col("toks").cast("double"))
+              .as("chars_per_token"),
+            Num.r4((col("chars").cast("double") / col("toks").cast("double")) /
+              col("en_cpt")).as("rel_to_en"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS chars,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+          FROM documents GROUP BY lang),
+        en AS (SELECT CAST(chars AS DOUBLE) / toks AS en_cpt
+               FROM per WHERE lang = 'en')
+        SELECT lang, n_docs, toks AS n_tokens,
+          FLOOR((CAST(chars AS DOUBLE) / toks) * 10000 + 0.500001) / 10000
+            AS chars_per_token,
+          FLOOR(((CAST(chars AS DOUBLE) / toks) / en_cpt) * 10000 + 0.500001)
+            / 10000 AS rel_to_en
+        FROM per CROSS JOIN en ORDER BY lang"""),
+      "tokenizer fertility per language: chars per whitespace token and ratio to the English reference"),
+
+    // ---------------------------------------------------------------- q206
+    // Keyword extraction by weighted log-odds with an informative
+    // Dirichlet prior (Monroe, Colaresi & Quinn 2008): for source
+    // 'src0' vs the rest, δ_w = ln-odds difference with prior
+    // α_w = α₀·cf_w/N (α₀ = 100), z_w = δ_w/√(1/(y₁+α) + 1/(y₂+α)).
+    // The standard "what words CHARACTERIZE this corpus slice" audit —
+    // more robust than raw TF-IDF deltas for rare words. Identical
+    // IEEE expression from exact integer counts; z quantized to micro
+    // for the total-order top-20.
+    Query(
+      "q206_keyness_logodds",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .localCheckpoint() // one pass feeds both sides and the prior
+        val y1 = tok.filter(col("source") === "src0")
+          .groupBy(col("t")).agg(count(lit(1)).as("y1"))
+        val cf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
+        val tots = tok.agg(count(lit(1)).as("nn"),
+          count(when(col("source") === "src0", 1)).as("n1"))
+        val g = cf.join(y1, Seq("t"), "left")
+          .crossJoin(broadcast(tots))
+          .withColumn("a1", coalesce(col("y1"), lit(0L)).cast("double"))
+          .withColumn("a2", (col("cf") - coalesce(col("y1"), lit(0L))).cast("double"))
+          .withColumn("alpha",
+            lit(100.0) * col("cf").cast("double") / col("nn").cast("double"))
+        val n1d = col("n1").cast("double")
+        val n2d = (col("nn") - col("n1")).cast("double")
+        val dlt =
+          log((col("a1") + col("alpha")) /
+            (n1d + lit(100.0) - col("a1") - col("alpha"))) -
+            log((col("a2") + col("alpha")) /
+              (n2d + lit(100.0) - col("a2") - col("alpha")))
+        val z = dlt / sqrt(lit(1.0) / (col("a1") + col("alpha")) +
+          lit(1.0) / (col("a2") + col("alpha")))
+        g.withColumn("zq", floor(z * lit(1e6) + lit(0.5)).cast("long"))
+          .orderBy(abs(col("zq")).desc, col("t"))
+          .limit(20)
+          .select(col("t").as("term"),
+            coalesce(col("y1"), lit(0L)).as("n_target"),
+            (col("cf") - coalesce(col("y1"), lit(0L))).as("n_rest"),
+            Num.r4(col("zq").cast("double") / lit(1e6)).as("logodds_z"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        y1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS y1 FROM tok
+               WHERE source = 'src0' GROUP BY t),
+        cf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY t),
+        tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                        CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                          AS n1
+                 FROM tok),
+        g AS (
+          SELECT cf.t, COALESCE(y1.y1, 0) AS y1v, cf.cf, nn, n1,
+            CAST(COALESCE(y1.y1, 0) AS DOUBLE) AS a1,
+            CAST(cf.cf - COALESCE(y1.y1, 0) AS DOUBLE) AS a2,
+            100.0 * CAST(cf.cf AS DOUBLE) / nn AS alpha
+          FROM cf LEFT JOIN y1 USING (t) CROSS JOIN tots),
+        z AS (
+          SELECT t, y1v, cf,
+            CAST(FLOOR(
+              ((LN((a1 + alpha) / (CAST(n1 AS DOUBLE) + 100.0 - a1 - alpha))
+                - LN((a2 + alpha)
+                     / (CAST(nn - n1 AS DOUBLE) + 100.0 - a2 - alpha)))
+               / SQRT(1.0 / (a1 + alpha) + 1.0 / (a2 + alpha)))
+              * 1e6 + 0.5) AS BIGINT) AS zq
+          FROM g)
+        SELECT t AS term, y1v AS n_target, cf - y1v AS n_rest,
+          FLOOR((CAST(zq AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS logodds_z
+        FROM z ORDER BY ABS(zq) DESC, t LIMIT 20"""),
+      "weighted log-odds keyness (informative Dirichlet prior) of src0 vs rest: the Monroe et al. characteristic-terms audit, micro-quantized z top-20")
+  )
+}

@@ -135,6 +135,58 @@ object Similarity2 {
           FLOOR((CAST(COUNT(*) FILTER (WHERE lab_j <> label) AS DOUBLE)
                  / COUNT(*)) * 10000 + 0.500001) / 10000 AS noise_rate
         FROM nn GROUP BY label ORDER BY label"""),
-      "leave-one-out 1-NN label disagreement per label (Wilson editing-rule mislabel estimate)")
+      "leave-one-out 1-NN label disagreement per label (Wilson editing-rule mislabel estimate)"),
+
+    // ---------------------------------------------------------------- q205
+    // Embedding hygiene: per-vector L2 norm with zero-vector and
+    // 3-sigma outlier flags — the vector sanity pass that runs before
+    // any similarity work (zero vectors poison cosine; extreme norms
+    // usually mean an upstream encoder bug). Norms come from exact
+    // integer micro-component sums of squares (DECIMAL/HUGEINT), so
+    // the flag thresholds see identical inputs in both engines; the
+    // corpus μ/σ row broadcasts. One scan, corpus-linear.
+    Query(
+      "q205_embedding_hygiene",
+      (s, d) => {
+        val norms = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .select(col("vec_id"),
+            floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+          .groupBy(col("vec_id"))
+          .agg(sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("n2q"))
+          .select(col("vec_id"),
+            sqrt(col("n2q").cast("double")).as("nrm_raw"),
+            (col("n2q") === 0).as("is_zero"))
+          .withColumn("nrm", col("nrm_raw") / lit(1e6))
+          .localCheckpoint() // feeds the stats row AND the output
+        val stats = norms.agg(avg(col("nrm")).as("mu"),
+          stddev_samp(col("nrm")).as("sd"))
+        norms.crossJoin(broadcast(stats))
+          .select(col("vec_id"), Num.r4(col("nrm")).as("l2_norm"),
+            col("is_zero"),
+            (abs(col("nrm") - col("mu")) > lit(3.0) * col("sd")).as("is_outlier"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id,
+            CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings)),
+        nq AS (
+          SELECT vec_id, SUM(CAST(xq AS HUGEINT) * xq) AS n2q
+          FROM ex GROUP BY vec_id),
+        norms AS (
+          SELECT vec_id, SQRT(CAST(n2q AS DOUBLE)) / 1e6 AS nrm,
+            n2q = 0 AS is_zero
+          FROM nq),
+        st AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM norms)
+        SELECT vec_id,
+          FLOOR(nrm * 10000 + 0.500001) / 10000 AS l2_norm,
+          is_zero,
+          (ABS(nrm - mu) > 3.0 * sd) AS is_outlier
+        FROM norms CROSS JOIN st ORDER BY vec_id"""),
+      "embedding hygiene: exact-integer L2 norms with zero-vector and 3-sigma outlier flags (pre-similarity sanity pass)")
   )
 }

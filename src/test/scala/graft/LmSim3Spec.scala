@@ -379,6 +379,81 @@ class LmSim3Spec extends SparkSpec {
     assert(out(1L)._2 == out(2L)._2, "identical calibration, identical qhat")
   }
 
+  test("q202: W1 grows with shift magnitude where KS saturates at 1") {
+    def corpus(bLen: Int) =
+      (0L until 50L).map(i => (i, "x" * 100, "srcA")) ++
+        (50L until 100L).map(i => (i, "x" * bLen, "srcB"))
+    def w1(bLen: Int) = byName("q202_wasserstein_drift")
+      .run(spark, plantDir("documents" -> docsDF(corpus(bLen)))).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("w1_dist")).toMap
+    val near = w1(200)
+    // disjoint masses 100 apart: |F1-F2| = 1 on [100, 200) => W1 = 100
+    assert(near("srcA") == 100.0 && near("srcB") == 100.0, s"$near")
+    val far = w1(300)
+    assert(far("srcA") == 200.0, s"doubling the shift doubles W1: $far")
+  }
+
+  test("q203: all-distinct tokens gini 0; a 99:1 split gini 0.49 exactly") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" "), "uni"),
+      (1L, (("a " * 99) + "b").trim, "conc"))
+    val out = byName("q203_token_gini")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("gini")).toMap
+    assert(out("uni") == 0.0, s"$out")
+    // ascending x = (1, 99): G = 2*(1*1+2*99)/(2*100) - 3/2 = 0.49
+    assert(out("conc") == 0.49, s"$out")
+  }
+
+  test("q204: fertility recovers chars-per-token and the en-relative ratio") {
+    def docsL(rows: Seq[(Long, String, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text, lang) =>
+        (id, text, lang, "src0", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val docs = (0L until 4L).map(i => (i, "aa bb", "en")) ++
+      (4L until 8L).map(i => (i, "abcdef", "zh"))
+    val out = byName("q204_token_fertility")
+      .run(spark, plantDir("documents" -> docsL(docs))).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("chars_per_token"), r.getAs[Double]("rel_to_en"))).toMap
+    assert(out("en") == ((2.5, 1.0)), s"$out")
+    assert(out("zh") == ((6.0, 2.4)), s"$out")
+  }
+
+  test("q205: zero vector and extreme norm flag; healthy vectors pass") {
+    val vecs = (0L until 10L).map(i =>
+      (i, Array(1.0f, 0.0f, 0.0f), 0)) ++ Seq(
+      (10L, Array(0.0f, 0.0f, 0.0f), 1),
+      (11L, Array(0.0f, 10.0f, 0.0f), 2))
+    val out = byName("q205_embedding_hygiene")
+      .run(spark, plantDir("embeddings" -> embDF(vecs))).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("l2_norm"), r.getAs[Boolean]("is_zero"),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(10L)._2 && out(10L)._1 == 0.0, s"$out")
+    assert(out(11L)._3, s"norm-10 among norm-1s must flag at 3 sigma: $out")
+    (0L until 10L).foreach { i =>
+      assert(out(i)._1 == 1.0 && !out(i)._2 && !out(i)._3, s"$i: ${out(i)}")
+    }
+  }
+
+  test("q206: planted characteristic terms surface with the right sign") {
+    val shared = "the of and to in"
+    val docs = (0L until 10L).map(i => (i, s"$shared magicword magicword", "src0")) ++
+      (10L until 30L).map(i => (i, s"$shared otherword", s"src${1 + i % 3}"))
+    val out = byName("q206_keyness_logodds")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Double]("logodds_z")).toMap
+    assert(out.contains("magicword") && out("magicword") > 0,
+      s"target-characteristic term must have positive z: $out")
+    assert(out.contains("otherword") && out("otherword") < 0,
+      s"rest-characteristic term must have negative z: $out")
+    assert(math.abs(out("magicword")) >= out.values.map(math.abs).max - 1e-9,
+      s"magicword is the most characteristic term: $out")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
