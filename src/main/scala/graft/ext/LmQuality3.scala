@@ -276,18 +276,24 @@ object LmQuality3 {
           .select(col("source"), col("doc_id"), col("w1"),
             lead(col("w1"), 1).over(w).as("w2"))
           .filter(col("w2").isNotNull)
-          .localCheckpoint() // one pass feeds the LM grids and source sums
-        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-        val v = bg.agg(countDistinct(col("w2")).as("vocab"))
-        val inst = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .crossJoin(broadcast(v))
-          .select(col("source"),
+        // per-source bigram counts FIRST: every later sum is then a
+        // count-weighted fold over the (sources × vocab²)-bounded grid
+        // — the corpus-sized instance join the first plan paid at 100×
+        // (16 s) never happens (Σ_inst nq ≡ Σ_pairs cnt·nq exactly)
+        val c2s = bg.groupBy(col("source"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val c2 = c2s.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+        val v = c2.agg(countDistinct(col("w2")).as("vocab"))
+        val nq = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+          .select(col("w1"), col("w2"),
             floor(-log((col("n2") + lit(0.5)) /
                 (col("n1") + lit(0.5) * col("vocab")))
               * lit(1e9) + lit(0.5)).cast("long").as("nq"))
-        val perSrc = inst.groupBy(col("source"))
-          .agg(count(lit(1)).as("n"), sum(col("nq")).as("sq"))
+        val perSrc = c2s.join(nq, Seq("w1", "w2"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("nq")).as("sq"))
           .localCheckpoint() // bounded |sources| rows
         val tot = perSrc.agg(sum(col("n")).as("nt"), sum(col("sq")).as("st"))
         val hs = col("sq").cast("double") / col("n") / lit(1e9)
