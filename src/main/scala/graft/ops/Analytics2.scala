@@ -430,6 +430,105 @@ object Analytics2 {
         FROM calc"""),
       "CUPED pre-period adjustment of A/B purchase totals: pooled theta from exact integer moments, variance-reduction share"),
 
+    // ---------------------------------------------------------------- q207
+    // Group-sequential monitoring of the q181 A/B experiment: the
+    // Welch z recomputed at five equally-spaced interim looks
+    // (20%..100% of the time range) against the Pocock two-sided
+    // K=5, α=0.05 boundary 2.413 — peeking at a fixed 1.96 threshold
+    // five times inflates false alarms to ~14%; the raised boundary is
+    // the classic fix. `first_stop` is the earliest look the trial
+    // could have stopped at (0 = never). Exact integer moments per
+    // (look, arm) from ONE corpus pass against a 5-row broadcast of
+    // integer-µs cutoffs; the z assembly is the identical IEEE
+    // expression both engines.
+    Query(
+      "q207_sequential_looks",
+      (s, d) => {
+        val armed = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"),
+            unix_micros(col("ts")).as("us"))
+          .localCheckpoint() // one pass feeds the bounds row and all looks
+        val looks = armed.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .select(explode(expr("array(1, 2, 3, 4, 5)")).as("look"),
+            col("mn"), col("mx"))
+          .select(col("look"),
+            expr("mn + ((mx - mn) * look * 2) div 10").as("cut_us"))
+        val mom = armed.join(broadcast(looks), col("us") <= col("cut_us"))
+          .groupBy(col("look"), col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("sm"),
+            sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sq"))
+          .groupBy(col("look"))
+          .agg(max(when(col("arm") === 0, col("n"))).as("na"),
+            max(when(col("arm") === 0, col("sm"))).as("sma"),
+            max(when(col("arm") === 0, col("sq"))).as("sqa"),
+            max(when(col("arm") === 1, col("n"))).as("nb"),
+            max(when(col("arm") === 1, col("sm"))).as("smb"),
+            max(when(col("arm") === 1, col("sq"))).as("sqb"))
+          .localCheckpoint() // 5 bounded rows
+        def mean(sm: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+          sm.cast("double") / n.cast("double") / lit(1e6)
+        def vr(sq: org.apache.spark.sql.Column, sm: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          (sq.cast("double") / lit(1e12) -
+            (sm.cast("double") / lit(1e6)) * (sm.cast("double") / lit(1e6)) /
+              n.cast("double")) / (n.cast("double") - lit(1.0))
+        val z = (mean(col("sma"), col("na")) - mean(col("smb"), col("nb"))) /
+          sqrt(vr(col("sqa"), col("sma"), col("na")) / col("na").cast("double") +
+            vr(col("sqb"), col("smb"), col("nb")) / col("nb").cast("double"))
+        val scored = mom
+          .select(col("look"), col("na").as("n_a"), col("nb").as("n_b"),
+            Num.r4(z).as("z_stat"),
+            (abs(z) > lit(2.413)).as("crossed"))
+        val stop = scored.agg(coalesce(min(when(col("crossed"), col("look"))),
+          lit(0)).as("first_stop"))
+        scored.crossJoin(broadcast(stop)).orderBy(col("look"))
+      },
+      Some(s"""
+        WITH armed AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+            epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase'),
+        looks AS (
+          SELECT look, mn + ((mx - mn) * look * 2) // 10 AS cut_us
+          FROM (SELECT MIN(us) AS mn, MAX(us) AS mx FROM armed),
+               UNNEST([1, 2, 3, 4, 5]) AS t(look)),
+        mom AS (
+          SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(vq) AS sm,
+            SUM(CAST(vq AS HUGEINT) * vq) AS sq
+          FROM armed JOIN looks ON us <= cut_us
+          GROUP BY look, arm),
+        piv AS (
+          SELECT look,
+            MAX(CASE WHEN arm = 0 THEN n END) AS na,
+            MAX(CASE WHEN arm = 0 THEN CAST(sm AS DOUBLE) END) AS sma,
+            MAX(CASE WHEN arm = 0 THEN CAST(sq AS DOUBLE) END) AS sqa,
+            MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+            MAX(CASE WHEN arm = 1 THEN CAST(sm AS DOUBLE) END) AS smb,
+            MAX(CASE WHEN arm = 1 THEN CAST(sq AS DOUBLE) END) AS sqb
+          FROM mom GROUP BY look),
+        calc AS (
+          SELECT look, na, nb,
+            (sma / na / 1e6 - smb / nb / 1e6) /
+            SQRT(((sqa / 1e12 - (sma/1e6) * (sma/1e6) / na) / (na - 1.0)) / na
+               + ((sqb / 1e12 - (smb/1e6) * (smb/1e6) / nb) / (nb - 1.0)) / nb)
+              AS z
+          FROM piv),
+        scored AS (
+          SELECT look, na AS n_a, nb AS n_b,
+            FLOOR(z * 10000 + 0.500001) / 10000 AS z_stat,
+            ABS(z) > 2.413 AS crossed
+          FROM calc),
+        stop AS (
+          SELECT COALESCE(MIN(CASE WHEN crossed THEN look END), 0) AS first_stop
+          FROM scored)
+        SELECT look, n_a, n_b, z_stat, crossed, first_stop
+        FROM scored CROSS JOIN stop ORDER BY look"""),
+      "group-sequential A/B monitoring: Welch z at five interim looks vs the Pocock K=5 boundary 2.413, with earliest-stop look"),
+
     // ---------------------------------------------------------------- q183
     // Sliding-window DISTINCT users per event type (6 h window, 1 h
     // slide): the live-dashboard "unique actives" metric. The batch

@@ -115,6 +115,27 @@ object StreamingHealth {
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
   }
 
+  /** Rolling-conformal scoring: distribution-free ±q̂ anomaly
+    * intervals from the last 64 window-to-window moves (see
+    * [[ConformalHealthStateProcessor]]). */
+  def scoreConformal(events: DataFrame, watermarkDelay: String,
+      windowMs: Long = DefaultWindowMs, minTraining: Int = 30,
+      alertThreshold: Double = 40.0, originMs: Long = Health.OriginMs)
+      : Dataset[HealthScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("patient_id").cast("int").as("patient_id"),
+        col("event_time"), col("value").cast("double").as("value"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[VitalPoint]
+      .groupByKey(_.patient_id)
+      .transformWithState(
+        new ConformalHealthStateProcessor(windowMs, minTraining, 95.0,
+          alertThreshold, originMs),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[HealthScore])
+  }
+
   /** Statement [4]'s final filter: the `heartbeat_alerts` stream
     * (flink_statements.tf:299-333). */
   def alerts(scored: Dataset[HealthScore]): DataFrame =

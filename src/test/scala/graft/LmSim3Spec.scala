@@ -454,6 +454,34 @@ class LmSim3Spec extends SparkSpec {
       s"magicword is the most characteristic term: $out")
   }
 
+  test("q207: a persistent shift stops at look 1; the null never crosses Pocock") {
+    import spark.implicits._
+    val arms = (1L to 200L).toDF("user_id").select(col("user_id"),
+        (ext.Dedup.h60(concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def events(shift: Double) = (1L to 200L).flatMap { u =>
+      (0 until 20).map { i =>
+        val noise = ((u * 31 + i * 7) % 11).toDouble
+        (u * 1000 + i, new java.sql.Timestamp(1704067200000L + i * 3600000L), u,
+          "purchase", 50.0 + noise + (if (arms(u) == 0) shift else 0.0), "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hit = byName("q207_sequential_looks")
+      .run(spark, plantDir("events" -> events(25.0))).collect()
+    assert(hit.length == 5)
+    assert(hit.forall(_.getAs[Boolean]("crossed")),
+      s"a constant 25-unit shift crosses at every look: ${hit.toSeq}")
+    assert(hit.forall(_.getAs[Int]("first_stop") == 1))
+    // sample sizes grow monotonically across looks
+    val ns = hit.sortBy(_.getAs[Int]("look")).map(_.getAs[Long]("n_a"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b }, s"${ns.toSeq}")
+    val nul = byName("q207_sequential_looks")
+      .run(spark, plantDir("events" -> events(0.0))).collect()
+    assert(nul.forall(!_.getAs[Boolean]("crossed")), s"${nul.toSeq}")
+    assert(nul.forall(_.getAs[Int]("first_stop") == 0))
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
