@@ -529,6 +529,256 @@ object Analytics2 {
         FROM scored CROSS JOIN stop ORDER BY look"""),
       "group-sequential A/B monitoring: Welch z at five interim looks vs the Pocock K=5 boundary 2.413, with earliest-stop look"),
 
+    // ---------------------------------------------------------------- q208
+    // Funnel step conversion with Wilson 95% intervals: per user,
+    // view → click → purchase in event-time order (q95's ordered-
+    // subsequence semantics, no horizon); each step's conversion rate
+    // gets the Wilson score interval — the binomial CI that behaves at
+    // small n and extreme p where the naive ±1.96√(p(1−p)/n) fails.
+    // Exact integer step counts from one keyed pass; the Wilson
+    // algebra is the identical IEEE expression both engines.
+    Query(
+      "q208_funnel_wilson",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .localCheckpoint() // one scan feeds all three step joins
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val steps = v.agg(count(lit(1)).as("n1"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n2"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
+          .localCheckpoint()
+        def wilson(k: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+          val z = lit(1.959963984540054) // Φ⁻¹(0.975), pinned constant
+          val p = k.cast("double") / n.cast("double")
+          val nn = n.cast("double")
+          val denom = lit(1.0) + z * z / nn
+          val center = (p + z * z / (lit(2.0) * nn)) / denom
+          val half = z * sqrt(p * (lit(1.0) - p) / nn +
+            z * z / (lit(4.0) * nn * nn)) / denom
+          (center - half, center + half)
+        }
+        val (lo2, hi2) = wilson(col("n2"), col("n1"))
+        val (lo3, hi3) = wilson(col("n3"), col("n2"))
+        steps.select(col("n1").as("n_view"), col("n2").as("n_click"),
+          col("n3").as("n_purchase"),
+          Num.r4(col("n2").cast("double") / col("n1").cast("double"))
+            .as("rate_click"),
+          Num.r4(lo2).as("click_ci_lo"), Num.r4(hi2).as("click_ci_hi"),
+          Num.r4(col("n3").cast("double") / col("n2").cast("double"))
+            .as("rate_purchase"),
+          Num.r4(lo3).as("purchase_ci_lo"), Num.r4(hi3).as("purchase_ci_hi"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id),
+        steps AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n3),
+        calc AS (
+          SELECT n1, n2, n3,
+            CAST(n2 AS DOUBLE) / n1 AS p2, CAST(n3 AS DOUBLE) / n2 AS p3,
+            1.959963984540054 AS z
+          FROM steps)
+        SELECT n1 AS n_view, n2 AS n_click, n3 AS n_purchase,
+          FLOOR(p2 * 10000 + 0.500001) / 10000 AS rate_click,
+          FLOOR(((p2 + z*z/(2.0*n1) - z*SQRT(p2*(1.0-p2)/n1 + z*z/(4.0*n1*n1)))
+                 / (1.0 + z*z/n1)) * 10000 + 0.500001) / 10000 AS click_ci_lo,
+          FLOOR(((p2 + z*z/(2.0*n1) + z*SQRT(p2*(1.0-p2)/n1 + z*z/(4.0*n1*n1)))
+                 / (1.0 + z*z/n1)) * 10000 + 0.500001) / 10000 AS click_ci_hi,
+          FLOOR(p3 * 10000 + 0.500001) / 10000 AS rate_purchase,
+          FLOOR(((p3 + z*z/(2.0*n2) - z*SQRT(p3*(1.0-p3)/n2 + z*z/(4.0*n2*n2)))
+                 / (1.0 + z*z/n2)) * 10000 + 0.500001) / 10000 AS purchase_ci_lo,
+          FLOOR(((p3 + z*z/(2.0*n2) + z*SQRT(p3*(1.0-p3)/n2 + z*z/(4.0*n2*n2)))
+                 / (1.0 + z*z/n2)) * 10000 + 0.500001) / 10000 AS purchase_ci_hi
+        FROM calc"""),
+      "view->click->purchase funnel conversion with Wilson 95% intervals per step (ordered subsequence per user, exact integer counts)"),
+
+    // ---------------------------------------------------------------- q209
+    // Deterministic Poisson bootstrap CI for the mean purchase value
+    // (Chamandy et al., "Estimating uncertainty for massive data
+    // streams" — the bootstrap that works in one pass on distributed
+    // data): each row's multiplicity in replicate r is a Poisson(1)
+    // draw derived from the cross-engine-exact md5 hash of (r, row),
+    // via EXACT integer CDF thresholds at 2⁶⁰ scale — no RNG state,
+    // any engine reproduces every draw. 50 replicates in ONE corpus
+    // pass (explode → 50-group shuffle of partial sums); the
+    // percentile CI ranks the 50 bounded replicate means.
+    Query(
+      "q209_bootstrap_ci",
+      (s, d) => {
+        // P(Pois(1) <= k) · 2^60, k = 0..6; u >= t_k advances the draw
+        val ts = Seq(424136118829305344L, 848272237658610688L,
+          1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+          1152236456152946176L, 1152825534095764608L)
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .localCheckpoint() // one pass feeds the replicates AND the full mean
+        val full = ev.agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"))
+        val u = graft.ext.Dedup.h60(concat(lit("bs|"), col("r").cast("string"),
+          lit("|"), col("event_id").cast("string")))
+        val wgt = ts.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+        val reps = ev
+          .select(col("event_id"), col("vq"),
+            explode(sequence(lit(1), lit(50))).as("r"))
+          .select(col("r"), (wgt * col("vq")).as("wv"), wgt.as("w"))
+          .groupBy(col("r"))
+          .agg(sum(col("wv")).as("sm"), sum(col("w")).as("sw"))
+          .withColumn("m", col("sm").cast("double") / col("sw").cast("double") /
+            lit(1e6))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("m"), col("r"))))
+          .localCheckpoint() // 50 bounded rows; rank window never sees corpus
+        val lo = reps.filter(col("rk") === 2).select(col("m").as("lo"))
+        val hi = reps.filter(col("rk") === 49).select(col("m").as("hi"))
+        full.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("n").as("n_rows"), lit(50L).as("b_replicates"),
+            Num.r4(col("sv").cast("double") / col("n") / lit(1e6)).as("mean"),
+            Num.r4(col("lo")).as("ci_lo"), Num.r4(col("hi")).as("ci_hi"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_id,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+          FROM events WHERE event_type = 'purchase'),
+        full_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(vq) AS sv FROM ev),
+        hashed AS (
+          SELECT ev.vq, t.r,
+            ${graft.ext.Dedup.sqlH60(
+        "'bs|' || CAST(t.r AS VARCHAR) || '|' || CAST(ev.event_id AS VARCHAR)")}
+              AS u
+          FROM ev CROSS JOIN RANGE(1, 51) t(r)),
+        weighted AS (
+          SELECT r, vq,
+            (CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1060340297073263360 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1131029650211480960 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1148701988496035328 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152236456152946176 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152825534095764608 THEN 1 ELSE 0 END) AS w
+          FROM hashed),
+        reps AS (
+          SELECT r, SUM(w * vq) AS sm, SUM(w) AS sw
+          FROM weighted GROUP BY r),
+        ranked AS (
+          SELECT r, CAST(sm AS DOUBLE) / sw / 1e6 AS m,
+            ROW_NUMBER() OVER (ORDER BY CAST(sm AS DOUBLE) / sw / 1e6, r) AS rk
+          FROM reps)
+        SELECT n AS n_rows, CAST(50 AS BIGINT) AS b_replicates,
+          FLOOR((CAST(sv AS DOUBLE) / n / 1e6) * 10000 + 0.500001) / 10000
+            AS mean,
+          FLOOR((SELECT m FROM ranked WHERE rk = 2) * 10000 + 0.500001) / 10000
+            AS ci_lo,
+          FLOOR((SELECT m FROM ranked WHERE rk = 49) * 10000 + 0.500001) / 10000
+            AS ci_hi
+        FROM full_"""),
+      "deterministic Poisson bootstrap (50 hash-derived replicates, exact 2^60 CDF thresholds): percentile CI for the mean purchase value"),
+
+    // ---------------------------------------------------------------- q210
+    // Experiment design: minimal detectable effect at α=0.05 / 80%
+    // power for the CURRENT arm sizes and variances, plus the per-arm
+    // n needed to detect a 5% relative lift — the power math a team
+    // runs BEFORE q181/q207. Pure identical-IEEE algebra over the
+    // exact integer moments; Φ⁻¹ constants pinned.
+    Query(
+      "q210_mde_power",
+      (s, d) => {
+        val armed = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+        val mom = armed.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("sm"),
+            sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sq"))
+          .localCheckpoint()
+        val a = mom.filter(col("arm") === 0)
+          .select(col("n").as("na"), col("sm").as("sma"), col("sq").as("sqa"))
+        val b = mom.filter(col("arm") === 1)
+          .select(col("n").as("nb"), col("sm").as("smb"), col("sq").as("sqb"))
+        def vr(sq: org.apache.spark.sql.Column, sm: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          (sq.cast("double") / lit(1e12) -
+            (sm.cast("double") / lit(1e6)) * (sm.cast("double") / lit(1e6)) /
+              n.cast("double")) / (n.cast("double") - lit(1.0))
+        val na = col("na").cast("double"); val nb = col("nb").cast("double")
+        val va = vr(col("sqa"), col("sma"), col("na"))
+        val vb = vr(col("sqb"), col("smb"), col("nb"))
+        val zsum = lit(1.959963984540054 + 0.8416212335729143)
+        val mu = (col("sma") + col("smb")).cast("double") / (na + nb) / lit(1e6)
+        val s2p = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+          (na + nb - lit(2.0))
+        val mdeAbs = zsum * sqrt(va / na + vb / nb)
+        val nNeed = ceil(lit(2.0) * zsum * zsum * s2p /
+          ((lit(0.05) * mu) * (lit(0.05) * mu))).cast("long")
+        a.crossJoin(broadcast(b))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            Num.r4(mu).as("mean_pooled"),
+            Num.r4(mdeAbs).as("mde_abs"),
+            Num.r6(mdeAbs / mu).as("mde_rel"),
+            nNeed.as("n_per_arm_5pct"))
+      },
+      Some(s"""
+        WITH armed AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+          FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(vq) AS sm,
+            SUM(CAST(vq AS HUGEINT) * vq) AS sq
+          FROM armed GROUP BY arm),
+        piv AS (
+          SELECT
+            (SELECT n FROM m WHERE arm = 0) AS na,
+            (SELECT CAST(sm AS DOUBLE) FROM m WHERE arm = 0) AS sma,
+            (SELECT CAST(sq AS DOUBLE) FROM m WHERE arm = 0) AS sqa,
+            (SELECT n FROM m WHERE arm = 1) AS nb,
+            (SELECT CAST(sm AS DOUBLE) FROM m WHERE arm = 1) AS smb,
+            (SELECT CAST(sq AS DOUBLE) FROM m WHERE arm = 1) AS sqb),
+        calc AS (
+          SELECT na, nb,
+            (sma + smb) / (CAST(na AS DOUBLE) + nb) / 1e6 AS mu,
+            (sqa / 1e12 - (sma/1e6) * (sma/1e6) / na) / (na - 1.0) AS va,
+            (sqb / 1e12 - (smb/1e6) * (smb/1e6) / nb) / (nb - 1.0) AS vb,
+            1.959963984540054 + 0.8416212335729143 AS zs
+          FROM piv),
+        fin AS (
+          SELECT na, nb, mu,
+            zs * SQRT(va / na + vb / nb) AS mde,
+            ((CAST(na AS DOUBLE) - 1.0) * va + (CAST(nb AS DOUBLE) - 1.0) * vb)
+              / (CAST(na AS DOUBLE) + nb - 2.0) AS s2p, zs
+          FROM calc)
+        SELECT na AS n_a, nb AS n_b,
+          FLOOR(mu * 10000 + 0.500001) / 10000 AS mean_pooled,
+          FLOOR(mde * 10000 + 0.500001) / 10000 AS mde_abs,
+          FLOOR((mde / mu) * 1000000 + 0.500001) / 1000000 AS mde_rel,
+          CAST(CEIL(2.0 * zs * zs * s2p / ((0.05 * mu) * (0.05 * mu)))
+               AS BIGINT) AS n_per_arm_5pct
+        FROM fin"""),
+      "experiment power math: MDE at alpha 0.05 / 80% power for current arms, and per-arm n for a 5% relative lift"),
+
     // ---------------------------------------------------------------- q183
     // Sliding-window DISTINCT users per event type (6 h window, 1 h
     // slide): the live-dashboard "unique actives" metric. The batch

@@ -482,6 +482,71 @@ class LmSim3Spec extends SparkSpec {
     assert(nul.forall(_.getAs[Int]("first_stop") == 0))
   }
 
+  test("q208: funnel counts respect event order; Wilson bounds bracket the rates") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    def e(id: Long, u: Long, t: String, offMin: Int) =
+      (id, new java.sql.Timestamp(t0 + offMin * 60000L), u, t, 1.0, "{}")
+    val rows =
+      (1L to 10L).flatMap(u => Seq(e(u * 10, u, "view", 0),
+        e(u * 10 + 1, u, "click", 1), e(u * 10 + 2, u, "purchase", 2))) ++
+      (11L to 20L).flatMap(u => Seq(e(u * 10, u, "view", 0),
+        e(u * 10 + 1, u, "click", 1))) ++
+      (21L to 30L).map(u => e(u * 10, u, "view", 0)) ++
+      // user 31: purchase and click BEFORE the view — only step 1 counts
+      Seq(e(310, 31L, "purchase", 0), e(311, 31L, "click", 1),
+        e(312, 31L, "view", 2))
+    val r = byName("q208_funnel_wilson")
+      .run(spark, plantDir("events" -> rows.toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")))
+      .collect().head
+    assert(r.getAs[Long]("n_view") == 31 && r.getAs[Long]("n_click") == 20 &&
+      r.getAs[Long]("n_purchase") == 10, s"$r")
+    val (rc, lo2, hi2) = (r.getAs[Double]("rate_click"),
+      r.getAs[Double]("click_ci_lo"), r.getAs[Double]("click_ci_hi"))
+    assert(lo2 < rc && rc < hi2, s"$r")
+    val (rp, lo3, hi3) = (r.getAs[Double]("rate_purchase"),
+      r.getAs[Double]("purchase_ci_lo"), r.getAs[Double]("purchase_ci_hi"))
+    assert(lo3 < rp && rp < hi3 && rp == 0.5, s"$r")
+  }
+
+  test("q209: constant values collapse the bootstrap CI to the mean") {
+    import spark.implicits._
+    val ev = (1L to 200L).map(i =>
+      (i, new java.sql.Timestamp(1704067200000L + i * 1000L), i, "purchase",
+        42.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = byName("q209_bootstrap_ci").run(spark, plantDir("events" -> ev))
+      .collect().head
+    assert(r.getAs[Double]("mean") == 42.5)
+    assert(r.getAs[Double]("ci_lo") == 42.5 && r.getAs[Double]("ci_hi") == 42.5,
+      s"every replicate of a constant is the constant: $r")
+    assert(r.getAs[Long]("b_replicates") == 50)
+  }
+
+  test("q210: MDE halves when the sample quadruples") {
+    import spark.implicits._
+    def events(reps: Int) = (1L to 100L).flatMap { u =>
+      (0 until reps).map { i =>
+        val noise = ((u * 31 + i * 7) % 11).toDouble
+        (u * 1000 + i, new java.sql.Timestamp(1704067200000L + i * 60000L), u,
+          "purchase", 50.0 + noise, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val small = byName("q210_mde_power")
+      .run(spark, plantDir("events" -> events(5))).collect().head
+    val big = byName("q210_mde_power")
+      .run(spark, plantDir("events" -> events(20))).collect().head
+    assert(small.getAs[Double]("mde_abs") > 0)
+    val ratio = big.getAs[Double]("mde_abs") / small.getAs[Double]("mde_abs")
+    assert(ratio > 0.4 && ratio < 0.6, s"4x data should ~halve MDE: $ratio")
+    assert(big.getAs[Long]("n_per_arm_5pct") > 0)
+    // required n is a property of the variance/mean, not current n
+    val nr = big.getAs[Long]("n_per_arm_5pct").toDouble /
+      small.getAs[Long]("n_per_arm_5pct").toDouble
+    assert(nr > 0.9 && nr < 1.1, s"n-needed stable across sample sizes: $nr")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
