@@ -254,6 +254,99 @@ object Corpus3 {
           FLOOR((CAST(zq AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
             AS logodds_z
         FROM z ORDER BY ABS(zq) DESC, t LIMIT 20"""),
-      "weighted log-odds keyness (informative Dirichlet prior) of src0 vs rest: the Monroe et al. characteristic-terms audit, micro-quantized z top-20")
+      "weighted log-odds keyness (informative Dirichlet prior) of src0 vs rest: the Monroe et al. characteristic-terms audit, micro-quantized z top-20"),
+
+    // ---------------------------------------------------------------- q212
+    // Theil-T inequality of document lengths, decomposed by source —
+    // the additive counterpart to q203's Gini: T_total ≈ T_between +
+    // Σ_g w_g·T_g exactly (in real arithmetic), so the report shows
+    // how much length inequality lives BETWEEN sources vs WITHIN them.
+    // All sums fold the (source × length)-bounded count grid; each
+    // x·ln(x·N/S) term is nano-quantized from identical integer
+    // inputs, products carried in DECIMAL(38)/HUGEINT.
+    Query(
+      "q212_theil_decomposition",
+      (s, d) => {
+        val grid = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // one scan feeds per-source, global and between
+        val perSrc = grid.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("ng"), sum(col("cnt") * col("n_chars")).as("sg"))
+        val tot = perSrc.agg(sum(col("ng")).as("n"), sum(col("sg")).as("ss"))
+        def theilNum(cnt: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column,
+            nn: org.apache.spark.sql.Column, sm: org.apache.spark.sql.Column) =
+          (cnt * x).cast("decimal(38,0)") *
+            floor(log(x.cast("double") * nn.cast("double") / sm.cast("double"))
+              * lit(1e9) + lit(0.5)).cast("long")
+        // within each source: T_g = Σ cnt·x·ln(x·Ng/Sg) / (Sg·1e9)
+        val within = grid.join(broadcast(perSrc), Seq("source"))
+          .select(col("source"),
+            theilNum(col("cnt"), col("n_chars"), col("ng"), col("sg")).as("t"))
+          .groupBy(col("source")).agg(sum(col("t")).as("tw"))
+        // global: T_total = Σ cnt·x·ln(x·N/S) / (S·1e9), over the
+        // length histogram summed across sources
+        val glob = grid.groupBy(col("n_chars")).agg(sum(col("cnt")).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(theilNum(col("cnt"), col("n_chars"), col("n"), col("ss")).as("t"),
+            col("ss"))
+          .groupBy(col("ss")).agg(sum(col("t")).as("tt"))
+          .select((col("tt").cast("double") /
+            (col("ss").cast("double") * lit(1e9))).as("theil_total"))
+        perSrc.join(within, Seq("source")).crossJoin(broadcast(tot))
+          .crossJoin(broadcast(glob))
+          .select(col("source"), col("ng").as("n_docs"),
+            Num.r4(col("sg").cast("double") / col("ng").cast("double"))
+              .as("mean_len"),
+            Num.r6(col("sg").cast("double") / col("ss").cast("double"))
+              .as("len_share"),
+            Num.r6(col("tw").cast("double") /
+              (col("sg").cast("double") * lit(1e9))).as("theil_within"),
+            Num.r6((col("sg").cast("double") / col("ss").cast("double")) *
+              log((col("sg").cast("double") / col("ng").cast("double")) /
+                (col("ss").cast("double") / col("n").cast("double"))))
+              .as("between_term"),
+            Num.r6(col("theil_total")).as("theil_total"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH grid AS (
+          SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        ps AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS ng,
+                      CAST(SUM(cnt * n_chars) AS BIGINT) AS sg
+               FROM grid GROUP BY source),
+        tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                       CAST(SUM(sg) AS BIGINT) AS ss FROM ps),
+        within AS (
+          SELECT g.source,
+            SUM(CAST(g.cnt * g.n_chars AS HUGEINT) *
+                CAST(FLOOR(LN(CAST(g.n_chars AS DOUBLE) * ng / sg)
+                           * 1e9 + 0.5) AS BIGINT)) AS tw
+          FROM grid g JOIN ps USING (source) GROUP BY g.source),
+        gtot AS (
+          SELECT SUM(CAST(h.cnt * h.n_chars AS HUGEINT) *
+                     CAST(FLOOR(LN(CAST(h.n_chars AS DOUBLE) * t.n / t.ss)
+                                * 1e9 + 0.5) AS BIGINT)) AS tt,
+                 MAX(t.ss) AS ss
+          FROM (SELECT n_chars, SUM(cnt) AS cnt FROM grid GROUP BY n_chars) h
+          CROSS JOIN tot t)
+        SELECT p.source, p.ng AS n_docs,
+          FLOOR((CAST(p.sg AS DOUBLE) / p.ng) * 10000 + 0.500001) / 10000
+            AS mean_len,
+          FLOOR((CAST(p.sg AS DOUBLE) / t.ss) * 1000000 + 0.500001) / 1000000
+            AS len_share,
+          FLOOR((CAST(w.tw AS DOUBLE) / (CAST(p.sg AS DOUBLE) * 1e9))
+                * 1000000 + 0.500001) / 1000000 AS theil_within,
+          FLOOR(((CAST(p.sg AS DOUBLE) / t.ss)
+                 * LN((CAST(p.sg AS DOUBLE) / p.ng)
+                      / (CAST(t.ss AS DOUBLE) / t.n)))
+                * 1000000 + 0.500001) / 1000000 AS between_term,
+          FLOOR((CAST(g.tt AS DOUBLE) / (CAST(g.ss AS DOUBLE) * 1e9))
+                * 1000000 + 0.500001) / 1000000 AS theil_total
+        FROM ps p JOIN within w USING (source)
+        CROSS JOIN tot t CROSS JOIN gtot g
+        ORDER BY p.source"""),
+      "Theil-T inequality of doc lengths decomposed by source: within-source terms + between-source terms vs the direct total, all from one bounded grid")
   )
 }

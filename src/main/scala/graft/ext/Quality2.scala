@@ -152,6 +152,62 @@ object Quality2 {
                      / (CAST(n AS DOUBLE) * LEAST(nl - 1, ns - 1)))
                 * 10000 + 0.500001) / 10000 AS cramers_v
         FROM agg"""),
-      "chi-square independence of document language vs source with Cramer's V: exact integer counts, micro-quantized cell terms over the full grid")
+      "chi-square independence of document language vs source with Cramer's V: exact integer counts, micro-quantized cell terms over the full grid"),
+
+    // ---------------------------------------------------------------- q211
+    // k-anonymity audit over the (c_mktsegment, c_nationkey)
+    // quasi-identifier: the size of every equivalence class, and the
+    // share of CUSTOMERS whose class is smaller than k ∈ {2, 5, 10} —
+    // the re-identification risk report a governance pipeline runs
+    // before releasing a table. Class sizes are one exact groupBy; the
+    // k-thresholds fold over the BOUNDED class-size histogram, so the
+    // report costs one corpus pass no matter how many k values.
+    Query(
+      "q211_k_anonymity",
+      (s, d) => {
+        val classes = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("sz"))
+          .localCheckpoint() // bounded (segment × nation) grid
+        val hist = classes.groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_classes"))
+        hist.agg(
+          sum(col("sz") * col("n_classes")).as("n_rows"),
+          sum(col("n_classes")).as("n_classes"),
+          min(col("sz")).as("min_class"),
+          sum(when(col("sz") < 2, col("sz") * col("n_classes"))
+            .otherwise(0L)).as("r2"),
+          sum(when(col("sz") < 5, col("sz") * col("n_classes"))
+            .otherwise(0L)).as("r5"),
+          sum(when(col("sz") < 10, col("sz") * col("n_classes"))
+            .otherwise(0L)).as("r10"))
+          .select(col("n_rows"), col("n_classes"), col("min_class"),
+            Num.r6(col("r2").cast("double") / col("n_rows").cast("double"))
+              .as("risk_k2"),
+            Num.r6(col("r5").cast("double") / col("n_rows").cast("double"))
+              .as("risk_k5"),
+            Num.r6(col("r10").cast("double") / col("n_rows").cast("double"))
+              .as("risk_k10"))
+      },
+      Some("""
+        WITH classes AS (
+          SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM customer GROUP BY c_mktsegment, c_nationkey),
+        hist AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_classes
+                 FROM classes GROUP BY sz)
+        SELECT CAST(SUM(sz * n_classes) AS BIGINT) AS n_rows,
+          CAST(SUM(n_classes) AS BIGINT) AS n_classes,
+          MIN(sz) AS min_class,
+          FLOOR((CAST(SUM(CASE WHEN sz < 2 THEN sz * n_classes ELSE 0 END)
+                      AS DOUBLE) / SUM(sz * n_classes))
+                * 1000000 + 0.500001) / 1000000 AS risk_k2,
+          FLOOR((CAST(SUM(CASE WHEN sz < 5 THEN sz * n_classes ELSE 0 END)
+                      AS DOUBLE) / SUM(sz * n_classes))
+                * 1000000 + 0.500001) / 1000000 AS risk_k5,
+          FLOOR((CAST(SUM(CASE WHEN sz < 10 THEN sz * n_classes ELSE 0 END)
+                      AS DOUBLE) / SUM(sz * n_classes))
+                * 1000000 + 0.500001) / 1000000 AS risk_k10
+        FROM hist"""),
+      "k-anonymity risk report over the (segment, nation) quasi-identifier: share of customers in classes under k for k in {2,5,10}")
   )
 }

@@ -547,6 +547,49 @@ class LmSim3Spec extends SparkSpec {
     assert(nr > 0.9 && nr < 1.1, s"n-needed stable across sample sizes: $nr")
   }
 
+  test("q211: risk shares count exactly the members of small classes") {
+    import spark.implicits._
+    // classes of size 1, 4 and 12 over the (segment, nation) grid
+    val rows = Seq.fill(1)(("A", 1)) ++ Seq.fill(4)(("B", 2)) ++
+      Seq.fill(12)(("C", 3))
+    val cust = rows.zipWithIndex.map { case ((seg, nat), i) =>
+      (i.toLong, s"c$i", seg, nat.toLong)
+    }.toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val r = byName("q211_k_anonymity").run(spark, plantDir("customer" -> cust))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 17 && r.getAs[Long]("n_classes") == 3)
+    assert(r.getAs[Long]("min_class") == 1)
+    assert(math.abs(r.getAs[Double]("risk_k2") - 1.0 / 17) < 1e-6, s"$r")
+    assert(math.abs(r.getAs[Double]("risk_k5") - 5.0 / 17) < 1e-6, s"$r")
+    assert(math.abs(r.getAs[Double]("risk_k10") - 5.0 / 17) < 1e-6, s"$r")
+  }
+
+  test("q212: equal lengths zero every Theil term; the decomposition adds up") {
+    val flat = (0L until 40L).map(i => (i, "x" * 100, s"src${i % 4}"))
+    val out1 = byName("q212_theil_decomposition")
+      .run(spark, plantDir("documents" -> docsDF(flat))).collect()
+    out1.foreach { r =>
+      assert(r.getAs[Double]("theil_within") == 0.0 &&
+        r.getAs[Double]("between_term") == 0.0 &&
+        r.getAs[Double]("theil_total") == 0.0, s"$r")
+    }
+    // two sources, internally uniform but different lengths: inequality
+    // lives entirely BETWEEN sources, and the decomposition must add up
+    val split = (0L until 20L).map(i => (i, "x" * 100, "srcA")) ++
+      (20L until 40L).map(i => (i, "x" * 300, "srcB"))
+    val out2 = byName("q212_theil_decomposition")
+      .run(spark, plantDir("documents" -> docsDF(split))).collect()
+    val total = out2.head.getAs[Double]("theil_total")
+    assert(total > 0)
+    val recomposed = out2.map { r =>
+      assert(r.getAs[Double]("theil_within") == 0.0, s"$r")
+      r.getAs[Double]("between_term") +
+        r.getAs[Double]("len_share") * r.getAs[Double]("theil_within")
+    }.sum
+    assert(math.abs(recomposed - total) < 1e-4,
+      s"decomposition must reproduce the total: $recomposed vs $total")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
