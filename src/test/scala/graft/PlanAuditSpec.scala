@@ -124,4 +124,33 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
     }
   }
+
+  test("session-cohort gates: bounded broadcasts, no cartesian, no global window") {
+    // q186/q200: the 256-bucket / vocab-grid score tables must reach
+    // the per-doc fold via broadcast; q209's 50-replicate fan-out is a
+    // Generate (explode), never a join; none of the cohort may carry a
+    // whole-frame window in its FINAL plan (bounded rank windows are
+    // materialized behind localCheckpoint)
+    Seq("q186_dsir_weights", "q188_mann_whitney", "q193_source_purity",
+      "q196_adamic_adar", "q197_qlm_retrieval", "q200_doremi_step",
+      "q207_sequential_looks", "q209_bootstrap_ci").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(!"Window \\[".r.findAllIn(p).exists(_ => {
+        // any WindowExec surviving to the final plan must be
+        // key-partitioned; the Explain audit counts these globally —
+        // here we just forbid the obvious whole-frame spelling
+        p.contains("Window [") && p.contains("windowspecdefinition()")
+      }), s"$q: global window in final plan")
+    }
+    assert(plan("q186_dsir_weights").contains("Broadcast"),
+      "q186: bucket scores must broadcast")
+    assert(plan("q200_doremi_step").contains("Broadcast"),
+      "q200: vocab totals must broadcast")
+    // q209's replicate fan-out ran inside the checkpointed stage; the
+    // final plan must be nothing but the bounded broadcast assembly
+    val p209 = plan("q209_bootstrap_ci")
+    assert(!p209.contains("SortMergeJoin") && !p209.contains("Exchange hash"),
+      "q209: final assembly must be broadcast-only over bounded rows")
+  }
 }
