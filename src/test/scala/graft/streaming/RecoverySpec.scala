@@ -169,4 +169,51 @@ class RecoverySpec extends SparkSpec {
       assert(interrupted(k) == v, s"Holt state diverged after restore at $k")
     }
   }
+
+  test("conformal processor ring survives checkpoint restart bit-exactly") {
+    import spark.implicits._
+    // ConfBuf carries an Array[Long] ring — the ARRAY-column state
+    // encoder path that only exercises on RocksDB restore; a dropped
+    // or reordered ring element would shift q̂ and flip breach flags
+    val vitals = sim.run(120.0).map(e =>
+      VitalPoint(e.patient_id, e.event_time, e.vitals.heart_rate.toDouble))
+    val (first, second) = vitals.splitAt(vitals.size / 2)
+    val sentinels = (1 to 2).map(i =>
+      VitalPoint(999, new java.sql.Timestamp(sim.originMs + 10_000_000L + i), 0.0))
+
+    def run(restartBetween: Boolean)
+        : Map[(Int, Long), (Boolean, Option[Double], Option[Double], Long)] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "cfrec").toString
+      val mem = MemoryStream[VitalPoint](Encoders.product[VitalPoint], spark)
+      def start() = StreamingHealth.scoreConformal(mem.toDF(),
+        watermarkDelay = "5 seconds", windowMs = 10000L, minTraining = 3,
+        originMs = sim.originMs)
+        .toDF().writeStream.format("parquet").option("path", s"$base/out")
+        .outputMode("append").option("checkpointLocation", s"$base/ckpt").start()
+      var q = start()
+      Seq(first, second).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        if (restartBetween && i == 0) { q.stop(); q = start() }
+      }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/out").filter(col("patient_id") =!= 999)
+        .select("patient_id", "window_start_ms", "is_anomaly", "lower", "upper",
+          "n_training")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            r.getLong(5))).toMap
+    }
+
+    val interrupted = run(restartBetween = true)
+    val reference = run(restartBetween = false)
+    assert(interrupted.size == reference.size)
+    reference.foreach { case (k, v) =>
+      assert(interrupted(k) == v, s"conformal ring diverged after restore at $k")
+    }
+  }
 }
