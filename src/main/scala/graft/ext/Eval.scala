@@ -161,6 +161,196 @@ object Eval {
         GROUP BY m.user_id, q.n_cal, q.qq
         HAVING COUNT(*) >= 5
         ORDER BY m.user_id"""),
-      "split-conformal +-qhat intervals for the per-key persistence forecast: finite-sample 90% rank on calibration moves, coverage on the 30% eval tail")
+      "split-conformal +-qhat intervals for the per-key persistence forecast: finite-sample 90% rank on calibration moves, coverage on the 30% eval tail"),
+
+    // ---------------------------------------------------------------- q213
+    // Cohen's κ between the recorded `lang` label and the q44/q125
+    // marker-word guess — the chance-corrected single-number companion
+    // to q125's confusion matrix (raw agreement over-credits whatever
+    // the majority class is; κ subtracts the agreement two independent
+    // raters would reach by chance). All integer counts off the
+    // bounded confusion grid; po, pe and κ are identical IEEE ratios.
+    Query(
+      "q213_cohens_kappa",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val score = (lang: String) => size(filter(toks,
+          t => graft.ops.Misc.Markers(lang).map(m => t === m).reduce(_ || _)))
+        val en = score("en"); val de = score("de"); val es = score("es")
+        val conf = Tables.documents(s, d)
+          .select(col("lang").as("labeled"),
+            when(en >= de && en >= es && en > 0, "en")
+              .when(de >= es && de > 0, "de")
+              .when(es > 0, "es")
+              .otherwise("unknown").as("guessed"))
+          .groupBy(col("labeled"), col("guessed"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // bounded |langs|² grid
+        val rows = conf.groupBy(col("labeled")).agg(sum(col("n")).as("rl"))
+        val cols = conf.groupBy(col("guessed")).agg(sum(col("n")).as("cl"))
+        val agree = conf.agg(sum(col("n")).as("nn"),
+          sum(when(col("labeled") === col("guessed"), col("n")).otherwise(0L))
+            .as("diag"))
+        val pe = rows.join(cols, col("labeled") === col("guessed"))
+          .agg(coalesce(sum(col("rl") * col("cl")), lit(0L)).as("rc"))
+        val po = col("diag").cast("double") / col("nn").cast("double")
+        val peC = col("rc").cast("double") /
+          (col("nn").cast("double") * col("nn").cast("double"))
+        agree.crossJoin(broadcast(pe))
+          .select(col("nn").as("n_docs"),
+            Num.r6(po).as("p_observed"),
+            Num.r6(peC).as("p_chance"),
+            Num.r6((po - peC) / (lit(1.0) - peC)).as("kappa"))
+      },
+      Some {
+        def hits(lang: String) = {
+          val list = graft.ops.Misc.Markers(lang).map(m => s"'$m'").mkString(", ")
+          s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS BIGINT)"
+        }
+        s"""
+        WITH t AS (
+          SELECT lang AS labeled,
+            ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
+            ${hits("es")} AS es_hits
+          FROM documents),
+        g AS (
+          SELECT labeled,
+            CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                 WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                 WHEN es_hits > 0 THEN 'es'
+                 ELSE 'unknown' END AS guessed
+          FROM t),
+        conf AS (SELECT labeled, guessed, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM g GROUP BY labeled, guessed),
+        r AS (SELECT labeled, CAST(SUM(n) AS BIGINT) AS rl
+              FROM conf GROUP BY labeled),
+        c AS (SELECT guessed, CAST(SUM(n) AS BIGINT) AS cl
+              FROM conf GROUP BY guessed),
+        agree AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(SUM(CASE WHEN labeled = guessed THEN n ELSE 0 END) AS BIGINT)
+              AS diag
+          FROM conf),
+        pe AS (
+          SELECT CAST(COALESCE(SUM(rl * cl), 0) AS BIGINT) AS rc
+          FROM r JOIN c ON r.labeled = c.guessed)
+        SELECT nn AS n_docs,
+          FLOOR((CAST(diag AS DOUBLE) / nn) * 1000000 + 0.500001) / 1000000
+            AS p_observed,
+          FLOOR((CAST(rc AS DOUBLE) / (CAST(nn AS DOUBLE) * nn))
+                * 1000000 + 0.500001) / 1000000 AS p_chance,
+          FLOOR(((CAST(diag AS DOUBLE) / nn
+                  - CAST(rc AS DOUBLE) / (CAST(nn AS DOUBLE) * nn))
+                 / (1.0 - CAST(rc AS DOUBLE) / (CAST(nn AS DOUBLE) * nn)))
+                * 1000000 + 0.500001) / 1000000 AS kappa
+        FROM agree CROSS JOIN pe"""
+      },
+      "Cohen's kappa between recorded lang and the marker-word guess: chance-corrected agreement off the bounded confusion grid"),
+
+    // ---------------------------------------------------------------- q214
+    // Expected calibration error of a deterministic centroid
+    // classifier over the embeddings: score = cos-to-positive-centroid
+    // minus cos-to-negative-centroid (labels ≥ 5 are positive),
+    // p̂ = σ(10·margin), 10 equal-width bins, ECE = Σ (n_b/N)·|acc−conf|
+    // (Guo et al. 2017) — the audit run before trusting a model's
+    // probabilities. Centroid component sums and all dot/norm
+    // accumulations are exact integers; p̂ is micro-quantized before
+    // the per-bin sum so bin confidence is association-proof.
+    Query(
+      "q214_ece_calibration",
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .select(col("vec_id"), (col("label") >= 5).as("pos"),
+            posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("pos"), col("dim"),
+            floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+          .localCheckpoint() // one explode feeds centroids AND scoring
+        val cent = ex.groupBy(col("dim"))
+          .agg(sum(when(col("pos"), col("xq")).otherwise(0L)).as("cp"),
+            count(when(col("pos"), 1)).as("np"),
+            sum(when(!col("pos"), col("xq")).otherwise(0L)).as("cn"),
+            count(when(!col("pos"), 1)).as("nn"))
+        val cnorm = cent.agg(
+          sum((col("cp").cast("decimal(38,0)") * col("cp"))).as("p2"),
+          sum((col("cn").cast("decimal(38,0)") * col("cn"))).as("n2"))
+        val dots = ex.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("pos"))
+          .agg(sum(col("xq").cast("decimal(38,0)") * col("cp")).as("dp"),
+            sum(col("xq").cast("decimal(38,0)") * col("cn")).as("dn"),
+            sum(col("xq").cast("decimal(38,0)") * col("xq")).as("v2"))
+        val margin =
+          col("dp").cast("double") /
+            (sqrt(col("v2").cast("double")) * sqrt(col("p2").cast("double"))) -
+          col("dn").cast("double") /
+            (sqrt(col("v2").cast("double")) * sqrt(col("n2").cast("double")))
+        val phat = lit(1.0) / (lit(1.0) + exp(lit(-10.0) * margin))
+        val binned = dots.crossJoin(broadcast(cnorm))
+          .select(col("pos"),
+            least(lit(9), floor(phat * lit(10.0)).cast("int")).as("bin"),
+            floor(phat * lit(1e6) + lit(0.5)).cast("long").as("pq"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), count(when(col("pos"), 1)).as("k"),
+            sum(col("pq")).as("sp"))
+          .localCheckpoint() // ≤10 bounded rows
+        val tot = binned.agg(sum(col("n")).as("nt"),
+          sum(abs(col("k") * lit(1000000L) - col("sp")).cast("decimal(38,0)"))
+            .as("eceq"))
+        binned.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n").as("n_points"),
+            Num.r4(col("sp").cast("double") / col("n") / lit(1e6)).as("confidence"),
+            Num.r4(col("k").cast("double") / col("n").cast("double")).as("accuracy"),
+            Num.r6(col("eceq").cast("double") /
+              (col("nt").cast("double") * lit(1e6))).as("ece"))
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, label >= 5 AS pos,
+            CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq,
+            dim
+          FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                  unnest(range(0, len(embedding))) AS dim
+                FROM embeddings)),
+        cent AS (
+          SELECT dim,
+            SUM(CASE WHEN pos THEN xq ELSE 0 END) AS cp,
+            SUM(CASE WHEN NOT pos THEN xq ELSE 0 END) AS cn
+          FROM ex GROUP BY dim),
+        cnorm AS (
+          SELECT SUM(CAST(cp AS HUGEINT) * cp) AS p2,
+            SUM(CAST(cn AS HUGEINT) * cn) AS n2
+          FROM cent),
+        dots AS (
+          SELECT vec_id, MAX(pos) AS pos,
+            SUM(CAST(xq AS HUGEINT) * cp) AS dp,
+            SUM(CAST(xq AS HUGEINT) * cn) AS dn,
+            SUM(CAST(xq AS HUGEINT) * xq) AS v2
+          FROM ex JOIN cent USING (dim)
+          GROUP BY vec_id),
+        scored AS (
+          SELECT pos,
+            1.0 / (1.0 + EXP(-10.0 *
+              (CAST(dp AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(p2 AS DOUBLE)))
+               - CAST(dn AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))))))
+              AS phat
+          FROM dots CROSS JOIN cnorm),
+        binned AS (
+          SELECT LEAST(9, CAST(FLOOR(phat * 10.0) AS INT)) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS k,
+            CAST(SUM(CAST(FLOOR(phat * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sp
+          FROM scored GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt,
+            SUM(ABS(k * 1000000 - sp)) AS eceq
+          FROM binned)
+        SELECT bin, n AS n_points,
+          FLOOR((CAST(sp AS DOUBLE) / n / 1e6) * 10000 + 0.500001) / 10000
+            AS confidence,
+          FLOOR((CAST(k AS DOUBLE) / n) * 10000 + 0.500001) / 10000 AS accuracy,
+          FLOOR((CAST(eceq AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e6))
+                * 1000000 + 0.500001) / 1000000 AS ece
+        FROM binned CROSS JOIN tot ORDER BY bin"""),
+      "expected calibration error of a deterministic centroid classifier: 10-bin reliability table + ECE, exact integer machinery")
   )
 }

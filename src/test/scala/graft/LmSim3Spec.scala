@@ -590,6 +590,51 @@ class LmSim3Spec extends SparkSpec {
       s"decomposition must reproduce the total: $recomposed vs $total")
   }
 
+  test("q213: constant guessing scores kappa 0 despite 50% raw agreement; perfect guessing scores 1") {
+    def docsL(rows: Seq[(Long, String, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text, lang) =>
+        (id, text, lang, "src0", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    // half labeled en, half de — but every text is English markers, so
+    // the guesser answers 'en' constantly: po = 0.5 = pe -> kappa = 0
+    val const = (0L until 20L).map(i =>
+      (i, "the a the a", if (i % 2 == 0) "en" else "de"))
+    val r0 = byName("q213_cohens_kappa")
+      .run(spark, plantDir("documents" -> docsL(const))).collect().head
+    assert(r0.getAs[Double]("p_observed") == 0.5, s"$r0")
+    assert(r0.getAs[Double]("kappa") == 0.0,
+      s"constant guessing must earn zero kappa: $r0")
+    // texts match their labels: po = 1 -> kappa = 1
+    val perfect = (0L until 10L).map(i => (i, "the a the", "en")) ++
+      (10L until 20L).map(i => (i, "der die und", "de"))
+    val r1 = byName("q213_cohens_kappa")
+      .run(spark, plantDir("documents" -> docsL(perfect))).collect().head
+    assert(r1.getAs[Double]("p_observed") == 1.0 &&
+      r1.getAs[Double]("kappa") == 1.0, s"$r1")
+  }
+
+  test("q214: separable clusters land in the extreme bins with matching accuracy") {
+    val vecs = (0 until 20).map { i =>
+      val pos = i < 10
+      // positives along +e1, negatives along -e1, slight jitter
+      (i.toLong, Array(if (pos) 1.0f else -1.0f, 0.01f * (i % 5), 0.1f),
+        if (pos) 7 else 2)
+    }
+    val out = byName("q214_ece_calibration")
+      .run(spark, plantDir("embeddings" -> embDF(vecs))).collect()
+    val byBin = out.map(r => r.getAs[Int]("bin") ->
+      (r.getAs[Long]("n_points"), r.getAs[Double]("accuracy"),
+        r.getAs[Double]("confidence"))).toMap
+    assert(byBin.keySet == Set(0, 9), s"separable data fills only the extremes: $byBin")
+    assert(byBin(9)._1 == 10 && byBin(9)._2 == 1.0, s"$byBin")
+    assert(byBin(0)._1 == 10 && byBin(0)._2 == 0.0, s"$byBin")
+    assert(byBin(9)._3 > 0.9 && byBin(0)._3 < 0.1, s"$byBin")
+    val ece = out.head.getAs[Double]("ece")
+    assert(ece < 0.1, s"well-calibrated extremes keep ECE small: $ece")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
