@@ -324,5 +324,106 @@ object Retrieval {
             AS qlm_score
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""),
-      "query-likelihood retrieval with Dirichlet smoothing (mu=300): nano-nat per-term logs, probe docs from the corpus, top-10 per probe"))
+      "query-likelihood retrieval with Dirichlet smoothing (mu=300): nano-nat per-term logs, probe docs from the corpus, top-10 per probe"),
+
+    // --------------------------------------------------------------- q215
+    // Ranker agreement: Kendall τ between the BM25 (q109) and
+    // Dirichlet-QLM (q197's model, same fixed term set) top-100
+    // rankings — the diagnostic that tells a hybrid-retrieval stack
+    // (q120) whether its two signals actually disagree enough to be
+    // worth fusing (τ → 1 means the second ranker adds nothing).
+    // Both rankings are integer-keyed (micro/nano scores,
+    // row_number over a TakeOrdered-bounded 100-row list); the pair
+    // scan is the bounded m² intersection join. Ranks are distinct by
+    // construction, so τ = (C − D) / (m(m−1)/2) needs no tie terms.
+    Query(
+      "q215_ranker_agreement",
+      (s, d) => {
+        val wLex = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+        val lex = bm25Micro(s, d)
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(100)
+          .withColumn("r1", row_number().over(wLex).cast("long"))
+          .select(col("doc_id"), col("r1"))
+          .localCheckpoint() // bounded 100-row list (rank after limit)
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .localCheckpoint()
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val cf = tok.filter(col("t").isin("join", "scan", "window"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cf"))
+        val ntot = tok.agg(count(lit(1)).as("n"))
+        val tf = tok.filter(col("t").isin("join", "scan", "window"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val qlmScore = dl.crossJoin(broadcast(cf.crossJoin(broadcast(ntot))))
+          .join(tf, Seq("doc_id", "t"), "left")
+          .select(col("doc_id"),
+            floor(log((coalesce(col("tf"), lit(0L)) +
+                lit(300.0) * col("cf") / col("n")) / (col("dl") + lit(300.0)))
+              * lit(1e9) + lit(0.5)).cast("long").as("q"))
+          .groupBy(col("doc_id")).agg(sum(col("q")).as("qlm_nano"))
+        val wSem = Window.orderBy(col("qlm_nano").desc, col("doc_id"))
+        val sem = qlmScore
+          .orderBy(col("qlm_nano").desc, col("doc_id")).limit(100)
+          .withColumn("r2", row_number().over(wSem).cast("long"))
+          .select(col("doc_id"), col("r2"))
+          .localCheckpoint()
+        val common = lex.join(sem, Seq("doc_id")).localCheckpoint()
+        val a = common.select(col("doc_id").as("i"), col("r1").as("r1i"),
+          col("r2").as("r2i"))
+        val b = common.select(col("doc_id").as("j"), col("r1").as("r1j"),
+          col("r2").as("r2j"))
+        val pairs = a.join(broadcast(b), col("i") < col("j"))
+          .select((( (col("r1i") - col("r1j")) * (col("r2i") - col("r2j")) ) > 0)
+            .as("conc"))
+        val m = common.count() // bounded (≤100), plan-time constant
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          count(when(col("conc"), 1)).as("concordant"))
+          .select(lit(m).as("n_common"), col("n_pairs"), col("concordant"),
+            (col("n_pairs") - col("concordant")).as("discordant"),
+            // τ undefined when the lists share < 2 docs (can happen
+            // when two rankers' top-100s are disjoint, e.g. under
+            // heavy replication) — NULL, never a crash
+            when(col("n_pairs") > 0,
+              graft.Num.r4((col("concordant") * lit(2L) - col("n_pairs"))
+                .cast("double") / col("n_pairs").cast("double")))
+              .otherwise(lit(null).cast("double")).as("kendall_tau"))
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        lex AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS r1
+          FROM bm QUALIFY r1 <= 100),
+        dlq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                FROM tok GROUP BY doc_id),
+        cfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM tok
+                WHERE t IN ('join','scan','window') GROUP BY t),
+        ntq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        tfq AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+                WHERE t IN ('join','scan','window') GROUP BY doc_id, t),
+        qs AS (
+          SELECT d.doc_id,
+            SUM(CAST(FLOOR(LN((COALESCE(tf, 0) + 300.0 * cf / n)
+                              / (dl + 300.0)) * 1e9 + 0.5) AS BIGINT)) AS qlm_nano
+          FROM dlq d CROSS JOIN cfq CROSS JOIN ntq
+          LEFT JOIN tfq ON tfq.doc_id = d.doc_id AND tfq.t = cfq.t
+          GROUP BY d.doc_id),
+        sem AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY qlm_nano DESC, doc_id) AS BIGINT) AS r2
+          FROM qs QUALIFY r2 <= 100),
+        common AS (SELECT doc_id, r1, r2 FROM lex JOIN sem USING (doc_id)),
+        pairs AS (
+          SELECT ((a.r1 - b.r1) * (a.r2 - b.r2)) > 0 AS conc
+          FROM common a JOIN common b ON a.doc_id < b.doc_id)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM common) AS n_common,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(*) FILTER (WHERE conc) AS BIGINT) AS concordant,
+          CAST(COUNT(*) FILTER (WHERE NOT conc) AS BIGINT) AS discordant,
+          CASE WHEN COUNT(*) > 0 THEN
+            FLOOR((CAST(COUNT(*) FILTER (WHERE conc) * 2 - COUNT(*) AS DOUBLE)
+                   / COUNT(*)) * 10000 + 0.500001) / 10000
+          ELSE NULL END AS kendall_tau
+        FROM pairs"""),
+      "Kendall tau between BM25 and QLM top-100 rankings over the shared term set: bounded pair scan, hybrid-fusion diagnostic"))
 }

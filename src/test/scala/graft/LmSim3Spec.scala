@@ -635,6 +635,31 @@ class LmSim3Spec extends SparkSpec {
     assert(ece < 0.1, s"well-calibrated extremes keep ECE small: $ece")
   }
 
+  test("q215: identically-ordered rankers score tau 1; pair accounting is exact") {
+    // same length, increasing 'join' term frequency: both BM25 and QLM
+    // rank purely by tf, so the rankings coincide
+    val docs = (0L until 20L).map { i =>
+      val tf = (i + 1).toInt
+      val text = (Seq.fill(tf)("join") ++ Seq.fill(40 - tf)("filler"))
+        .mkString(" ")
+      (i, text, "src0")
+    }
+    val r = byName("q215_ranker_agreement")
+      .run(spark, plantDir("documents" -> docsDF(docs))).collect().head
+    val m = r.getAs[Long]("n_common")
+    assert(m == 20, s"$r")
+    assert(r.getAs[Long]("n_pairs") == m * (m - 1) / 2, s"$r")
+    assert(r.getAs[Long]("discordant") == 0 &&
+      r.getAs[Double]("kendall_tau") == 1.0, s"$r")
+    // driver data: tau well-defined and bounded, accounting consistent
+    val d = byName("q215_ranker_agreement").run(spark, sf("0.01"))
+      .collect().head
+    assert(d.getAs[Long]("concordant") + d.getAs[Long]("discordant") ==
+      d.getAs[Long]("n_pairs"), s"$d")
+    val tau = d.getAs[Double]("kendall_tau")
+    assert(tau >= -1.0 && tau <= 1.0, s"$d")
+  }
+
   test("q190: one drifted source is BH-significant at rank 1; identical sources are not") {
     // 19 sources share one length distribution; srcDRIFT's lengths are
     // disjoint — D = 1 against the pooled rest, p ~ 0
