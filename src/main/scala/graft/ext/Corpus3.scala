@@ -347,6 +347,61 @@ object Corpus3 {
         FROM ps p JOIN within w USING (source)
         CROSS JOIN tot t CROSS JOIN gtot g
         ORDER BY p.source"""),
-      "Theil-T inequality of doc lengths decomposed by source: within-source terms + between-source terms vs the direct total, all from one bounded grid")
+      "Theil-T inequality of doc lengths decomposed by source: within-source terms + between-source terms vs the direct total, all from one bounded grid"),
+
+    // ---------------------------------------------------------------- q221
+    // Dedup savings report: what a curation run actually buys, in
+    // TOKENS, per source — the number every training-data budget
+    // meeting asks for and the dedup family (q30/q30b/q80/q89)
+    // doesn't yet report. Uses q30b's normalized fingerprint (case-
+    // fold, strip non-alnum, collapse spaces); the kept copy is the
+    // lowest doc_id (q30b's canonical rule), everything after it is
+    // savings. 100 TB shape: one corpus pass to (fp, source, toks),
+    // one fingerprint-keyed window (key-partitioned, never global),
+    // one grouped rollup on source — linear, shuffle on fp then
+    // source only.
+    Query(
+      "q221_dedup_savings",
+      (s, d) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(norm).as("fp"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"),
+            sum(col("toks")).as("tokens_total"),
+            sum(when(col("rn") > 1, col("toks")).otherwise(0L))
+              .as("tokens_dupe"))
+          .select(col("source"), col("n_docs"), col("n_dupes"),
+            col("tokens_total"), col("tokens_dupe"),
+            Num.r6(col("tokens_dupe").cast("double")
+              / col("tokens_total").cast("double")).as("savings_share"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            MD5(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS fp,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        r AS (
+          SELECT source, toks,
+            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dupes,
+          CAST(SUM(toks) AS BIGINT) AS tokens_total,
+          CAST(SUM(CASE WHEN rn > 1 THEN toks ELSE 0 END) AS BIGINT)
+            AS tokens_dupe,
+          FLOOR((CAST(SUM(CASE WHEN rn > 1 THEN toks ELSE 0 END) AS DOUBLE)
+                 / SUM(toks)) * 1000000 + 0.500001) / 1000000
+            AS savings_share
+        FROM r GROUP BY source ORDER BY source"""),
+      "per-source dedup savings in tokens under q30b's normalized fingerprint: duplicate docs, duplicate tokens, and the savings share")
   )
 }

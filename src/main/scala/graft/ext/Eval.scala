@@ -351,6 +351,98 @@ object Eval {
           FLOOR((CAST(eceq AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e6))
                 * 1000000 + 0.500001) / 1000000 AS ece
         FROM binned CROSS JOIN tot ORDER BY bin"""),
-      "expected calibration error of a deterministic centroid classifier: 10-bin reliability table + ECE, exact integer machinery")
+      "expected calibration error of a deterministic centroid classifier: 10-bin reliability table + ECE, exact integer machinery"),
+
+    // ---------------------------------------------------------------- q216
+    // Ranking-quality audit of the q109 BM25 ranker: nDCG@10, MRR and
+    // P@10 against graded pseudo-relevance rel(doc) = number of
+    // distinct probe terms the document contains (0..3) — the
+    // standard offline retrieval eval (Järvelin & Kekäläinen 2002)
+    // run against judgments the corpus itself defines, completing the
+    // retrieval family (q109 scores, q120 fuses, q215 compares
+    // rankers, q216 grades). Exactness: gains (2^rel − 1) are
+    // integers via shiftleft; the position discounts 1/log2(pos+1)
+    // are PRECOMPUTED integer micro-literals (no runtime
+    // transcendental), so DCG and IDCG are exact int64 sums and the
+    // one final division is bit-equal across engines. 100 TB shape:
+    // BM25 is the q109 plan (broadcast idf, one token pass); both
+    // top-10s are TakeOrdered (no global window on unbounded data);
+    // everything after is 10-row driver-free algebra.
+    Query(
+      "q216_ndcg_bm25",
+      (s, d) => {
+        import graft.ext.Retrieval.{bm25Micro, dcgWeights}
+        val rel = bm25Micro(s, d) // n_terms = distinct probe terms present
+          .select(col("doc_id"), col("n_terms").cast("int").as("rel"))
+          .localCheckpoint() // feeds ranking join AND ideal top-10
+        val w10 = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+        val ranked = bm25Micro(s, d)
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+          .localCheckpoint() // bounded: the window below is 10 rows
+          .withColumn("pos", row_number().over(w10))
+          .join(rel, Seq("doc_id"))
+        val wts = dcgWeights(s) // (pos, wq) 10-row literal
+        val dcg = ranked.join(broadcast(wts), Seq("pos"))
+          .agg(count(lit(1)).as("k_used"),
+            sum(expr("(shiftleft(CAST(1 AS BIGINT), rel) - 1) * wq"))
+              .as("dcg_q"),
+            sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("hits"),
+            min(when(col("rel") >= 2, col("pos"))).as("first_hi"))
+        val wIdeal = Window.orderBy(col("rel").desc, col("doc_id"))
+        val idcg = rel.filter(col("rel") >= 1)
+          .orderBy(col("rel").desc, col("doc_id")).limit(10)
+          .localCheckpoint() // bounded: the window below is 10 rows
+          .withColumn("pos", row_number().over(wIdeal))
+          .join(broadcast(wts), Seq("pos"))
+          .agg(sum(expr("(shiftleft(CAST(1 AS BIGINT), rel) - 1) * wq"))
+            .as("idcg_q"))
+        dcg.crossJoin(broadcast(idcg))
+          .select(col("k_used"),
+            Num.r6(col("dcg_q").cast("double") / lit(1e6)).as("dcg"),
+            Num.r6(col("idcg_q").cast("double") / lit(1e6)).as("idcg"),
+            when(col("idcg_q") > 0,
+              Num.r6(col("dcg_q").cast("double") / col("idcg_q").cast("double")))
+              .as("ndcg"),
+            Num.r6(coalesce(lit(1.0) / col("first_hi").cast("double"), lit(0.0)))
+              .as("rr"),
+            Num.r6(col("hits").cast("double") / col("k_used").cast("double"))
+              .as("p_at_k"))
+      },
+      Some(s"""
+        WITH ${Retrieval.bm25Ctes},
+        rel AS MATERIALIZED (
+          SELECT doc_id, CAST(n_terms AS INT) AS rel FROM bm),
+        w AS (SELECT * FROM (VALUES ${Retrieval.sqlDcgWeights}) AS w(pos, wq)),
+        ranked AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS pos
+            FROM bm) WHERE pos <= 10),
+        dcg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+            CAST(SUM(((1::BIGINT << rel) - 1) * wq) AS BIGINT) AS dcg_q,
+            CAST(COUNT(*) FILTER (WHERE rel >= 1) AS BIGINT) AS hits,
+            MIN(CASE WHEN rel >= 2 THEN pos END) AS first_hi
+          FROM ranked JOIN rel USING (doc_id) JOIN w USING (pos)),
+        ideal AS (
+          SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+          FROM rel WHERE rel >= 1),
+        idcg AS (
+          SELECT CAST(SUM(((1::BIGINT << rel) - 1) * wq) AS BIGINT) AS idcg_q
+          FROM ideal JOIN w USING (pos) WHERE pos <= 10)
+        SELECT k_used,
+          FLOOR((CAST(dcg_q AS DOUBLE) / 1e6) * 1000000 + 0.500001) / 1000000
+            AS dcg,
+          FLOOR((CAST(idcg_q AS DOUBLE) / 1e6) * 1000000 + 0.500001) / 1000000
+            AS idcg,
+          CASE WHEN idcg_q > 0 THEN
+            FLOOR((CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE))
+                  * 1000000 + 0.500001) / 1000000 END AS ndcg,
+          FLOOR(COALESCE(1.0 / CAST(first_hi AS DOUBLE), 0.0)
+                * 1000000 + 0.500001) / 1000000 AS rr,
+          FLOOR((CAST(hits AS DOUBLE) / CAST(k_used AS DOUBLE))
+                * 1000000 + 0.500001) / 1000000 AS p_at_k
+        FROM dcg CROSS JOIN idcg"""),
+      "nDCG@10 / MRR / P@10 of the BM25 ranking vs term-count pseudo-relevance: integer gains + precomputed micro discount literals, exact int64 DCG sums")
   )
 }

@@ -64,6 +64,62 @@ object Graph {
             JOIN r${i - 1} r ON r.node = e.src
             GROUP BY e.dst) c ON c.dst = d.src)"""
 
+  /** The q176 partition — 4 SYNCHRONOUS label-propagation rounds on
+    * the backbone with the deterministic (count DESC, label ASC)
+    * tie-break, each round lineage-truncated: (node, lbl). Shared by
+    * q176 (the communities themselves) and q218 (their modularity). */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e0 = backbone(s, d)
+    val edges = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint() // referenced once per round
+    lpaLabelsFrom(edges)
+  }
+
+  /** [[lpaLabels]] on an ALREADY-materialized doubled edge list — lets
+    * q218 share one backbone computation between the partition and the
+    * modularity joins instead of paying the lineitem self-join twice. */
+  private def lpaLabelsFrom(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var lab = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      lab = edges
+        .join(lab.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+            .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** DuckDB twin of [[lpaLabels]]: CTE chain ending in `l4(node,
+    * lbl)`, with `e0(u, v)` and the doubled `e(a, b)` also in scope. */
+  private def sqlLpaChain: String = {
+    def round(i: Int): String = {
+      val p = i - 1
+      s"""l$i AS MATERIALIZED (
+              SELECT node, lbl FROM (
+                SELECT e.a AS node, l.lbl, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY e.a
+                                     ORDER BY COUNT(*) DESC, l.lbl) AS rn
+                FROM e JOIN l$p l ON l.node = e.b
+                GROUP BY e.a, l.lbl) WHERE rn = 1)"""
+    }
+    s"""${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+        ${(1 to 4).map(round).mkString(",\n        ")}"""
+  }
+
   def queries: Seq[Query] = Seq(
     // --------------------------------------------------------------- q101
     // PageRank (damping 0.85, 5 fixed iterations) over the bipartite
@@ -250,25 +306,7 @@ object Graph {
     Query(
       "q176_label_propagation",
       (s, d) => {
-        val e0 = backbone(s, d)
-        val edges = e0.select(col("u").as("a"), col("v").as("b"))
-          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
-          .localCheckpoint() // referenced once per round
-        var lab = edges.select(col("a").as("node")).distinct()
-          .withColumn("lbl", col("node"))
-          .localCheckpoint()
-        for (_ <- 1 to 4) {
-          lab = edges
-            .join(lab.select(col("node").as("b"), col("lbl")), Seq("b"))
-            .groupBy(col("a").as("node"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
-                .orderBy(col("c").desc, col("lbl"))))
-            .filter(col("rn") === 1)
-            .select(col("node"), col("lbl"))
-            .localCheckpoint()
-        }
+        val lab = lpaLabels(s, d)
         val sizes = lab.groupBy(col("lbl"))
           .agg(count(lit(1)).as("community_size"))
         lab.join(sizes, Seq("lbl"))
@@ -277,29 +315,13 @@ object Graph {
             col("community_size"))
           .orderBy(col("node_id"))
       },
-      Some {
-        def round(i: Int): String = {
-          val p = i - 1
-          s"""l$i AS MATERIALIZED (
-              SELECT node, lbl FROM (
-                SELECT e.a AS node, l.lbl, COUNT(*) AS c,
-                  ROW_NUMBER() OVER (PARTITION BY e.a
-                                     ORDER BY COUNT(*) DESC, l.lbl) AS rn
-                FROM e JOIN l$p l ON l.node = e.b
-                GROUP BY e.a, l.lbl) WHERE rn = 1)"""
-        }
-        s"""
-        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
-        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
-                           UNION ALL SELECT v, u FROM e0),
-        l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
-        ${(1 to 4).map(round).mkString(",\n        ")},
+      Some(s"""
+        WITH $sqlLpaChain,
         sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
                   FROM l4 GROUP BY lbl)
         SELECT node AS node_id, CAST(l4.lbl AS BIGINT) AS community,
           community_size
-        FROM l4 JOIN sizes USING (lbl) ORDER BY node_id"""
-      },
+        FROM l4 JOIN sizes USING (lbl) ORDER BY node_id"""),
       "label-propagation communities (4 synchronous rounds, deterministic tie-break) on the bounded backbone"),
 
     // --------------------------------------------------------------- q182
@@ -431,5 +453,128 @@ object Graph {
           FLOOR((CAST(sq AS DOUBLE) / 1e9) * 1000000 + 0.500001) / 1000000
             AS aa_score
         FROM sc ORDER BY sq DESC, u, v LIMIT 20"""),
-      "Adamic-Adar link prediction on the bounded backbone: inverse-log-degree common-neighbor score for non-adjacent pairs, top-20"))
+      "Adamic-Adar link prediction on the bounded backbone: inverse-log-degree common-neighbor score for non-adjacent pairs, top-20"),
+
+    // ---------------------------------------------------------------- q217
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees over every DIRECTED edge of the backbone — do
+    // high-degree suppliers co-purchase with other hubs (r > 0) or
+    // with the periphery (r < 0)? The one-number mixing diagnostic
+    // the rest of the graph family doesn't expose. All five moment
+    // sums are exact int64 over the bounded edge list (deg ≤ |V| ≤
+    // 10^4, n ≤ 10^4 ⇒ every product ≤ ~2.5e15 < 2^62), so the final
+    // r is ONE double expression on identical integers — bit-equal
+    // across engines; NULL (never NaN) on a degree-regular graph,
+    // where both variance terms vanish (sf0.001's complete clique).
+    // 100 TB shape: one grouped count + one bounded self-join + one
+    // total aggregate, all on the 5000-edge backbone.
+    Query(
+      "q217_assortativity",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val und = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint() // feeds deg AND the endpoint-pair list
+        val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+        val mom = und
+          .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        mom.crossJoin(broadcast(nNodes))
+          .select(col("n_nodes"), (col("n") / lit(2)).cast("long").as("n_edges"),
+            when((col("n") * col("sxx") - col("sx") * col("sx") > 0) &&
+                 (col("n") * col("syy") - col("sy") * col("sy") > 0),
+              graft.Num.r6(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+                    * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("r_assortativity"))
+      },
+      Some(s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        und AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                             UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY a),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(dx.deg) AS BIGINT) AS sx,
+            CAST(SUM(dy.deg) AS BIGINT) AS sy,
+            CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+            CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+            CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy
+          FROM und JOIN deg dx ON dx.node = und.a
+                   JOIN deg dy ON dy.node = und.b)
+        SELECT n_nodes, CAST(n / 2 AS BIGINT) AS n_edges,
+          CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+            FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
+              / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                     * CAST(n*syy - sy*sy AS DOUBLE)))
+              * 1000000 + 0.500001) / 1000000 END AS r_assortativity
+        FROM mom CROSS JOIN nn"""),
+      "degree assortativity r over the bounded backbone: exact int64 moment sums, one final double division — hub-hub vs hub-periphery mixing"),
+
+    // ---------------------------------------------------------------- q218
+    // Modularity Q (Newman-Girvan) of the q176 label-propagation
+    // partition: Σ_c [e_c/m − (d_c/2m)²] — did LPA actually find
+    // community structure (Q ≫ 0) or just relabel a clique (Q ≈ 0)?
+    // The in-engine model-eval discipline (q199/q213/q214) applied to
+    // the graph family: score the engine's own partition. Evaluated
+    // as exact integers over the common denominator 4m²:
+    // Q = Σ_c (4·m·e_c − d_c²) / 4m², every term int64 (m ≤ 5000,
+    // d_c ≤ 2m ⇒ d_c² ≤ 10^8), so the single final division is the
+    // only double — bit-equal across engines. One bounded join pass
+    // over the backbone; the partition reuses [[lpaLabels]].
+    Query(
+      "q218_modularity",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val und = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint() // shared: degree pass + all 4 LPA rounds
+        val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val lab = lpaLabelsFrom(und)
+        val dsum = deg.join(lab, Seq("node"))
+          .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+        val ew = e0
+          .join(lab.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+          .join(lab.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+          .filter(col("lu") === col("lv"))
+          .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+        val mrow = e0.agg(count(lit(1)).as("m"))
+        dsum.join(ew, Seq("lbl"), "left")
+          .na.fill(0L, Seq("e_c"))
+          .crossJoin(broadcast(mrow))
+          .agg(max(col("m")).as("m"),
+            count(lit(1)).as("n_communities"),
+            sum(lit(4) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+              .as("num"))
+          .select(col("m"), col("n_communities"),
+            graft.Num.r6(col("num").cast("double")
+              / (lit(4.0) * col("m") * col("m"))).as("modularity"))
+      },
+      Some(s"""
+        WITH $sqlLpaChain,
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        dsum AS (SELECT l.lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+                 FROM deg JOIN l4 l ON l.node = deg.node GROUP BY l.lbl),
+        ew AS (SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+               FROM e0 JOIN l4 lu ON lu.node = e0.u
+                       JOIN l4 lv ON lv.node = e0.v
+               WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+        per AS (SELECT d.lbl, d.d_c, COALESCE(e.e_c, 0) AS e_c
+                FROM dsum d LEFT JOIN ew e ON e.lbl = d.lbl)
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+          FLOOR((CAST(SUM(4*m*e_c - d_c*d_c) AS DOUBLE) / (4.0*m*m))
+                * 1000000 + 0.500001) / 1000000 AS modularity
+        FROM per CROSS JOIN mm GROUP BY m"""),
+      "modularity Q of the LPA partition as exact integers over the common denominator 4m^2 — scores the engine's own communities"))
 }

@@ -208,6 +208,60 @@ object Quality2 {
                       AS DOUBLE) / SUM(sz * n_classes))
                 * 1000000 + 0.500001) / 1000000 AS risk_k10
         FROM hist"""),
-      "k-anonymity risk report over the (segment, nation) quasi-identifier: share of customers in classes under k for k in {2,5,10}")
+      "k-anonymity risk report over the (segment, nation) quasi-identifier: share of customers in classes under k for k in {2,5,10}"),
+
+    // ---------------------------------------------------------------- q219
+    // l-diversity audit (Machanavajjhala et al. 2006) — the attack
+    // k-anonymity misses: a class can be large (k-safe) yet expose its
+    // sensitive attribute if EVERY member shares the same value.
+    // Same (segment, nation) quasi-identifier as q211; sensitive
+    // attribute = delinquency (c_acctbal < 0). Per class l = distinct
+    // sensitive values (1 or 2 here); report the share of customers
+    // in l=1 classes (attribute disclosure) and, worse, in all-
+    // delinquent l=1 classes (the damaging disclosure direction).
+    // 100 TB shape: one grouped pass to the bounded (segment ×
+    // nation) grid, then driver-free fold — identical to q211.
+    Query(
+      "q219_l_diversity",
+      (s, d) => {
+        val cls = Tables.customer(s, d)
+          .withColumn("sens", (col("c_acctbal") < 0).cast("int"))
+          .groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("sz"),
+            countDistinct(col("sens")).as("l"),
+            min(col("sens")).as("mn"))
+        cls.agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"),
+          sum(when(col("l") === 1, col("sz")).otherwise(0L)).as("r1"),
+          sum(when(col("l") === 1 && col("mn") === 1, col("sz"))
+            .otherwise(0L)).as("rd"))
+          .select(col("n_classes"), col("n_rows"), col("min_l"),
+            col("classes_l1"),
+            Num.r6(col("r1").cast("double") / col("n_rows").cast("double"))
+              .as("rows_l1_share"),
+            Num.r6(col("rd").cast("double") / col("n_rows").cast("double"))
+              .as("rows_all_delinquent_share"))
+      },
+      Some("""
+        WITH cls AS (
+          SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS sz,
+            CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS l,
+            MIN(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS mn
+          FROM customer GROUP BY c_mktsegment, c_nationkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(SUM(sz) AS BIGINT) AS n_rows,
+          MIN(l) AS min_l,
+          CAST(COUNT(*) FILTER (WHERE l = 1) AS BIGINT) AS classes_l1,
+          FLOOR((CAST(SUM(CASE WHEN l = 1 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz)) * 1000000 + 0.500001) / 1000000 AS rows_l1_share,
+          FLOOR((CAST(SUM(CASE WHEN l = 1 AND mn = 1 THEN sz ELSE 0 END)
+                      AS DOUBLE) / SUM(sz)) * 1000000 + 0.500001) / 1000000
+            AS rows_all_delinquent_share
+        FROM cls"""),
+      "l-diversity audit over the q211 quasi-identifier with delinquency as the sensitive attribute: share of customers in l=1 classes")
   )
 }

@@ -55,6 +55,26 @@ object Retrieval {
 
   /** The DuckDB CTE chain mirroring [[bm25Micro]], ending in
     * `bm(doc_id, n_terms, bm25_micro)`. */
+  /** DCG position discounts 1/log2(pos+1) for pos 1..10 as PRE-
+    * computed integer micro-literals — no runtime transcendental, so
+    * q216's DCG sums are exact int64 on both engines. floor(1e6/
+    * log2(pos+1) + 0.5), pinned by RetrievalEvalSpec. */
+  private[graft] val DcgW: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L,
+    5 -> 386853L, 6 -> 356207L, 7 -> 333333L, 8 -> 315465L,
+    9 -> 301030L, 10 -> 289065L)
+
+  /** [[DcgW]] as a 10-row broadcastable frame (pos, wq). */
+  private[ext] def dcgWeights(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    DcgW.toDF("pos", "wq")
+  }
+
+  /** [[DcgW]] as a SQL VALUES body: `(1, 1000000), (2, 630930), …`. */
+  private[ext] val sqlDcgWeights: String =
+    DcgW.map { case (p, w) => s"($p, ${w}::BIGINT)" }.mkString(", ")
+
   private[ext] val bm25Ctes: String = """
         tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

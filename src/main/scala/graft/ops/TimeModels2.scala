@@ -347,6 +347,95 @@ object TimeModels2 {
         JOIN den da ON da.event_type = p.type_a
         JOIN den db ON db.event_type = p.type_b
         ORDER BY type_a, type_b, lag"""),
-      "cross-correlation between event-type hourly series at lags 0/±1/±3/±6/±12/±24 h: exact-integer centered, absolute-hour aligned")
+      "cross-correlation between event-type hourly series at lags 0/±1/±3/±6/±12/±24 h: exact-integer centered, absolute-hour aligned"),
+
+    // ---------------------------------------------------------------- q220
+    // Rolling-origin forecast backtest of the q160 AR(1) model: every
+    // post-warm-up point is a held-out one-step forecast (the
+    // cumulative-prior frame IS the rolling origin — no leakage, the
+    // q147 discipline), scored against the naive last-value forecast
+    // via MASE = MAE_model/MAE_naive (Hyndman & Koehler 2006; naive
+    // = the random-walk denominator that makes MASE scale-free).
+    // MASE < 1 ⇔ the AR(1) genuinely beats persistence — the
+    // accept/reject gate a forecasting pipeline needs before trusting
+    // q161's bands. Exactness: both per-row absolute errors are
+    // quantized to integer 1e-4 units with the shared ulp-absorbing
+    // floor cut (the same grid q160 proves exact), so the per-user
+    // sums and the win-share comparison are exact int64 on both
+    // engines. 100 TB shape: ONE keyed cumulative window pass (the
+    // q160 plan) + one grouped agg on the same user_id exchange.
+    Query(
+      "q220_forecast_backtest",
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val detect = udaf(new graft.functions.Ar1AnomalyAggregator(30, 95.0),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("value"), 1).over(ord))
+          .withColumn("rep",
+            detect(coalesce(col("prev"), lit(Double.NaN)), col("value")).over(cum))
+          .filter(col("rep.expected").isNotNull)
+          .select(col("user_id"),
+            floor(abs(col("value") - col("rep.expected")) * 10000
+              + lit(0.500001)).cast("long").as("em"),
+            floor(abs(col("value") - col("prev")) * 10000
+              + lit(0.500001)).cast("long").as("en"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(col("em")).as("sem"), sum(col("en")).as("sen"),
+            sum(when(col("em") < col("en"), 1L).otherwise(0L)).as("wins"))
+          .select(col("user_id"), col("n_eval"),
+            Num.r6(col("sem").cast("double")
+              / (col("n_eval") * lit(10000.0))).as("mae_model"),
+            Num.r6(col("sen").cast("double")
+              / (col("n_eval") * lit(10000.0))).as("mae_naive"),
+            when(col("sen") > 0,
+              Num.r6(col("sem").cast("double") / col("sen").cast("double")))
+              .as("mase"),
+            Num.r6(col("wins").cast("double") / col("n_eval").cast("double"))
+              .as("model_win_share"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH lagd AS (
+          SELECT user_id, event_id, ts, value,
+            LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        s AS (
+          SELECT user_id, value, prev,
+            REGR_COUNT(value, prev) OVER w AS np,
+            REGR_SLOPE(value, prev) OVER w AS phi,
+            REGR_AVGX(value, prev) OVER w AS mx,
+            REGR_AVGY(value, prev) OVER w AS my,
+            REGR_SXX(value, prev) OVER w AS sxx,
+            REGR_SXY(value, prev) OVER w AS sxy,
+            REGR_SYY(value, prev) OVER w AS syy
+          FROM lagd
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        e AS (
+          SELECT user_id, value, prev, my + phi * (prev - mx) AS pred
+          FROM s
+          WHERE prev IS NOT NULL AND np >= 30 AND sxx > 0
+            AND (syy - sxy*sxy/sxx) > 0),
+        q AS (
+          SELECT user_id,
+            CAST(FLOOR(ABS(value - pred) * 10000 + 0.500001) AS BIGINT) AS em,
+            CAST(FLOOR(ABS(value - prev) * 10000 + 0.500001) AS BIGINT) AS en
+          FROM e)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+          FLOOR((CAST(SUM(em) AS DOUBLE) / (COUNT(*) * 10000.0))
+                * 1000000 + 0.500001) / 1000000 AS mae_model,
+          FLOOR((CAST(SUM(en) AS DOUBLE) / (COUNT(*) * 10000.0))
+                * 1000000 + 0.500001) / 1000000 AS mae_naive,
+          CASE WHEN SUM(en) > 0 THEN
+            FLOOR((CAST(SUM(em) AS DOUBLE) / CAST(SUM(en) AS DOUBLE))
+                  * 1000000 + 0.500001) / 1000000 END AS mase,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE em < en) AS DOUBLE) / COUNT(*))
+                * 1000000 + 0.500001) / 1000000 AS model_win_share
+        FROM q GROUP BY user_id ORDER BY user_id"""),
+      "rolling-origin AR(1) backtest vs the naive last-value forecast: per-user MASE + win share on the shared 1e-4 error grid, no leakage")
   )
 }

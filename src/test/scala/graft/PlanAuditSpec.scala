@@ -153,4 +153,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p209.contains("SortMergeJoin") && !p209.contains("Exchange hash"),
       "q209: final assembly must be broadcast-only over bounded rows")
   }
+
+  test("graph-eval batch gates: no cartesian, bounded sides broadcast") {
+    // q216: the 10-row weight table and the idcg scalar must broadcast;
+    // q217/q218: everything after the bounded backbone is checkpointed
+    // or broadcast; q220: ONE keyed window pass, no cartesian; q221:
+    // fp-keyed window only (key-partitioned, never whole-frame)
+    Seq("q216_ndcg_bm25", "q217_assortativity", "q218_modularity",
+      "q219_l_diversity", "q220_forecast_backtest", "q221_dedup_savings")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
+      }
+    assert(plan("q216_ndcg_bm25").contains("Broadcast"),
+      "q216: weights/idcg must broadcast")
+    assert(plan("q217_assortativity").contains("Broadcast"),
+      "q217: node-count scalar must broadcast")
+    // q220 is the q160 plan + one grouped agg: events scanned once
+    val p220 = plan("q220_forecast_backtest")
+    assert(!p220.contains("SortMergeJoin"), "q220: no join belongs here")
+  }
 }
