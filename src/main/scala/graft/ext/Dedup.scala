@@ -426,6 +426,224 @@ object Dedup {
       },
       "MinHash-LSH near-dup: banded candidate join + exact Jaccard verification on candidates only"),
 
+    // --------------------------------------------------------------- q224
+    // MinHash ESTIMATOR calibration: on the LSH candidate pairs (the
+    // pairs the pipeline actually verifies), bucket by the signature
+    // agreement matches/K — the MinHash Jaccard estimate — and report
+    // the mean EXACT Jaccard and the mean absolute estimation error
+    // per bucket. The tuning table for K and the band threshold: if
+    // the 6/8 bucket's true Jaccard averages 0.5, an 0.7-threshold
+    // dedup needs more permutations, and no amount of verification
+    // fixes the candidates LSH never surfaced. Conditioning on LSH
+    // survival is deliberate and documented — this audits the
+    // verification stage's input, not the unconditional estimator.
+    // Exactness: matches is an integer 0..K; exact Jaccard is the
+    // same bit-identical long-ratio double as q35, floor-quantized to
+    // integer micro before the per-bucket sums — all int64. Scale
+    // shape: identical to q35 up to (pairs, exq), then two broadcast-
+    // size joins on the signature table and a 9-row rollup.
+    Query(
+      "q224_minhash_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hashed = cachedHashedShingles(s, d, docs)
+        val sigs = hashed
+          .groupBy(col("doc_id"))
+          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+            (1 until K).map(k =>
+              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+        val ex = jaccard(lshCandidates(sigs), hashed)
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
+              .as("exq"))
+        val matches = (0 until K)
+          .map(k => when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
+          .reduce(_ + _)
+        ex.join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("exq"), matches.as("matches"))
+          .groupBy(col("matches"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("exq")).as("sumex"),
+            sum(abs(col("matches").cast("long") * lit(125000L) - col("exq")))
+              .as("sumae"))
+          .select(col("matches"), (col("matches") * lit(0.125)).as("est_jaccard"),
+            col("n_pairs"),
+            graft.Num.r6(col("sumex").cast("double")
+              / (col("n_pairs") * lit(1000000.0))).as("mean_exact"),
+            graft.Num.r6(col("sumae").cast("double")
+              / (col("n_pairs") * lit(1000000.0))).as("mae"))
+          .orderBy(col("matches"))
+      },
+      Some {
+        val rows = K / Bands
+        val bandKeySql = (b: Int) => (0 until rows)
+          .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
+          .mkString(" + ")
+        val matchSql = (0 until K)
+          .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH $sqlDocShingles,
+        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+            ${(0 until K).map(k =>
+              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(",\n            ")}
+          FROM h GROUP BY doc_id),
+        banded AS (
+          ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        ex AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(FLOOR((COALESCE(i.n_inter, 0)
+                / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)))
+                * 1000000 + 0.500001) AS BIGINT) AS exq
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN counts ca ON ca.doc_id = c.doc_a
+          JOIN counts cb ON cb.doc_id = c.doc_b),
+        mm AS (
+          SELECT e.exq, ($matchSql) AS matches
+          FROM ex e
+          JOIN sig a ON a.doc_id = e.doc_a
+          JOIN sig b ON b.doc_id = e.doc_b)
+        SELECT matches, CAST(matches * 0.125 AS DOUBLE) AS est_jaccard,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          FLOOR((CAST(SUM(exq) AS DOUBLE) / (COUNT(*) * 1000000.0))
+                * 1000000 + 0.500001) / 1000000 AS mean_exact,
+          FLOOR((CAST(SUM(ABS(matches * 125000 - exq)) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0))
+                * 1000000 + 0.500001) / 1000000 AS mae
+        FROM mm GROUP BY matches ORDER BY matches"""
+      },
+      "MinHash estimate-vs-exact Jaccard calibration on the LSH candidate pairs: per-agreement-bucket mean true Jaccard + MAE, all int64"),
+
+    // --------------------------------------------------------------- q225
+    // SimHash calibration — q224's companion for the OTHER sketch: on
+    // the LSH candidate pairs, bucket by the 32-bit SimHash Hamming
+    // distance and report how often the pair is a true near-dup
+    // (exact Jaccard ≥ 0.8) plus the mean exact Jaccard. The table
+    // that picks the SimHash cut-off: if hamming ≤ 3 is only 60%
+    // precise, a SimHash-only dedup at that radius deletes live data.
+    // Exactness: hamming = bit_count(xor) of two int64 fingerprints —
+    // pure integer; exact Jaccard is q35's bit-identical long-ratio
+    // double, floor-quantized to micro before the bucket sums. Scale
+    // shape: q35's candidate plan + one broadcast-size join on the
+    // (doc, simhash) table + a ≤33-row rollup.
+    Query(
+      "q225_simhash_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hashed = cachedHashedShingles(s, d, docs)
+        val sigs = hashed
+          .groupBy(col("doc_id"))
+          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+            (1 until K).map(k =>
+              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+        val ex = jaccard(lshCandidates(sigs), hashed)
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
+              .as("exq"))
+        val sh = simhash(docs) // (doc_id, simhash)
+        ex.join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
+            Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")),
+            Seq("doc_b"))
+          .select(col("exq"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("exq") >= 800000L, 1L).otherwise(0L)).as("n_true"),
+            sum(col("exq")).as("sumex"))
+          .select(col("hamming"), col("n_pairs"), col("n_true"),
+            graft.Num.r6(col("n_true").cast("double")
+              / col("n_pairs").cast("double")).as("true_share"),
+            graft.Num.r6(col("sumex").cast("double")
+              / (col("n_pairs") * lit(1000000.0))).as("mean_exact"))
+          .orderBy(col("hamming"))
+      },
+      Some {
+        val rows = K / Bands
+        val bandKeySql = (b: Int) => (0 until rows)
+          .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
+          .mkString(" + ")
+        s"""
+        WITH $sqlDocShingles,
+        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+            ${(0 until K).map(k =>
+              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(",\n            ")}
+          FROM h GROUP BY doc_id),
+        banded AS (
+          ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        ex AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(FLOOR((COALESCE(i.n_inter, 0)
+                / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)))
+                * 1000000 + 0.500001) AS BIGINT) AS exq
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN counts ca ON ca.doc_id = c.doc_a
+          JOIN counts cb ON cb.doc_id = c.doc_b),
+        tk AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents),
+        th AS (SELECT doc_id, ${sqlH60("t")} AS h FROM tk),
+        votes AS (
+          SELECT doc_id,
+            ${(0 until SimBits).map(b =>
+              s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+              .mkString(",\n            ")}
+          FROM th GROUP BY doc_id),
+        fp AS (
+          SELECT doc_id,
+            ${(0 until SimBits).map(b =>
+              s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")}
+              AS simhash
+          FROM votes),
+        mm AS (
+          SELECT e.exq,
+            CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+          FROM ex e
+          JOIN fp fa ON fa.doc_id = e.doc_a
+          JOIN fp fb ON fb.doc_id = e.doc_b)
+        SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(*) FILTER (WHERE exq >= 800000) AS BIGINT) AS n_true,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE exq >= 800000) AS DOUBLE)
+                 / COUNT(*)) * 1000000 + 0.500001) / 1000000 AS true_share,
+          FLOOR((CAST(SUM(exq) AS DOUBLE) / (COUNT(*) * 1000000.0))
+                * 1000000 + 0.500001) / 1000000 AS mean_exact
+        FROM mm GROUP BY hamming ORDER BY hamming"""
+      },
+      "SimHash-vs-exact-Jaccard calibration on the LSH candidates: per-Hamming-bucket true-near-dup share + mean Jaccard — the SimHash radius tuning table"),
+
     // ---------------------------------------------------------------- q80
     // Corpus dedup SURVIVORS — the operator a 100 TB pipeline actually
     // runs (q35 lists pairs; at scale the pair set itself is quadratic

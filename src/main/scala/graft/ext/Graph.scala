@@ -576,5 +576,96 @@ object Graph {
           FLOOR((CAST(SUM(4*m*e_c - d_c*d_c) AS DOUBLE) / (4.0*m*m))
                 * 1000000 + 0.500001) / 1000000 AS modularity
         FROM per CROSS JOIN mm GROUP BY m"""),
-      "modularity Q of the LPA partition as exact integers over the common denominator 4m^2 — scores the engine's own communities"))
+      "modularity Q of the LPA partition as exact integers over the common denominator 4m^2 — scores the engine's own communities"),
+
+    // ---------------------------------------------------------------- q222
+    // Harmonic centrality (Boldi & Vigna 2014) of the top-20-degree
+    // hubs, truncated at 3 hops: Σ_d |reach_d|/d — WHO can touch the
+    // most of the graph, fastest. Degree counts direct partners,
+    // PageRank counts endorsement mass; harmonic counts proximity,
+    // the metric the others miss. Truncation makes it a bounded
+    // multi-source BFS (20 seeds × the 5000-edge backbone's node
+    // set), each round one frontier join + one (seed, node) anti-join,
+    // lineage-truncated per round exactly like q182. The 1/d weights
+    // for d ∈ {1,2,3} are integer micro-literals (1e6, 5e5, 333333),
+    // so the sum is exact int64 and the one division is bit-equal.
+    Query(
+      "q222_harmonic_centrality",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint() // referenced once per round + degree pass
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val seeds = deg.orderBy(col("deg").desc, col("node")).limit(20)
+          .select(col("node").as("seed"), col("deg"))
+          .localCheckpoint() // bounded 20 rows
+        var visited = seeds
+          .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+          .localCheckpoint()
+        var frontier = visited.select(col("seed"), col("node"))
+        for (i <- 1 to 3) {
+          frontier = frontier.select(col("seed"), col("node").as("a"))
+            .join(edges, Seq("a"))
+            .select(col("seed"), col("b").as("node")).distinct()
+            .join(visited.select(col("seed"), col("node")),
+              Seq("seed", "node"), "left_anti")
+            .localCheckpoint()
+          visited = visited
+            .unionByName(frontier.withColumn("dist", lit(i)))
+            .localCheckpoint()
+        }
+        val reach = visited.filter(col("dist") > 0)
+          .groupBy(col("seed"))
+          .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"),
+            sum(when(col("dist") === 1, 1000000L)
+              .when(col("dist") === 2, 500000L)
+              .otherwise(333333L)).as("hq"))
+        seeds.join(reach, Seq("seed"), "left")
+          .na.fill(0L, Seq("n1", "n2", "n3", "hq"))
+          .select(col("seed"), col("deg"), col("n1"), col("n2"), col("n3"),
+            graft.Num.r6(col("hq").cast("double") / lit(1e6)).as("harmonic"))
+          .orderBy(col("seed"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""f$i AS MATERIALIZED (
+              SELECT DISTINCT f.seed, e.b AS node
+              FROM f$p f JOIN e ON e.a = f.node
+              WHERE NOT EXISTS (SELECT 1 FROM v$p v
+                                WHERE v.seed = f.seed AND v.node = e.b)),
+          v$i AS MATERIALIZED (
+              SELECT seed, node, dist FROM v$p
+              UNION ALL SELECT seed, node, $i AS dist FROM f$i)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        seeds AS MATERIALIZED (
+          SELECT node AS seed, deg FROM deg ORDER BY deg DESC, node LIMIT 20),
+        f0 AS (SELECT seed, seed AS node FROM seeds),
+        v0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+        ${(1 to 3).map(round).mkString(",\n        ")},
+        reach AS (
+          SELECT seed,
+            CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            CAST(SUM(CASE dist WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+                     ELSE 333333 END) AS BIGINT) AS hq
+          FROM v3 WHERE dist > 0 GROUP BY seed)
+        SELECT s.seed, s.deg,
+          COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2, COALESCE(n3, 0) AS n3,
+          FLOOR((CAST(COALESCE(hq, 0) AS DOUBLE) / 1e6) * 1000000 + 0.500001)
+            / 1000000 AS harmonic
+        FROM seeds s LEFT JOIN reach ON reach.seed = s.seed
+        ORDER BY s.seed"""
+      },
+      "3-hop-truncated harmonic centrality of the top-20 hubs: bounded multi-source BFS with integer micro 1/d weights"))
 }

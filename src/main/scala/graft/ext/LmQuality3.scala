@@ -454,6 +454,67 @@ object LmQuality3 {
           rank <= kmax AS bh_significant
         FROM ranked CROSS JOIN kmax
         ORDER BY rank, source"""),
-      "Benjamini-Hochberg FDR step-up over per-source KS drift p-values (asymptotic two-sample formula)")
+      "Benjamini-Hochberg FDR step-up over per-source KS drift p-values (asymptotic two-sample formula)"),
+
+    // --------------------------------------------------------------- q227
+    // Filter-cascade funnel: the curation report every pretraining
+    // run starts with — per source, how many documents survive each
+    // successive quality rule, in order: R1 length (≥ 5 tokens), R2
+    // lexical diversity (distinct tokens ≥ half of tokens — the
+    // cheap repetition cut), R3 token shape (mean token length ≤ 12
+    // chars — the gibberish/minified cut). Ordered so the cheap rule
+    // runs first and each column bounds the next — the funnel tells
+    // you WHICH rule is eating a source, not just the final yield.
+    // Every predicate is an INTEGER comparison (2·distinct ≥ n_tok;
+    // chars ≤ 12·n_tok), so there is no threshold-boundary float
+    // drift to absorb. One row-local pass (array_distinct, no token
+    // explode), one grouped rollup on the bounded source grid.
+    Query(
+      "q227_filter_cascade",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("ndis"),
+          length(translate(col("text"), " ", "")).cast("long").as("nch"))
+        docs
+          .select(col("source"),
+            (col("ntok") >= 5).as("p1"),
+            (col("ndis") * 2 >= col("ntok")).as("p2"),
+            (col("nch") <= col("ntok") * 12).as("p3"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("p1"), 1L).otherwise(0L)).as("pass_len"),
+            sum(when(col("p1") && col("p2"), 1L).otherwise(0L))
+              .as("pass_len_rep"),
+            sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+              .as("pass_all"))
+          .select(col("source"), col("n_docs"), col("pass_len"),
+            col("pass_len_rep"), col("pass_all"),
+            Num.r6(col("pass_all").cast("double")
+              / col("n_docs").cast("double")).as("survival_share"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              AS ndis,
+            CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS nch
+          FROM documents),
+        p AS (
+          SELECT source, ntok >= 5 AS p1, ndis * 2 >= ntok AS p2,
+            nch <= ntok * 12 AS p3
+          FROM f)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) FILTER (WHERE p1) AS BIGINT) AS pass_len,
+          CAST(COUNT(*) FILTER (WHERE p1 AND p2) AS BIGINT) AS pass_len_rep,
+          CAST(COUNT(*) FILTER (WHERE p1 AND p2 AND p3) AS BIGINT) AS pass_all,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE p1 AND p2 AND p3) AS DOUBLE)
+                 / COUNT(*)) * 1000000 + 0.500001) / 1000000
+            AS survival_share
+        FROM p GROUP BY source ORDER BY source"""),
+      "per-source filter-cascade funnel (length, lexical diversity, token shape): integer-exact survivors after each successive rule")
   )
 }

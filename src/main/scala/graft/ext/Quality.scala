@@ -326,6 +326,51 @@ object Quality {
         ORDER BY user_id"""),
       "incremental view maintenance: per-user aggregates merged from base+delta partials; the oracle recomputes directly from the full log, so hash-match proves merge = recompute"),
 
+    // --------------------------------------------------------------- q226
+    // Incremental JOIN maintenance — q141's discipline pushed through
+    // a join: the enriched-aggregate view Σ(events ⋈ customer) is
+    // maintained as merge(base ⋈ dim, delta ⋈ dim) where base/delta
+    // split the log by event_id parity, and the DuckDB oracle
+    // recomputes the SAME view from one direct join over the full
+    // log — the hash-match is the proof that join distributes over
+    // the union, i.e. that an O(delta) refresh of an enriched
+    // materialized view is sound. Values go through per-row integer
+    // micro quantization so the merged sums are associativity-proof.
+    // At 100 TB: each part is one broadcast-dim join + partial agg on
+    // the bounded (segment × type) grid; the delta batch never
+    // re-touches base rows.
+    Query(
+      "q226_incremental_join",
+      (s, d) => {
+        val micro = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def part(even: Boolean) = Tables.events(s, d)
+          .filter((col("event_id") % 2 === 0) === even)
+          .select(col("user_id"), col("event_type"), micro.as("vm"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sm"))
+        part(even = true).unionByName(part(even = false))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(sum(col("n")).as("n_events"), sum(col("sm")).as("sum_micro"))
+          .select(col("c_mktsegment"), col("event_type"), col("n_events"),
+            col("sum_micro"),
+            Num.r6(col("sum_micro") / (col("n_events") * lit(1000000.0)))
+              .as("avg_value"))
+          .orderBy(col("c_mktsegment"), col("event_type"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_micro,
+          ${Num.sql("SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / (COUNT(*) * 1000000.0)", 6)}
+            AS avg_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c_mktsegment, event_type
+        ORDER BY c_mktsegment, event_type"""),
+      "incremental maintenance of an ENRICHED view: merge(base JOIN dim, delta JOIN dim) hash-matches the direct full join — join distributes over union, O(delta) refresh is sound"),
+
     // --------------------------------------------------------------- q143
     // Functional-dependency discovery (schema profiling): for each
     // candidate pair A→B, the dependency holds iff every A value maps

@@ -262,5 +262,96 @@ object Temporal {
           CAST(peak_at_micros AS BIGINT) AS peak_at_micros
         FROM at JOIN n ON at.event_type = n.event_type
         ORDER BY at.event_type"""),
-      "sweep-line peak concurrency of 5-minute event intervals per type: +1/-1 deltas, one per-type sort, no self-join"))
+      "sweep-line peak concurrency of 5-minute event intervals per type: +1/-1 deltas, one per-type sort, no self-join"),
+
+    // ---------------------------------------------------------------- q223
+    // As-of join COVERAGE audit: q18 produces the enriched rows; this
+    // reports whether the enrichment is trustworthy — per event type,
+    // the match rate (share of events with any prior purchase to
+    // carry) and the p50/p95 dimension STALENESS (how old the carried
+    // purchase is at event time). The operational gate for every
+    // as-of pipeline: a 95th-percentile staleness of days means the
+    // join is technically correct and semantically garbage.
+    // Percentiles are exact ranks over a BOUNDED minute-bucket
+    // histogram (staleness div 60e6 µs), the q142 discipline — never
+    // a per-type sort of raw rows, so the low-cardinality event_type
+    // partition cannot become the q127-style straggler at 100 TB.
+    // Rank cut: smallest bucket with cumulative count ≥ ceil(q·n) —
+    // integer-exact on both engines (n < 2^52).
+    Query(
+      "q223_asof_staleness",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val joined = asofJoin(
+          events.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type")),
+          purchases, "user_id", "ts", "event_id",
+          Seq("ts" -> "pts"))
+          .localCheckpoint() // one pass feeds base counts AND histogram
+        val base = joined.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("pts").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+        val hist = joined.filter(col("pts").isNotNull)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - unix_micros(pts)) div 60000000").as("mb"))
+          .groupBy(col("event_type"), col("mb"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded: types × minutes-in-span
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("mb"))))
+        def pct(q: Double, name: String) = cum
+          .join(hist.groupBy(col("event_type")).agg(sum(col("c")).as("nm")),
+            Seq("event_type"))
+          .filter(col("cum") >= ceil(col("nm") * lit(q)))
+          .groupBy(col("event_type")).agg(min(col("mb")).as(name))
+        base
+          .join(pct(0.5, "p50_staleness_min"), Seq("event_type"), "left")
+          .join(pct(0.95, "p95_staleness_min"), Seq("event_type"), "left")
+          .select(col("event_type"), col("n_events"), col("n_matched"),
+            Num.r6(col("n_matched").cast("double")
+              / col("n_events").cast("double")).as("match_share"),
+            col("p50_staleness_min"), col("p95_staleness_min"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT e.event_type, e.ts, p.ts AS pts
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts),
+        base AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(COUNT(pts) AS BIGINT) AS n_matched
+          FROM a GROUP BY event_type),
+        hist AS (
+          SELECT event_type,
+            (epoch_us(ts) - epoch_us(pts)) // 60000000 AS mb,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM a WHERE pts IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, mb,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY mb) AS cum
+          FROM hist),
+        tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nm
+                FROM hist GROUP BY event_type),
+        p50 AS (
+          SELECT c.event_type, CAST(MIN(mb) AS BIGINT) AS p50_staleness_min
+          FROM cum c JOIN tot t USING (event_type)
+          WHERE c.cum >= CEIL(t.nm * 0.5) GROUP BY c.event_type),
+        p95 AS (
+          SELECT c.event_type, CAST(MIN(mb) AS BIGINT) AS p95_staleness_min
+          FROM cum c JOIN tot t USING (event_type)
+          WHERE c.cum >= CEIL(t.nm * 0.95) GROUP BY c.event_type)
+        SELECT b.event_type, n_events, n_matched,
+          FLOOR((CAST(n_matched AS DOUBLE) / n_events)
+                * 1000000 + 0.500001) / 1000000 AS match_share,
+          p50_staleness_min, p95_staleness_min
+        FROM base b
+        LEFT JOIN p50 ON p50.event_type = b.event_type
+        LEFT JOIN p95 ON p95.event_type = b.event_type
+        ORDER BY b.event_type"""),
+      "as-of join coverage audit: per-type match rate + p50/p95 carried-dimension staleness from a bounded minute-bucket histogram"))
 }

@@ -171,4 +171,74 @@ class GraphEvalSpec extends SparkSpec {
     val b = out("B")
     assert(b.getAs[Long]("n_dupes") == 1 && b.getAs[Long]("tokens_dupe") == 3)
   }
+
+  test("q222: path-graph distances produce the hand-computed harmonic sums") {
+    // path 1-2-3-4-5-6: node 3 reaches {2,4} at 1, {1,5} at 2, {6} at 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val d = plantDir("lineitem" -> edgeLineitem(path))
+    val rows = byName("q222_harmonic_centrality").run(spark, d).collect()
+      .map(r => r.getAs[Long]("seed") -> r).toMap
+    assert(rows.size == 6) // fewer than 20 nodes: every node is a seed
+    val n3 = rows(3L)
+    assert(n3.getAs[Long]("n1") == 2 && n3.getAs[Long]("n2") == 2 &&
+      n3.getAs[Long]("n3") == 1)
+    assert(math.abs(n3.getAs[Double]("harmonic") - 3.333333) < 1e-5)
+    val n1 = rows(1L) // end node: {2} at 1 hop, {3} at 2, {4} at 3
+    assert(n1.getAs[Long]("n1") == 1 && n1.getAs[Long]("n2") == 1 &&
+      n1.getAs[Long]("n3") == 1)
+    assert(math.abs(n1.getAs[Double]("harmonic") - 1.833333) < 1e-5)
+  }
+
+  test("q223: staleness percentiles land on the planted minute buckets") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    def ev(id: Long, offsetS: Long, typ: String) =
+      (id, new java.sql.Timestamp(t0 + offsetS * 1000L), 1L, typ, 1.0, "{}")
+    val rows = Seq(
+      ev(1, -600, "view"),  // before any purchase: unmatched
+      ev(2, 0, "purchase"), // matches itself: staleness 0
+      ev(3, 90, "view"),    // 1.5 min  -> bucket 1
+      ev(4, 150, "view"),   // 2.5 min  -> bucket 2
+      ev(5, 600, "view"))   // 10 min   -> bucket 10
+    val d = plantDir("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = byName("q223_asof_staleness").run(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val v = out("view")
+    assert(v.getAs[Long]("n_events") == 4 && v.getAs[Long]("n_matched") == 3)
+    assert(math.abs(v.getAs[Double]("match_share") - 0.75) < 1e-6)
+    // ranks over buckets [1,2,10]: ceil(1.5)=2 -> 2; ceil(2.85)=3 -> 10
+    assert(v.getAs[Long]("p50_staleness_min") == 2)
+    assert(v.getAs[Long]("p95_staleness_min") == 10)
+    val p = out("purchase")
+    assert(p.getAs[Long]("p50_staleness_min") == 0 &&
+      p.getAs[Long]("p95_staleness_min") == 0)
+  }
+
+  test("q224: identical docs land in the matches=8 bucket with zero error") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "A"),
+      (2L, "alpha beta gamma delta epsilon", "A"),
+      (3L, "one two three four five six seven", "B"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val out = byName("q224_minhash_calibration").run(spark, d).collect()
+    assert(out.length == 1) // only the identical pair survives LSH
+    val r = out.head
+    assert(r.getAs[Int]("matches") == 8)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Long]("n_pairs") == 1)
+    assert(math.abs(r.getAs[Double]("mean_exact") - 1.0) < 1e-6)
+    assert(r.getAs[Double]("mae") == 0.0)
+  }
+
+  test("q224: est_jaccard is matches/8 in every bucket on driver data") {
+    val rows = byName("q224_minhash_calibration").run(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_jaccard") ==
+        r.getAs[Int]("matches") * 0.125)
+      assert(r.getAs[Double]("mean_exact") >= 0.0 &&
+        r.getAs[Double]("mean_exact") <= 1.0001)
+    }
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+/** Property pins for the pipeline-ops batch: SimHash calibration
+  * (q225), incremental join maintenance (q226) and the filter-cascade
+  * funnel (q227). Value parity vs DuckDB is the oracle gate's job;
+  * these pin semantics on planted data where the right answer is known
+  * by construction. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val byName = Registry.all.map(q => q.name -> q).toMap
+
+  private def plantDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_po").toString
+    tables.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("q225: identical docs land at hamming 0 with true_share = 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "A"),
+      (2L, "alpha beta gamma delta epsilon", "A"),
+      (3L, "one two three four five six seven", "B"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val out = byName("q225_simhash_calibration").run(spark, d).collect()
+    assert(out.length == 1) // only the identical pair survives LSH
+    val r = out.head
+    assert(r.getAs[Int]("hamming") == 0)
+    assert(r.getAs[Long]("n_pairs") == 1 && r.getAs[Long]("n_true") == 1)
+    assert(r.getAs[Double]("true_share") == 1.0)
+    assert(math.abs(r.getAs[Double]("mean_exact") - 1.0) < 1e-6)
+  }
+
+  test("q225 on driver data: hamming bounded by the fingerprint width, shares in [0,1]") {
+    val rows = byName("q225_simhash_calibration").run(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 32)
+      val ts = r.getAs[Double]("true_share")
+      assert(ts >= 0.0 && ts <= 1.0)
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("q226: merged base+delta join equals the hand-computed direct join") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    // user 1 -> segment SA, user 2 -> SB; user 99 has no dim row (inner
+    // join drops it on BOTH the engine and oracle side)
+    val events = Seq(
+      (1L, new java.sql.Timestamp(t0 + 1000), 1L, "view", 1.5, "{}"),   // odd id: delta
+      (2L, new java.sql.Timestamp(t0 + 2000), 1L, "view", 2.5, "{}"),   // even id: base
+      (3L, new java.sql.Timestamp(t0 + 3000), 2L, "click", 3.0, "{}"),
+      (4L, new java.sql.Timestamp(t0 + 4000), 99L, "view", 9.9, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val customers = Seq(
+      (1L, "c1", 0, 10.0, "SA"), (2L, "c2", 1, 20.0, "SB"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val d = plantDir("events" -> events, "customer" -> customers)
+    val out = byName("q226_incremental_join").run(spark, d).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[String]("event_type")) -> r)
+      .toMap
+    assert(out.size == 2) // user 99's event joined nothing
+    val sa = out(("SA", "view"))
+    assert(sa.getAs[Long]("n_events") == 2)
+    assert(sa.getAs[Long]("sum_micro") == 4000000L) // 1.5 + 2.5 in micro
+    assert(math.abs(sa.getAs[Double]("avg_value") - 2.0) < 1e-6)
+    val sb = out(("SB", "click"))
+    assert(sb.getAs[Long]("n_events") == 1 &&
+      sb.getAs[Long]("sum_micro") == 3000000L)
+  }
+
+  test("q227: each planted reject is eaten by exactly its rule, funnel monotone") {
+    val clean = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, clean, "A"),                        // passes all three
+      (2L, "too short", "A"),                  // fails R1 (2 tokens)
+      (3L, "spam spam spam spam spam spam", "A"), // fails R2 (1 distinct of 6)
+      (4L, (1 to 6).map(i => ("x" * 19) + ('a' + i).toChar).mkString(" "), "A"))
+      // 6 DISTINCT 20-char tokens: passes R1+R2, fails R3 (mean len > 12)
+    val d = plantDir("documents" -> docsDF(docs))
+    val r = byName("q227_filter_cascade").run(spark, d).collect().head
+    assert(r.getAs[String]("source") == "A")
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("pass_len") == 3)
+    assert(r.getAs[Long]("pass_len_rep") == 2)
+    assert(r.getAs[Long]("pass_all") == 1)
+    assert(math.abs(r.getAs[Double]("survival_share") - 0.25) < 1e-6)
+  }
+
+  test("q227 on driver data: funnel is monotone non-increasing everywhere") {
+    val rows = byName("q227_filter_cascade").run(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p1, p12, p123) = (r.getAs[Long]("n_docs"), r.getAs[Long]("pass_len"),
+        r.getAs[Long]("pass_len_rep"), r.getAs[Long]("pass_all"))
+      assert(n >= p1 && p1 >= p12 && p12 >= p123 && p123 >= 0)
+    }
+  }
+}

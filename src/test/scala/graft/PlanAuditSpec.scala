@@ -171,5 +171,18 @@ class PlanAuditSpec extends SparkSpec {
     // q220 is the q160 plan + one grouped agg: events scanned once
     val p220 = plan("q220_forecast_backtest")
     assert(!p220.contains("SortMergeJoin"), "q220: no join belongs here")
+    // q222/q223/q224: every round/percentile/signature intermediate is
+    // checkpointed-bounded or key-partitioned — no cartesian anywhere
+    Seq("q222_harmonic_centrality", "q223_asof_staleness",
+      "q224_minhash_calibration").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    // q225-q227: candidate joins banded, dim join broadcast, no cartesian
+    Seq("q225_simhash_calibration", "q226_incremental_join",
+      "q227_filter_cascade").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    assert(plan("q226_incremental_join").contains("BroadcastHashJoin"),
+      "q226: the customer dim must broadcast on both part joins")
   }
 }
