@@ -539,16 +539,23 @@ object Graph {
           .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
           .localCheckpoint() // shared: degree pass + all 4 LPA rounds
         val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        // lab is backbone-bounded (≤ 5000 nodes) but checkpointed, so
+        // the optimizer has no stats — broadcast it explicitly or both
+        // modularity joins fall back to sort-merge
         val lab = lpaLabelsFrom(und)
-        val dsum = deg.join(lab, Seq("node"))
+        val dsum = deg.join(broadcast(lab), Seq("node"))
           .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
         val ew = e0
-          .join(lab.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
-          .join(lab.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+          .join(broadcast(lab.select(col("node").as("u"), col("lbl").as("lu"))),
+            Seq("u"))
+          .join(broadcast(lab.select(col("node").as("v"), col("lbl").as("lv"))),
+            Seq("v"))
           .filter(col("lu") === col("lv"))
           .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
         val mrow = e0.agg(count(lit(1)).as("m"))
-        dsum.join(ew, Seq("lbl"), "left")
+        // both sides are community-grid-bounded; broadcast the within-
+        // edge counts so the final assembly is broadcast-only
+        dsum.join(broadcast(ew), Seq("lbl"), "left")
           .na.fill(0L, Seq("e_c"))
           .crossJoin(broadcast(mrow))
           .agg(max(col("m")).as("m"),
@@ -605,8 +612,10 @@ object Graph {
           .localCheckpoint()
         var frontier = visited.select(col("seed"), col("node"))
         for (i <- 1 to 3) {
+          // edges is the checkpointed ≤10k-row doubled backbone: without
+          // stats the frontier join would sort-merge — broadcast it
           frontier = frontier.select(col("seed"), col("node").as("a"))
-            .join(edges, Seq("a"))
+            .join(broadcast(edges), Seq("a"))
             .select(col("seed"), col("b").as("node")).distinct()
             .join(visited.select(col("seed"), col("node")),
               Seq("seed", "node"), "left_anti")
@@ -623,7 +632,7 @@ object Graph {
             sum(when(col("dist") === 1, 1000000L)
               .when(col("dist") === 2, 500000L)
               .otherwise(333333L)).as("hq"))
-        seeds.join(reach, Seq("seed"), "left")
+        seeds.join(broadcast(reach), Seq("seed"), "left") // both ≤ 20 rows
           .na.fill(0L, Seq("n1", "n2", "n3", "hq"))
           .select(col("seed"), col("deg"), col("n1"), col("n2"), col("n3"),
             graft.Num.r6(col("hq").cast("double") / lit(1e6)).as("harmonic"))

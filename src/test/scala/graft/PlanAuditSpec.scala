@@ -184,5 +184,12 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(plan("q226_incremental_join").contains("BroadcastHashJoin"),
       "q226: the customer dim must broadcast on both part joins")
+    // q218/q222: every bounded checkpointed side (labels, edges, reach)
+    // is explicitly broadcast — a stats-blind SMJ here would add three
+    // needless sorts per run and regress 2x at 100x (measured)
+    Seq("q218_modularity", "q222_harmonic_centrality").foreach { q =>
+      assert(!plan(q).contains("SortMergeJoin"),
+        s"$q: bounded side fell back to sort-merge")
+    }
   }
 }
