@@ -402,6 +402,56 @@ object Corpus3 {
                  / SUM(toks)) * 1000000 + 0.500001) / 1000000
             AS savings_share
         FROM r GROUP BY source ORDER BY source"""),
-      "per-source dedup savings in tokens under q30b's normalized fingerprint: duplicate docs, duplicate tokens, and the savings share")
+      "per-source dedup savings in tokens under q30b's normalized fingerprint: duplicate docs, duplicate tokens, and the savings share"),
+
+    // --------------------------------------------------------------- q229
+    // Duplication TREND: is duplication getting worse over the crawl?
+    // Docs are bucketed into ten doc_id deciles (ingest order), and
+    // each decile reports its duplicate share under q30b's normalized
+    // fingerprint with keep-first semantics — so a doc counts as a
+    // dupe in the decile where it ARRIVED, and a rising curve means
+    // the frontier is re-crawling what the corpus already holds (the
+    // signal to re-tune the crawler before paying for storage). One
+    // fingerprint-keyed window (key-partitioned), one broadcast max-id
+    // scalar, one 10-row rollup.
+    Query(
+      "q229_dup_trend",
+      (s, d) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(norm).as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+            (col("rn") > 1).as("isdup"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dupes"))
+          .select(col("decile"), col("n_docs"), col("n_dupes"),
+            Num.r6(col("n_dupes").cast("double") / col("n_docs"))
+              .as("dup_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        r AS (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (
+              PARTITION BY MD5(REGEXP_REPLACE(
+                REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g'))
+              ORDER BY doc_id) AS rn
+          FROM documents),
+        b AS (SELECT (doc_id * 10) // (mx + 1) AS decile, rn > 1 AS isdup
+              FROM r CROSS JOIN mx)
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) FILTER (WHERE isdup) AS BIGINT) AS n_dupes,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE isdup) AS DOUBLE) / COUNT(*))
+                * 1000000 + 0.500001) / 1000000 AS dup_share
+        FROM b GROUP BY decile ORDER BY decile"""),
+      "duplication trend over ingest order: per-doc_id-decile duplicate share under the normalized fingerprint, keep-first semantics")
   )
 }

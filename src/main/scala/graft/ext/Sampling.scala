@@ -213,5 +213,63 @@ object Sampling {
         FROM documents
         ORDER BY n_chars DESC, doc_id
         LIMIT 10"""),
-      "two-phase distributed top-k: per-source partial top-10s merged into the global top-10; the oracle's direct global sort proves the merge exact"))
+      "two-phase distributed top-k: per-source partial top-10s merged into the global top-10; the oracle's direct global sort proves the merge exact"),
+
+    // --------------------------------------------------------------- q228
+    // Sampler-bias audit: does the deterministic 10% hash sample
+    // (q70's selector on doc_id) preserve the corpus's source mix?
+    // Per source: population/sample counts and shares, the realized
+    // sampling rate, and |sample_share − pop_share| — the audit a
+    // pipeline runs before trusting any sampled statistic, and the
+    // regression canary for the hash selector itself (a biased bucket
+    // function shows up here before it corrupts downstream stats).
+    // One pass, one bounded grid, two broadcast scalars.
+    Query(
+      "q228_sample_bias_audit",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            (hashBucket(col("doc_id")) < 10).as("insample"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pop"),
+            sum(when(col("insample"), 1L).otherwise(0L)).as("n_sample"))
+        val tot = per.agg(sum(col("n_pop")).as("t_pop"),
+          sum(col("n_sample")).as("t_sample"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_pop"), col("n_sample"),
+            Num.r6(col("n_pop").cast("double") / col("t_pop"))
+              .as("pop_share"),
+            when(col("t_sample") > 0,
+              Num.r6(col("n_sample").cast("double") / col("t_sample")))
+              .as("sample_share"),
+            Num.r6(col("n_sample").cast("double") / col("n_pop"))
+              .as("rate"),
+            when(col("t_sample") > 0,
+              Num.r6(abs(col("n_sample").cast("double") / col("t_sample")
+                - col("n_pop").cast("double") / col("t_pop"))))
+              .as("abs_bias"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pop,
+            CAST(COUNT(*) FILTER (WHERE ${sqlHashBucket("doc_id")} < 10)
+                 AS BIGINT) AS n_sample
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS t_pop,
+                  CAST(SUM(n_sample) AS BIGINT) AS t_sample FROM per)
+        SELECT source, n_pop, n_sample,
+          FLOOR((CAST(n_pop AS DOUBLE) / t_pop) * 1000000 + 0.500001)
+            / 1000000 AS pop_share,
+          CASE WHEN t_sample > 0 THEN
+            FLOOR((CAST(n_sample AS DOUBLE) / t_sample) * 1000000 + 0.500001)
+              / 1000000 END AS sample_share,
+          FLOOR((CAST(n_sample AS DOUBLE) / n_pop) * 1000000 + 0.500001)
+            / 1000000 AS rate,
+          CASE WHEN t_sample > 0 THEN
+            FLOOR(ABS(CAST(n_sample AS DOUBLE) / t_sample
+                      - CAST(n_pop AS DOUBLE) / t_pop)
+                  * 1000000 + 0.500001) / 1000000 END AS abs_bias
+        FROM per CROSS JOIN tot ORDER BY source"""),
+      "sampler-bias audit: per-source population vs 10% hash-sample shares, realized rate, and absolute mix bias"))
 }

@@ -103,4 +103,44 @@ class PipelineOpsSpec extends SparkSpec {
       assert(n >= p1 && p1 >= p12 && p12 >= p123 && p123 >= 0)
     }
   }
+
+  test("q228: single-source corpus has share 1.0 on both sides, zero bias") {
+    val docs = (0L until 40L).map(i => (i, s"doc number $i text", "only"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val r = byName("q228_sample_bias_audit").run(spark, d).collect().head
+    assert(r.getAs[String]("source") == "only")
+    assert(r.getAs[Long]("n_pop") == 40)
+    assert(r.getAs[Double]("pop_share") == 1.0)
+    if (!r.isNullAt(r.fieldIndex("sample_share"))) {
+      assert(r.getAs[Double]("sample_share") == 1.0)
+      assert(r.getAs[Double]("abs_bias") == 0.0)
+    }
+  }
+
+  test("q228 on driver data: realized global rate is near the nominal 10%") {
+    val rows = byName("q228_sample_bias_audit").run(spark, sf("0.01")).collect()
+    val pop = rows.map(_.getAs[Long]("n_pop")).sum
+    val samp = rows.map(_.getAs[Long]("n_sample")).sum
+    val rate = samp.toDouble / pop
+    assert(rate > 0.05 && rate < 0.15, s"global rate $rate far from 0.10")
+    rows.foreach(r => assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_pop")))
+  }
+
+  test("q229: duplicates are charged to the decile where they arrived") {
+    // ids 0..9 with mx=9 put one doc per decile; 5..9 repeat id 0's text
+    val base = "alpha beta gamma delta"
+    val docs = (0L until 5L).map(i => (i, s"$base unique$i", "A")) ++
+      (5L until 10L).map(i => (i, s"$base unique0", "A"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val rows = byName("q229_dup_trend").run(spark, d).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.size == 10)
+    (0L to 4L).foreach { dec =>
+      assert(rows(dec).getAs[Long]("n_dupes") == 0, s"decile $dec")
+    }
+    (5L to 9L).foreach { dec =>
+      assert(rows(dec).getAs[Long]("n_dupes") == 1 &&
+        rows(dec).getAs[Double]("dup_share") == 1.0, s"decile $dec")
+    }
+  }
 }

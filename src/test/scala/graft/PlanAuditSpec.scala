@@ -177,9 +177,11 @@ class PlanAuditSpec extends SparkSpec {
       "q224_minhash_calibration").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
     }
-    // q225-q227: candidate joins banded, dim join broadcast, no cartesian
+    // q225-q229: candidate joins banded, dim join broadcast, scalar
+    // totals broadcast, no cartesian
     Seq("q225_simhash_calibration", "q226_incremental_join",
-      "q227_filter_cascade").foreach { q =>
+      "q227_filter_cascade", "q228_sample_bias_audit",
+      "q229_dup_trend").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
     }
     assert(plan("q226_incremental_join").contains("BroadcastHashJoin"),
