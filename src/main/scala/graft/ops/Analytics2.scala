@@ -846,6 +846,164 @@ object Analytics2 {
           MIN(ts) FILTER (WHERE e1 = 'view' AND e2 = 'click'
                             AND e3 = 'purchase') AS first_match_ts
         FROM seq GROUP BY user_id ORDER BY user_id"""),
-      "MATCH_RECOGNIZE-lite: strictly consecutive view->click->purchase per key (CEP semantics, overlap-counting)")
+      "MATCH_RECOGNIZE-lite: strictly consecutive view->click->purchase per key (CEP semantics, overlap-counting)"),
+
+    // --------------------------------------------------------------- q230
+    // Burstiness (Fano factor) per event type: variance/mean of the
+    // per-hour event counts — 1 for a Poisson arrival process, ≫ 1
+    // for bursty traffic. The capacity-planning dispersion number the
+    // windowed averages don't expose. Exactness: hourly counts are
+    // integers, so Fano = (n·Σc² − (Σc)²) / (n·Σc) has exact int64
+    // numerator and denominator (c ≤ 10⁷ at 100×, Σc² ≤ 10¹⁵) and the
+    // single division is bit-equal. Buckets are OBSERVED hours (empty
+    // hours excluded — documented choice, mirrored in the oracle).
+    Query(
+      "q230_fano_burstiness",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hb"))
+          .groupBy(col("event_type"), col("hb"))
+          .agg(count(lit(1)).as("c"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("event_type"), col("n_hours"), col("n_events"),
+            Num.r6(col("n_events").cast("double") / col("n_hours"))
+              .as("mean_per_hour"),
+            Num.r6((col("n_hours") * col("s2")
+                - col("n_events") * col("n_events")).cast("double")
+              / (col("n_hours") * col("n_events")).cast("double"))
+              .as("fano"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, hb)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+          CAST(SUM(c) AS BIGINT) AS n_events,
+          FLOOR((CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 1000000 + 0.500001)
+            / 1000000 AS mean_per_hour,
+          FLOOR((CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(c) AS DOUBLE))
+                * 1000000 + 0.500001) / 1000000 AS fano
+        FROM hourly GROUP BY event_type ORDER BY event_type"""),
+      "Fano factor (variance/mean of hourly counts) per event type: exact int64 moments, the burstiness-vs-Poisson dispersion diagnostic"),
+
+    // --------------------------------------------------------------- q231
+    // Hour-of-day concentration: the 24-slot profile per event type —
+    // peak hour (count DESC, hour ASC tie-break), its share, and the
+    // chi-square distance from a uniform profile, computed as the
+    // exact integer form Σ_h (24·c_h − n)² / (24·n) over ALL 24 slots
+    // (missing hours contribute (−n)², i.e. count 0 — mirrored by a
+    // generated hour spine in both engines). The diurnality number:
+    // chi2 ≈ 0 means load-shaping is pointless, large means batch
+    // windows exist.
+    Query(
+      "q231_hour_profile",
+      (s, d) => {
+        import s.implicits._
+        val hours = (0L until 24L).toDF("hod")
+        val counts = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("c"))
+        val types = counts.select(col("event_type")).distinct()
+        val full = types.crossJoin(broadcast(hours))
+          .join(counts, Seq("event_type", "hod"), "left")
+          .na.fill(0L, Seq("c"))
+        val tot = full.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        val peak = full.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("c").desc, col("hod"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("hod").as("peak_hour"),
+            col("c").as("peak_count"))
+        full.join(tot, Seq("event_type"))
+          .select(col("event_type"),
+            (lit(24L) * col("c") - col("n")).as("dev"), col("n"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"),
+            sum(col("dev") * col("dev")).as("ssdev"))
+          .join(peak, Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("peak_hour"),
+            col("peak_count"),
+            Num.r6(col("peak_count").cast("double") / col("n_events"))
+              .as("peak_share"),
+            Num.r6(col("ssdev").cast("double")
+              / (lit(24L) * col("n_events")).cast("double")).as("chi2_uniform"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hours AS (SELECT unnest(range(0, 24)) AS hod),
+        counts AS (
+          SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, hod),
+        types AS (SELECT DISTINCT event_type FROM counts),
+        prof AS (
+          SELECT t.event_type, h.hod, COALESCE(c.c, 0) AS c
+          FROM types t CROSS JOIN hours h
+          LEFT JOIN counts c ON c.event_type = t.event_type AND c.hod = h.hod),
+        tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+                FROM prof GROUP BY event_type),
+        peak AS (
+          SELECT event_type, hod AS peak_hour, c AS peak_count FROM (
+            SELECT event_type, hod, c,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY c DESC, hod) AS rn
+            FROM prof) WHERE rn = 1),
+        dev AS (
+          SELECT f.event_type, t.n,
+            CAST(SUM((24 * f.c - t.n) * (24 * f.c - t.n)) AS BIGINT) AS ssdev
+          FROM prof f JOIN tot t ON t.event_type = f.event_type
+          GROUP BY f.event_type, t.n)
+        SELECT d.event_type, d.n AS n_events, p.peak_hour, p.peak_count,
+          FLOOR((CAST(p.peak_count AS DOUBLE) / d.n) * 1000000 + 0.500001)
+            / 1000000 AS peak_share,
+          FLOOR((CAST(d.ssdev AS DOUBLE) / CAST(24 * d.n AS DOUBLE))
+                * 1000000 + 0.500001) / 1000000 AS chi2_uniform
+        FROM dev d JOIN peak p ON p.event_type = d.event_type
+        ORDER BY d.event_type"""),
+      "24-slot hour-of-day profile per event type: peak hour + share + exact-integer chi-square distance from uniform (the diurnality number)"),
+
+    // --------------------------------------------------------------- q232
+    // Cold-start rate: share of events whose user had fewer than 5
+    // PRIOR events at arrival — the fraction of traffic a
+    // personalization model must serve blind. One cumulative keyed
+    // window pass (user_id exchange, ts+event_id order), bounded
+    // rollup per event type. Pure integer counts.
+    Query(
+      "q232_cold_start_rate",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1L)
+        Tables.events(s, d)
+          .withColumn("nprior", count(lit(1)).over(ord))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("nprior") < 5, 1L).otherwise(0L)).as("n_cold"))
+          .select(col("event_type"), col("n_events"), col("n_cold"),
+            Num.r6(col("n_cold").cast("double") / col("n_events"))
+              .as("cold_share"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT event_type,
+            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS nprior
+          FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(COUNT(*) FILTER (WHERE nprior < 5) AS BIGINT) AS n_cold,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE nprior < 5) AS DOUBLE)
+                 / COUNT(*)) * 1000000 + 0.500001) / 1000000 AS cold_share
+        FROM x GROUP BY event_type ORDER BY event_type"""),
+      "cold-start rate per event type: share of events with <5 prior events for their user — the blind-serving fraction, one keyed window pass")
   )
 }

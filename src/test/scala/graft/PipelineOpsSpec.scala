@@ -126,6 +126,54 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_pop")))
   }
 
+  private def eventsDF(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (id, ms, uid, typ, v) =>
+      (id, new java.sql.Timestamp(ms), uid, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("q230: constant arrivals score fano 0, a burst scores far above 1") {
+    val t0 = 1704067200000L
+    // "steady": exactly one event per hour for 48 hours -> variance 0
+    val steady = (0 until 48).map(h =>
+      (h.toLong, t0 + h * 3600_000L, 1L, "steady", 1.0))
+    // "burst": 40 events inside one hour + 1 in another -> fano 18.5
+    val burst = (0 until 40).map(i =>
+      (100L + i, t0 + i * 1000L, 2L, "burst", 1.0)) :+
+      (200L, t0 + 10 * 3600_000L, 2L, "burst", 1.0)
+    val d = plantDir("events" -> eventsDF(steady ++ burst))
+    val out = byName("q230_fano_burstiness").run(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("steady").getAs[Double]("fano") == 0.0)
+    val f = out("burst").getAs[Double]("fano")
+    assert(math.abs(f - 1521.0 / 82.0) < 1e-4, s"burst fano $f")
+  }
+
+  test("q231: single-hour traffic has peak_share 1 and chi2 = 23n/24*24/n") {
+    val t0 = 1704067200000L // midnight UTC
+    val n = 24
+    // all events inside hour-of-day 3
+    val rows = (0 until n).map(i =>
+      (i.toLong, t0 + 3 * 3600_000L + i * 1000L, 1L, "hr", 1.0))
+    val d = plantDir("events" -> eventsDF(rows))
+    val r = byName("q231_hour_profile").run(spark, d).collect().head
+    assert(r.getAs[Long]("peak_hour") == 3)
+    assert(r.getAs[Double]("peak_share") == 1.0)
+    // chi2 = ((24n-n)^2 + 23*n^2) / (24n) = 23n
+    assert(math.abs(r.getAs[Double]("chi2_uniform") - 23.0 * n) < 1e-4)
+  }
+
+  test("q232: the first five events of a fresh user are cold, the rest warm") {
+    val t0 = 1704067200000L
+    val rows = (0 until 10).map(i =>
+      (i.toLong, t0 + i * 60_000L, 7L, "view", 1.0))
+    val d = plantDir("events" -> eventsDF(rows))
+    val r = byName("q232_cold_start_rate").run(spark, d).collect().head
+    assert(r.getAs[Long]("n_events") == 10 && r.getAs[Long]("n_cold") == 5)
+    assert(r.getAs[Double]("cold_share") == 0.5)
+  }
+
   test("q229: duplicates are charged to the decile where they arrived") {
     // ids 0..9 with mx=9 put one doc per decile; 5..9 repeat id 0's text
     val base = "alpha beta gamma delta"
