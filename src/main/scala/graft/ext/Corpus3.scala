@@ -452,6 +452,159 @@ object Corpus3 {
           FLOOR((CAST(COUNT(*) FILTER (WHERE isdup) AS DOUBLE) / COUNT(*))
                 * 1000000 + 0.500001) / 1000000 AS dup_share
         FROM b GROUP BY decile ORDER BY decile"""),
-      "duplication trend over ingest order: per-doc_id-decile duplicate share under the normalized fingerprint, keep-first semantics")
+      "duplication trend over ingest order: per-doc_id-decile duplicate share under the normalized fingerprint, keep-first semantics"),
+
+    // --------------------------------------------------------------- q233
+    // Vocabulary growth curve (the empirical side of Heaps' law): per
+    // doc_id decile of ingest order, token occurrences and NEW
+    // distinct tokens (a token belongs to the decile where it first
+    // appeared = min decile per token), plus both cumulatives — does
+    // the corpus keep paying vocabulary for new data, or has the
+    // tokenizer seen it all? One token pass, one vocab-sized min-agg,
+    // one bounded 10-row rollup with a grid-only cumulative window.
+    Query(
+      "q233_vocab_growth",
+      (s, d) => {
+        val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+        val tok = Tables.documents(s, d)
+          .crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+            explode(split(col("text"), " ")).as("t"))
+        val occ = tok.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+        val fresh = tok.groupBy(col("t")).agg(min(col("decile")).as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("new_vocab"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        occ.join(fresh, Seq("decile"), "left")
+          .na.fill(0L, Seq("new_vocab"))
+          .localCheckpoint() // 10 rows: the window below is grid-only
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(wc))
+          .withColumn("cum_vocab", sum(col("new_vocab")).over(wc))
+          .localCheckpoint() // grid window materialized off the final plan
+          .select(col("decile"), col("n_tokens"), col("new_vocab"),
+            col("cum_tokens"), col("cum_vocab"))
+          .orderBy(col("decile"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        tok AS (
+          SELECT (doc_id * 10) // (mx + 1) AS decile,
+            unnest(string_split(text, ' ')) AS t
+          FROM documents CROSS JOIN mx),
+        occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY decile),
+        fresh AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_vocab FROM (
+            SELECT t, MIN(decile) AS decile FROM tok GROUP BY t)
+          GROUP BY decile)
+        SELECT o.decile, o.n_tokens, COALESCE(f.new_vocab, 0) AS new_vocab,
+          CAST(SUM(o.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+          CAST(SUM(COALESCE(f.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+        FROM occ o LEFT JOIN fresh f ON f.decile = o.decile
+        WINDOW w AS (ORDER BY o.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o.decile"""),
+      "vocabulary growth by ingest decile: token occurrences, first-appearance new vocab, and both cumulatives — the empirical Heaps curve"),
+
+    // --------------------------------------------------------------- q234
+    // Heaps' law exponent: fit log V = log k + β·log N by OLS over the
+    // ten (cum_tokens, cum_vocab) points of q233 — β ≈ 0.5 for natural
+    // text, β → 0 for a saturated (heavily duplicated) corpus. The
+    // tokenizer-sizing number. Exactness: ln() is not correctly
+    // rounded, so each point's logs are quantized to integer micro
+    // with the ulp-absorbing floor cut BEFORE the OLS sums (the q109
+    // idf discipline); the 10-point regression is then exact int64 and
+    // the final slope/intercept divisions are bit-equal.
+    Query(
+      "q234_heaps_exponent",
+      (s, d) => {
+        val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+        val tok = Tables.documents(s, d)
+          .crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+            explode(split(col("text"), " ")).as("t"))
+        val occ = tok.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+        val fresh = tok.groupBy(col("t")).agg(min(col("decile")).as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("new_vocab"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pts = occ.join(fresh, Seq("decile"), "left")
+          .na.fill(0L, Seq("new_vocab"))
+          .localCheckpoint() // 10 rows
+          .withColumn("cn", sum(col("n_tokens")).over(wc))
+          .withColumn("cv", sum(col("new_vocab")).over(wc))
+          .localCheckpoint() // grid window materialized off the final plan
+          .filter(col("cn") > 0 && col("cv") > 0)
+          .select(
+            floor(log(col("cn").cast("double")) * 1000000 + lit(0.500001))
+              .cast("long").as("xq"),
+            floor(log(col("cv").cast("double")) * 1000000 + lit(0.500001))
+              .cast("long").as("yq"))
+        pts.agg(count(lit(1)).as("k_points"),
+            sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+            sum(col("xq") * col("yq")).as("sxy"),
+            sum(col("xq") * col("xq")).as("sxx"))
+          .select(col("k_points"),
+            when(col("k_points") * col("sxx") - col("sx") * col("sx") > 0,
+              Num.r6((col("k_points") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / (col("k_points") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")))
+              .as("heaps_beta"),
+            when(col("k_points") * col("sxx") - col("sx") * col("sx") > 0,
+              Num.r6((col("sy").cast("double")
+                - ((col("k_points") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                  / (col("k_points") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double")) * col("sx").cast("double"))
+                / (col("k_points").cast("double") * lit(1e6))))
+              .as("heaps_log_k"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        tok AS (
+          SELECT (doc_id * 10) // (mx + 1) AS decile,
+            unnest(string_split(text, ' ')) AS t
+          FROM documents CROSS JOIN mx),
+        occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY decile),
+        fresh AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_vocab FROM (
+            SELECT t, MIN(decile) AS decile FROM tok GROUP BY t)
+          GROUP BY decile),
+        pts AS (
+          SELECT
+            CAST(FLOOR(LN(CAST(cn AS DOUBLE)) * 1000000 + 0.500001) AS BIGINT)
+              AS xq,
+            CAST(FLOOR(LN(CAST(cv AS DOUBLE)) * 1000000 + 0.500001) AS BIGINT)
+              AS yq
+          FROM (
+            SELECT
+              CAST(SUM(o.n_tokens) OVER w AS BIGINT) AS cn,
+              CAST(SUM(COALESCE(f.new_vocab, 0)) OVER w AS BIGINT) AS cv
+            FROM occ o LEFT JOIN fresh f ON f.decile = o.decile
+            WINDOW w AS (ORDER BY o.decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          WHERE cn > 0 AND cv > 0),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k_points,
+            CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+            CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+            CAST(SUM(xq * xq) AS BIGINT) AS sxx
+          FROM pts)
+        SELECT k_points,
+          CASE WHEN k_points * sxx - sx * sx > 0 THEN
+            FLOOR((CAST(k_points * sxy - sx * sy AS DOUBLE)
+                   / CAST(k_points * sxx - sx * sx AS DOUBLE))
+                  * 1000000 + 0.500001) / 1000000 END AS heaps_beta,
+          CASE WHEN k_points * sxx - sx * sx > 0 THEN
+            FLOOR(((CAST(sy AS DOUBLE)
+                    - (CAST(k_points * sxy - sx * sy AS DOUBLE)
+                       / CAST(k_points * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                   / (CAST(k_points AS DOUBLE) * 1e6))
+                  * 1000000 + 0.500001) / 1000000 END AS heaps_log_k
+        FROM m"""),
+      "Heaps' law exponent from the ten ingest-decile vocab points: micro-quantized logs (q109 discipline) feed an exact int64 OLS")
   )
 }

@@ -174,6 +174,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("cold_share") == 0.5)
   }
 
+  test("q233: new vocabulary lands in the decile of first appearance") {
+    // ids 0..9 put one doc per decile; w0/w1 arrive in decile 0, w2 in
+    // decile 1, nothing after that is new
+    val docs = Seq((0L, "w0 w1", "A"), (1L, "w0 w2", "A")) ++
+      (2L until 10L).map(i => (i, "w0 w1", "A"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val rows = byName("q233_vocab_growth").run(spark, d).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.size == 10)
+    assert(rows(0L).getAs[Long]("new_vocab") == 2)
+    assert(rows(1L).getAs[Long]("new_vocab") == 1)
+    (2L to 9L).foreach(dec => assert(rows(dec).getAs[Long]("new_vocab") == 0))
+    assert(rows(9L).getAs[Long]("cum_vocab") == 3)
+    assert(rows(9L).getAs[Long]("cum_tokens") == 20)
+  }
+
+  test("q234: a saturated corpus fits beta near 0; driver data sits in (0,1)") {
+    val docs = (0L until 20L).map(i => (i, "same old text again", "A"))
+    val d = plantDir("documents" -> docsDF(docs))
+    val r = byName("q234_heaps_exponent").run(spark, d).collect().head
+    assert(math.abs(r.getAs[Double]("heaps_beta")) < 0.05,
+      s"saturated beta ${r.getAs[Double]("heaps_beta")}")
+    // every-token-new corpus: V grows linearly with N, so beta ≈ 1
+    val growing = (0L until 20L).map(i => (i, s"tok${4 * i} tok${4 * i + 1} tok${4 * i + 2} tok${4 * i + 3}", "A"))
+    val dg = plantDir("documents" -> docsDF(growing))
+    val g = byName("q234_heaps_exponent").run(spark, dg).collect().head
+    assert(g.getAs[Double]("heaps_beta") > 0.9,
+      s"growing beta ${g.getAs[Double]("heaps_beta")}")
+    // the driver generator draws from a FIXED vocabulary, so its corpus
+    // is itself saturated (beta 0) — the invariant is the Heaps range
+    val dr = byName("q234_heaps_exponent").run(spark, sf("0.01")).collect().head
+    val beta = dr.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"driver-data beta $beta")
+  }
+
   test("q229: duplicates are charged to the decile where they arrived") {
     // ids 0..9 with mx=9 put one doc per decile; 5..9 repeat id 0's text
     val base = "alpha beta gamma delta"

@@ -182,7 +182,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q225_simhash_calibration", "q226_incremental_join",
       "q227_filter_cascade", "q228_sample_bias_audit",
       "q229_dup_trend", "q230_fano_burstiness", "q231_hour_profile",
-      "q232_cold_start_rate").foreach { q =>
+      "q232_cold_start_rate", "q233_vocab_growth",
+      "q234_heaps_exponent").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), s"$q: cartesian product")
     }
     assert(plan("q226_incremental_join").contains("BroadcastHashJoin"),
