@@ -45,6 +45,7 @@ object Registry {
     ops.Relational.queries ++ ops.Temporal.queries ++
       ops.HealthQueries.queries ++ ops.Misc.queries ++
       ops.Analytics.queries ++ ops.Analytics2.queries ++
+      ops.Analytics3.queries ++
       ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.TimeModels.queries ++
       ops.TimeModels2.queries ++

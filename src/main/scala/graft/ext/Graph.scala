@@ -676,5 +676,146 @@ object Graph {
         FROM seeds s LEFT JOIN reach ON reach.seed = s.seed
         ORDER BY s.seed"""
       },
-      "3-hop-truncated harmonic centrality of the top-20 hubs: bounded multi-source BFS with integer micro 1/d weights"))
+      "3-hop-truncated harmonic centrality of the top-20 hubs: bounded multi-source BFS with integer micro 1/d weights"),
+
+    // ---------------------------------------------------------------- q238
+    // Local clustering coefficient per backbone node (Watts & Strogatz
+    // 1998): C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — does v's
+    // neighborhood look like a clique (C→1) or a star (C→0)? The
+    // per-node companion to q119's raw triangle counts and q217's
+    // global mixing r: assortativity says hubs link hubs, clustering
+    // says WHOSE neighborhoods are closed. Same k-bounded wedge join
+    // as q119 (the backbone cap is the scale decision); zero-triangle
+    // nodes are restored by a left join from the degree table, and
+    // C is one division of exact int64s (tri ≤ deg², deg ≤ 10^4).
+    Query(
+      "q238_local_clustering",
+      (s, d) => {
+        val e = backbone(s, d)
+        val und = e.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+        val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+          .join(e.as("e3"),
+            col("x") === col("e3.u") && col("z") === col("e3.v"))
+          .select(col("x"), col("y"), col("z"))
+        val triPer = tri.select(col("x").as("node"))
+          .unionByName(tri.select(col("y").as("node")))
+          .unionByName(tri.select(col("z").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("degree") >= 2)
+          .join(triPer, Seq("node"), "left")
+          .na.fill(0L, Seq("n_tri"))
+          .select(col("node"), col("degree"), col("n_tri"),
+            graft.Num.r6(lit(2.0) * col("n_tri").cast("double") /
+              (col("degree").cast("double") *
+                (col("degree").cast("double") - lit(1.0)))).as("c_local"))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH $sqlBackbone,
+        und AS (SELECT u AS a, v AS b FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM und GROUP BY a),
+        tri AS (
+          SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+          JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        nodes AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        tp AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+               FROM nodes GROUP BY node)
+        SELECT d.node, d.degree, COALESCE(tp.n_tri, 0) AS n_tri,
+          FLOOR((2.0 * COALESCE(tp.n_tri, 0)
+                 / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0)))
+                * 1000000 + 0.500001) / 1000000 AS c_local
+        FROM deg d LEFT JOIN tp ON tp.node = d.node
+        WHERE d.degree >= 2
+        ORDER BY d.node"""),
+      "local clustering coefficient per backbone node: 2*tri/(deg*(deg-1)) from the k-bounded wedge join, zero-triangle nodes restored"),
+
+    // ---------------------------------------------------------------- q239
+    // HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    // supplier→part supply graph — a genuinely directed graph, unlike
+    // the symmetric co-purchase backbone where hub ≡ authority. A hub
+    // supplier supplies many high-authority parts; an authority part
+    // is supplied by many high-hub suppliers. Two full synchronous
+    // iterations with INTEGER L1 normalization after every half-step
+    // (score·1e6 div Σscore — the q101 PageRank quantization), so
+    // every score is an exact int64 at every step and both engines
+    // iterate bit-identically. Edges are the top-5000 strongest
+    // (supplier, part) pairs — the same boundedness decision as the
+    // co-purchase backbone, making each half-step a k-bounded join.
+    Query(
+      "q239_hits",
+      (s, d) => {
+        val ed = graft.Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("n_lines"))
+          .filter(col("n_lines") >= 2)
+          .orderBy(col("n_lines").desc, col("sk"), col("pk")).limit(5000)
+          .select(col("sk"), col("pk"))
+          .localCheckpoint() // bounded edge list, referenced 4x
+        var hub = ed.select(col("sk")).distinct()
+          .withColumn("h", lit(1000000L))
+        var auth: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val araw = ed.join(broadcast(hub), Seq("sk"))
+            .groupBy(col("pk")).agg(sum(col("h")).as("araw"))
+          val asum = araw.agg(sum(col("araw")).as("s"))
+          auth = araw.crossJoin(broadcast(asum))
+            .select(col("pk"), expr("(araw * 1000000) div s").as("a"))
+            .localCheckpoint() // truncate: next half-step re-reads it
+          val hraw = ed.join(broadcast(auth), Seq("pk"))
+            .groupBy(col("sk")).agg(sum(col("a")).as("hraw"))
+          val hsum = hraw.agg(sum(col("hraw")).as("s"))
+          hub = hraw.crossJoin(broadcast(hsum))
+            .select(col("sk"), expr("(hraw * 1000000) div s").as("h"))
+            .localCheckpoint()
+        }
+        val topH = hub.orderBy(col("h").desc, col("sk")).limit(10)
+          .select(lit("hub").as("role"), col("sk").as("id"),
+            graft.Num.r6(col("h").cast("double") / lit(1e6)).as("score"))
+        val topA = auth.orderBy(col("a").desc, col("pk")).limit(10)
+          .select(lit("authority").as("role"), col("pk").as("id"),
+            graft.Num.r6(col("a").cast("double") / lit(1e6)).as("score"))
+        topH.unionByName(topA).orderBy(col("role"), col("score").desc, col("id"))
+      },
+      Some {
+        def half(i: Int): String =
+          s"""a$i AS (
+            SELECT pk, (SUM(h) * 1000000) // (SELECT SUM(hs.s) FROM (
+                SELECT SUM(h) AS s FROM ed JOIN h${i - 1} USING (sk)
+                GROUP BY pk) hs) AS a
+            FROM ed JOIN h${i - 1} USING (sk) GROUP BY pk),
+          h$i AS (
+            SELECT sk, (SUM(a) * 1000000) // (SELECT SUM(hs.s) FROM (
+                SELECT SUM(a) AS s FROM ed JOIN a$i USING (pk)
+                GROUP BY sk) hs) AS h
+            FROM ed JOIN a$i USING (pk) GROUP BY sk)"""
+        s"""
+        WITH ed AS MATERIALIZED (
+          SELECT sk, pk FROM (
+            SELECT l_suppkey AS sk, l_partkey AS pk, COUNT(*) AS n_lines
+            FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY n_lines DESC, sk, pk LIMIT 5000)),
+        h0 AS (SELECT DISTINCT sk, CAST(1000000 AS BIGINT) AS h FROM ed),
+        ${half(1)},
+        ${half(2)},
+        th AS (SELECT 'hub' AS role, sk AS id,
+                 FLOOR((CAST(h AS DOUBLE) / 1e6) * 1000000 + 0.500001)
+                   / 1000000 AS score
+               FROM h2 ORDER BY h DESC, sk LIMIT 10),
+        ta AS (SELECT 'authority' AS role, pk AS id,
+                 FLOOR((CAST(a AS DOUBLE) / 1e6) * 1000000 + 0.500001)
+                   / 1000000 AS score
+               FROM a2 ORDER BY a DESC, pk LIMIT 10)
+        SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+        ORDER BY role, score DESC, id"""
+      },
+      "HITS hubs/authorities on the bipartite supplier->part graph: 2 synchronous iterations, integer L1 normalization each half-step, top-10 per role"))
 }

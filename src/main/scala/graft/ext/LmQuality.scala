@@ -102,6 +102,124 @@ object LmQuality {
           ${Dedup.sqlH60("'s|' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")} % 5 AS split
         FROM documents d LEFT JOIN clusters c ON c.doc = d.doc_id
         ORDER BY doc_id"""),
-      "leakage-free split assignment: near-dup clusters are the split unit, md5-hashed to 5 folds")
+      "leakage-free split assignment: near-dup clusters are the split unit, md5-hashed to 5 folds"),
+
+    // ---------------------------------------------------------------- q240
+    // Stupid Backoff trigram scoring (Brants et al. 2007) — the
+    // web-scale LM that skips normalization entirely: S(w₃|w₁w₂) =
+    // tri/big if the trigram was seen, else 0.4·S(w₃|w₂), else
+    // 0.4²·uni(w₃)/N, else 0.4²·(0.5/N) as the unseen-unigram floor.
+    // Unlike q163 (add-k smoothing, trained and scored on the same
+    // corpus), backoff only MEANS something out-of-sample, so counts
+    // train on docs with doc_id % 3 ≠ 0 and score the held-out
+    // doc_id % 3 = 0 third (the q199 train/eval discipline). Reported
+    // per held-out doc: mean log-score (micro-nat quantized per
+    // instance BEFORE the sum, one division at the end) and the
+    // backoff share — how far the doc strays from trained context.
+    // 100 TB shape: one tokenized pass each side, count tables bounded
+    // by distinct n-grams, instance joins are hash shuffles on token
+    // keys, the N row broadcasts; nothing quadratic anywhere.
+    Query(
+      "q240_stupid_backoff",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .select(col("doc_id"), col("w1"),
+            lead(col("w1"), 1).over(w).as("w2"),
+            lead(col("w1"), 2).over(w).as("w3"))
+          .localCheckpoint() // feeds train counts AND held-out instances
+        val train = toks.filter(col("doc_id") % 3 =!= 0)
+        val tri = train.filter(col("w3").isNotNull)
+          .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("n3"))
+        val big = train.filter(col("w2").isNotNull)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val uni = train.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val nTot = train.agg(count(lit(1)).as("nn"))
+        val inst = toks.filter(col("doc_id") % 3 === 0 && col("w3").isNotNull)
+          .join(tri, Seq("w1", "w2", "w3"), "left")
+          .join(big.select(col("w1"), col("w2"), col("n2").as("c12")),
+            Seq("w1", "w2"), "left")
+          .join(big.select(col("w1").as("w2j"), col("w2").as("w3j"),
+            col("n2").as("c23")),
+            col("w2") === col("w2j") && col("w3") === col("w3j"), "left")
+          .join(uni.select(col("w1").as("u2"), col("n1").as("cu2")),
+            col("w2") === col("u2"), "left")
+          .join(uni.select(col("w1").as("u3"), col("n1").as("cu3")),
+            col("w3") === col("u3"), "left")
+          .crossJoin(broadcast(nTot))
+        val score =
+          when(col("n3").isNotNull,
+            col("n3").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * col("c23").cast("double") / col("cu2").cast("double"))
+          .when(col("cu3").isNotNull,
+            lit(0.16) * col("cu3").cast("double") / col("nn").cast("double"))
+          .otherwise(lit(0.16) * lit(0.5) / col("nn").cast("double"))
+        inst
+          .select(col("doc_id"),
+            floor(log(score) * lit(1000000.0) + lit(0.5)).cast("long").as("lq"),
+            when(col("n3").isNull, 1L).otherwise(0L).as("bo"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(col("lq")).as("slq"), sum(col("bo")).as("nbo"))
+          .select(col("doc_id"), col("n_trigrams"),
+            Num.r4(col("slq").cast("double") / lit(1e6) /
+              col("n_trigrams").cast("double")).as("sb_logscore"),
+            Num.r6(col("nbo").cast("double") /
+              col("n_trigrams").cast("double")).as("backoff_share"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        tg AS (
+          SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                                 FOR i IN range(1, len(t)-1)], recursive := true)
+          FROM toks WHERE len(t) >= 3),
+        bg AS (
+          SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+                                 FOR i IN range(1, len(t))], recursive := true)
+          FROM toks WHERE len(t) >= 2),
+        ug AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        tri AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM tg
+                WHERE doc_id % 3 <> 0 GROUP BY 1, 2, 3),
+        big AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg
+                WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        uni AS (SELECT w, COUNT(*) AS n1 FROM ug
+                WHERE doc_id % 3 <> 0 GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ug
+               WHERE doc_id % 3 <> 0),
+        inst AS (
+          SELECT i.doc_id,
+            CASE
+              WHEN t.n3 IS NOT NULL
+                THEN CAST(t.n3 AS DOUBLE) / b12.n2
+              WHEN b23.n2 IS NOT NULL
+                THEN 0.4 * b23.n2 / u2.n1
+              WHEN u3.n1 IS NOT NULL
+                THEN 0.16 * u3.n1 / nt.nn
+              ELSE 0.16 * 0.5 / nt.nn
+            END AS s,
+            CASE WHEN t.n3 IS NULL THEN 1 ELSE 0 END AS bo
+          FROM tg i
+          LEFT JOIN tri t ON t.w1 = i.w1 AND t.w2 = i.w2 AND t.w3 = i.w3
+          LEFT JOIN big b12 ON b12.w1 = i.w1 AND b12.w2 = i.w2
+          LEFT JOIN big b23 ON b23.w1 = i.w2 AND b23.w2 = i.w3
+          LEFT JOIN uni u2 ON u2.w = i.w2
+          LEFT JOIN uni u3 ON u3.w = i.w3
+          CROSS JOIN nt
+          WHERE i.doc_id % 3 = 0),
+        per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+            SUM(CAST(FLOOR(LN(s) * 1000000.0 + 0.5) AS BIGINT)) AS slq,
+            CAST(SUM(bo) AS BIGINT) AS nbo
+          FROM inst GROUP BY doc_id)
+        SELECT doc_id, n_trigrams,
+          FLOOR((CAST(slq AS DOUBLE) / 1e6 / n_trigrams)
+                * 10000 + 0.500001) / 10000 AS sb_logscore,
+          FLOOR((CAST(nbo AS DOUBLE) / n_trigrams)
+                * 1000000 + 0.500001) / 1000000 AS backoff_share
+        FROM per ORDER BY doc_id"""),
+      "Stupid Backoff trigram log-score of held-out docs (trained on doc_id%3!=0): micro-nat quantize-before-sum, per-doc backoff share")
   )
 }

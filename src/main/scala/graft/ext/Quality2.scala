@@ -262,6 +262,130 @@ object Quality2 {
                       AS DOUBLE) / SUM(sz)) * 1000000 + 0.500001) / 1000000
             AS rows_all_delinquent_share
         FROM cls"""),
-      "l-diversity audit over the q211 quasi-identifier with delinquency as the sensitive attribute: share of customers in l=1 classes")
+      "l-diversity audit over the q211 quasi-identifier with delinquency as the sensitive attribute: share of customers in l=1 classes"),
+
+    // ---------------------------------------------------------------- q236
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    // attack l-diversity misses: a class can contain BOTH sensitive
+    // values yet still leak if its distribution differs sharply from
+    // the table's. Same (segment, nation) quasi-identifier as q211/
+    // q219; the sensitive attribute is the account-balance DECILE
+    // (ordered, so closeness is the earth-mover distance:
+    // EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| over the 9 prefixes).
+    // Deciles come from the CENTS-QUANTIZED balance value grid —
+    // bounded by the value domain, not the corpus — with every
+    // customer sharing a balance landing in the same decile
+    // (dec(v) = (cum_below(v)·10) div n + 1), so no raw-row sort or
+    // global row_number exists anywhere: the only windows run over
+    // the bounded grid (the q142/q192 discipline). Every prefix term
+    // is the exact integer |cum_class·n − cum_global·n_class| over
+    // the common denominator n_class·n, summed in DECIMAL(38) and
+    // divided once.
+    Query(
+      "q236_t_closeness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cust = Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+              .as("vq"))
+        // bounded value grid -> decile map: grid-only window, never rows
+        val vals = cust.groupBy(col("vq")).agg(count(lit(1)).as("vc"))
+        val n = cust.agg(count(lit(1)).as("n"))
+        val decMap = vals
+          .withColumn("cumlt", coalesce(sum(col("vc")).over(
+            Window.orderBy(col("vq"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .crossJoin(broadcast(n))
+          .withColumn("dec", expr("(cumlt * 10) div n + 1"))
+          .select(col("vq"), col("dec"))
+        val cells = cust.groupBy(col("c_mktsegment"), col("c_nationkey"),
+            col("vq"))
+          .agg(count(lit(1)).as("vcnt"))
+          .join(broadcast(decMap), Seq("vq"))
+          .groupBy(col("c_mktsegment"), col("c_nationkey"), col("dec"))
+          .agg(sum(col("vcnt")).as("cnt"))
+          .localCheckpoint() // bounded (class × decile) grid, one scan
+        val classes = cells.groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(sum(col("cnt")).as("n_class"))
+        val glob = cells.groupBy(col("dec")).agg(sum(col("cnt")).as("gcnt"))
+        val spine = s.range(1, 11).select(col("id").as("dec")) // long, like the div above
+        val wC = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+          .orderBy(col("dec"))
+        val grid = classes.crossJoin(broadcast(spine))
+          .join(cells, Seq("c_mktsegment", "c_nationkey", "dec"), "left")
+          .join(broadcast(glob), Seq("dec"), "left")
+          .withColumn("cum1", sum(coalesce(col("cnt"), lit(0L)))
+            .over(wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cumg", sum(coalesce(col("gcnt"), lit(0L)))
+            .over(wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("dec") < 10) // 9 prefixes; the full sum is always 0
+        grid.crossJoin(broadcast(n))
+          .withColumn("num",
+            abs(col("cum1").cast("decimal(38,0)") * col("n") -
+              col("cumg").cast("decimal(38,0)") * col("n_class")))
+          .groupBy(col("c_mktsegment"), col("c_nationkey"),
+            col("n_class"), col("n"))
+          .agg(sum(col("num")).as("tnum"))
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            col("n_class").as("n_members"),
+            Num.r6(col("tnum").cast("double") /
+              (lit(9.0) * col("n_class").cast("double") *
+                col("n").cast("double"))).as("t_emd"))
+          .withColumn("t_breach", col("t_emd") > lit(0.2))
+          .orderBy(col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT c_mktsegment, c_nationkey,
+            CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS vq
+          FROM customer),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        vals AS (SELECT vq, CAST(COUNT(*) AS BIGINT) AS vc FROM q GROUP BY vq),
+        decmap AS (
+          SELECT vq,
+            (COALESCE(SUM(vc) OVER (ORDER BY vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+              // n.n + 1 AS dec
+          FROM vals CROSS JOIN n),
+        cells AS (
+          SELECT c_mktsegment, c_nationkey, dec, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM q JOIN decmap USING (vq) GROUP BY 1, 2, 3),
+        classes AS (
+          SELECT c_mktsegment, c_nationkey, SUM(cnt) AS n_class
+          FROM cells GROUP BY 1, 2),
+        gtab AS (SELECT dec, SUM(cnt) AS gcnt FROM cells GROUP BY dec),
+        spine AS (SELECT CAST(UNNEST(RANGE(1, 11)) AS BIGINT) AS dec),
+        grid AS (
+          SELECT cl.c_mktsegment, cl.c_nationkey, cl.n_class, sp.dec,
+            SUM(COALESCE(ce.cnt, 0)) OVER (
+              PARTITION BY cl.c_mktsegment, cl.c_nationkey
+              ORDER BY sp.dec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            SUM(COALESCE(g.gcnt, 0)) OVER (
+              PARTITION BY cl.c_mktsegment, cl.c_nationkey
+              ORDER BY sp.dec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+          FROM classes cl CROSS JOIN spine sp
+          LEFT JOIN cells ce ON ce.c_mktsegment = cl.c_mktsegment
+            AND ce.c_nationkey = cl.c_nationkey AND ce.dec = sp.dec
+          LEFT JOIN gtab g ON g.dec = sp.dec
+          QUALIFY sp.dec < 10),
+        agg AS (
+          SELECT gr.c_mktsegment, gr.c_nationkey, gr.n_class, n.n,
+            SUM(ABS(CAST(gr.cum1 AS HUGEINT) * n.n
+                    - CAST(gr.cumg AS HUGEINT) * gr.n_class)) AS tnum
+          FROM grid gr CROSS JOIN n
+          GROUP BY 1, 2, 3, 4)
+        SELECT c_mktsegment, c_nationkey,
+          CAST(n_class AS BIGINT) AS n_members,
+          FLOOR((CAST(tnum AS DOUBLE)
+                 / (9.0 * CAST(n_class AS DOUBLE) * CAST(n AS DOUBLE)))
+                * 1000000 + 0.500001) / 1000000 AS t_emd,
+          (FLOOR((CAST(tnum AS DOUBLE)
+                 / (9.0 * CAST(n_class AS DOUBLE) * CAST(n AS DOUBLE)))
+                * 1000000 + 0.500001) / 1000000) > 0.2 AS t_breach
+        FROM agg ORDER BY c_mktsegment, c_nationkey"""),
+      "t-closeness audit over the q211 quasi-identifier: EMD between each class's acctbal-decile distribution and the global one (Li et al. 2007)")
   )
 }

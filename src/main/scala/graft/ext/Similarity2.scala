@@ -187,6 +187,117 @@ object Similarity2 {
           is_zero,
           (ABS(nrm - mu) > 3.0 * sd) AS is_outlier
         FROM norms CROSS JOIN st ORDER BY vec_id"""),
-      "embedding hygiene: exact-integer L2 norms with zero-vector and 3-sigma outlier flags (pre-similarity sanity pass)")
+      "embedding hygiene: exact-integer L2 norms with zero-vector and 3-sigma outlier flags (pre-similarity sanity pass)"),
+
+    // ---------------------------------------------------------------- q242
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein
+    // 1998): greedily pick 10 results for a probe that balance
+    // relevance against redundancy — argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    // sim(c,s), λ = 0.7. THE missing piece between retrieval (q33/q78
+    // return near-duplicates of each other) and curation (SemDeDup
+    // removes them globally; MMR removes them per-query). Greedy
+    // selection is inherently sequential, so the 10 rounds run as a
+    // bounded lineage-truncated loop (the q239/q222 pattern) over a
+    // 100-candidate pool; every argmax compares EXACT integers
+    // (micro-quantized cosines, mmr_q = 7·rel_q − 3·sim_q) with a
+    // vec_id tie-break, so both engines select the identical sequence.
+    // 100 TB shape: the pool is a distributed TakeOrdered (at scale
+    // it would come from q78's IVF top-k); the pairs table and every
+    // round are 100-row-bounded; nothing depends on corpus size after
+    // the one relevance scan.
+    Query(
+      "q242_mmr_selection",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        val probe = emb.filter(col("vec_id") === 1)
+          .select(col("v").as("qv"))
+        val pool = emb.filter(col("vec_id") =!= 1)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("v"),
+            floor(Similarity.cosine(col("v"), col("qv")) * lit(1000000.0) +
+              lit(0.5)).cast("long").as("relq"))
+          .orderBy(col("relq").desc, col("vec_id")).limit(100)
+          .localCheckpoint() // bounded candidate pool, reused every round
+        val pairs = pool.select(col("vec_id").as("a"), col("v").as("va"))
+          .join(broadcast(pool.select(col("vec_id").as("b"), col("v").as("vb"))),
+            col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            floor(Similarity.cosine(col("va"), col("vb")) * lit(1000000.0) +
+              lit(0.5)).cast("long").as("simq"))
+          .localCheckpoint() // 100x99 bounded pair grid
+        var sel = pool
+          .orderBy(col("relq").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), lit(1).as("rank"), col("relq"),
+            lit(0L).as("msq"))
+          .localCheckpoint()
+        for (i <- 2 to 10) {
+          val ms = pairs
+            .join(broadcast(sel.select(col("vec_id").as("b"))), Seq("b"))
+            .groupBy(col("a").as("vec_id")).agg(max(col("simq")).as("msq"))
+          val winner = pool
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .join(broadcast(ms), Seq("vec_id"))
+            .withColumn("mmrq", lit(7L) * col("relq") - lit(3L) * col("msq"))
+            .orderBy(col("mmrq").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), lit(i).as("rank"), col("relq"), col("msq"))
+          sel = sel.unionByName(winner).localCheckpoint()
+        }
+        sel.select(col("rank"), col("vec_id"),
+            Num.r6(col("relq").cast("double") / lit(1e6)).as("rel"),
+            Num.r6(col("msq").cast("double") / lit(1e6)).as("max_sim"),
+            Num.r6((lit(7L) * col("relq") - lit(3L) * col("msq"))
+              .cast("double") / lit(1e7)).as("mmr"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
+        def selfSql(a: String) = s"list_sum([x * x FOR x IN $a])"
+        def cosQ(a: String, b: String) =
+          s"CAST(FLOOR(${dotSql(a, b)} / (sqrt(${selfSql(a)}) * sqrt(${selfSql(b)})) * 1000000.0 + 0.5) AS BIGINT)"
+        // every round CTE is MATERIALIZED: s_i is referenced three
+        // times by round i+1, so inlined CTEs would re-expand the
+        // whole chain exponentially (measured: minutes vs millis)
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""c$i AS MATERIALIZED (
+            SELECT p.vec_id, p.relq, MAX(pr.simq) AS msq
+            FROM pool p
+            JOIN pairs pr ON pr.a = p.vec_id
+              AND pr.b IN (SELECT vec_id FROM s$p)
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM s$p)
+            GROUP BY p.vec_id, p.relq),
+          w$i AS MATERIALIZED (
+            SELECT vec_id, $i AS rank, relq, msq FROM c$i
+            ORDER BY 7 * relq - 3 * msq DESC, vec_id LIMIT 1),
+          s$i AS MATERIALIZED (SELECT * FROM s$p UNION ALL SELECT * FROM w$i)"""
+        }
+        s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        probe AS (SELECT v AS qv FROM emb WHERE vec_id = 1),
+        pool AS MATERIALIZED (
+          SELECT vec_id, v, relq FROM (
+            SELECT e.vec_id, e.v, ${cosQ("e.v", "p.qv")} AS relq
+            FROM emb e CROSS JOIN probe p WHERE e.vec_id <> 1)
+          ORDER BY relq DESC, vec_id LIMIT 100),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b, ${cosQ("a.v", "b.v")} AS simq
+          FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        s1 AS (
+          SELECT vec_id, 1 AS rank, relq, CAST(0 AS BIGINT) AS msq
+          FROM pool ORDER BY relq DESC, vec_id LIMIT 1),
+        ${(2 to 10).map(round).mkString(",\n        ")}
+        SELECT rank, vec_id,
+          FLOOR((CAST(relq AS DOUBLE) / 1e6) * 1000000 + 0.500001) / 1000000
+            AS rel,
+          FLOOR((CAST(msq AS DOUBLE) / 1e6) * 1000000 + 0.500001) / 1000000
+            AS max_sim,
+          FLOOR((CAST(7 * relq - 3 * msq AS DOUBLE) / 1e7)
+                * 1000000 + 0.500001) / 1000000 AS mmr
+        FROM s10 ORDER BY rank"""
+      },
+      "maximal-marginal-relevance top-10 for a probe (lambda=0.7): greedy integer-exact argmax over a bounded TakeOrdered pool, per-round redundancy penalty")
   )
 }

@@ -436,6 +436,155 @@ object TimeModels2 {
           FLOOR((CAST(COUNT(*) FILTER (WHERE em < en) AS DOUBLE) / COUNT(*))
                 * 1000000 + 0.500001) / 1000000 AS model_win_share
         FROM q GROUP BY user_id ORDER BY user_id"""),
-      "rolling-origin AR(1) backtest vs the naive last-value forecast: per-user MASE + win share on the shared 1e-4 error grid, no leakage")
+      "rolling-origin AR(1) backtest vs the naive last-value forecast: per-user MASE + win share on the shared 1e-4 error grid, no leakage"),
+
+    // ---------------------------------------------------------------- q241
+    // Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    // Mandelbrot & Wallis 1969) over each event type's hourly mean
+    // series: H ≈ 0.5 = memoryless, H → 1 = persistent/trending,
+    // H → 0 = mean-reverting — the long-memory diagnostic that says
+    // whether q160's AR(1) or a long-range model fits the traffic.
+    // For block sizes n ∈ {8,16,32,64}: split the series into
+    // complete blocks, per block compute the range of cumulative
+    // deviations from the block mean over the population stddev, and
+    // regress ln(mean R/S) on ln(n). Exactness: with P_k the in-block
+    // prefix sum, c_k = n·P_k − k·S is the EXACT scaled deviation
+    // (c_n = 0, so the range always brackets 0), and
+    // R/S = (max c − min c)/√(n·ΣY² − S²) has an all-integer numerator
+    // and radicand; per-block R/S is micro-quantized BEFORE the
+    // cross-block mean, ln enters micro-quantized (q234's discipline),
+    // and the 4-point OLS slope is a ratio of exact int64 sums.
+    // 100 TB shape: the hourly grid is time-bounded, every window is
+    // (type, n, block)-partitioned, and the final fold is a 4-row
+    // bounded aggregate per type.
+    Query(
+      "q241_hurst_rs",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(avg(col("value")).as("hv"))
+          .select(col("event_type"),
+            (row_number().over(Window.partitionBy(col("event_type"))
+              .orderBy(col("bucket"))) - 1).cast("long").as("t"),
+            floor(col("hv") * lit(1000.0) + lit(0.5)).cast("long").as("yq"))
+          .localCheckpoint() // time-bounded grid; replicated 4x below
+        val sizes = s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L),
+          Tuple1(32L), Tuple1(64L))).toDF("bn")
+        val wB = Window.partitionBy(col("event_type"), col("bn"), col("blk"))
+        val blocks = hourly.crossJoin(broadcast(sizes))
+          .withColumn("blk", expr("t div bn"))
+          .withColumn("k", expr("t % bn") + lit(1L))
+          .withColumn("p", sum(col("yq")).over(
+            wB.orderBy(col("k")).rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("cnt", count(lit(1)).over(wB))
+          .withColumn("sb", sum(col("yq")).over(wB))
+          .withColumn("ssb", sum((col("yq") * col("yq"))
+            .cast("decimal(38,0)")).over(wB))
+          .filter(col("cnt") === col("bn")) // complete blocks only
+          .withColumn("c", col("bn") * col("p") - col("k") * col("sb"))
+        val perBlock = blocks
+          .groupBy(col("event_type"), col("bn"), col("blk"),
+            col("sb"), col("ssb"))
+          .agg(max(col("c")).as("cmax"), min(col("c")).as("cmin"))
+          .withColumn("rad", (col("bn") * col("ssb")).cast("double") -
+            col("sb").cast("double") * col("sb").cast("double"))
+          .filter(col("rad") > 0) // constant blocks carry no R/S
+          .withColumn("rsq", floor((col("cmax") - col("cmin")).cast("double") /
+            sqrt(col("rad")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        val perSize = perBlock
+          .groupBy(col("event_type"), col("bn"))
+          .agg(count(lit(1)).as("nblk"), sum(col("rsq")).as("srs"))
+          .withColumn("rs", col("srs").cast("double") /
+            col("nblk").cast("double") / lit(1e6))
+          .withColumn("x", floor(log(col("bn").cast("double")) * lit(1000000.0)
+            + lit(0.5)).cast("long"))
+          .withColumn("y", floor(log(col("rs")) * lit(1000000.0)
+            + lit(0.5)).cast("long"))
+        val npts = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(date_trunc("hour", col("ts"))).as("n_hours"))
+        perSize
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("kk"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            max(when(col("bn") === 8, col("rs"))).as("rs8"),
+            max(when(col("bn") === 64, col("rs"))).as("rs64"))
+          .filter(col("kk") === 4) // need all four sizes for the fit
+          .join(broadcast(npts), Seq("event_type"))
+          .select(col("event_type"), col("n_hours"),
+            Num.r4(col("rs8")).as("rs8"),
+            Num.r4(col("rs64")).as("rs64"),
+            Num.r4((col("kk") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("kk") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("hurst"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY DATE_TRUNC('hour', ts)) - 1 AS BIGINT) AS t,
+            CAST(FLOOR(AVG(value) * 1000.0 + 0.5) AS BIGINT) AS yq
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        blocks AS (
+          SELECT event_type, bn, t // bn AS blk, t % bn + 1 AS k, yq
+          FROM hourly CROSS JOIN (SELECT * FROM (VALUES (CAST(8 AS BIGINT)),
+            (CAST(16 AS BIGINT)), (CAST(32 AS BIGINT)),
+            (CAST(64 AS BIGINT))) AS v(bn)) sz),
+        win AS (
+          SELECT event_type, bn, blk, k,
+            SUM(yq) OVER (PARTITION BY event_type, bn, blk ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            COUNT(*) OVER (PARTITION BY event_type, bn, blk) AS cnt,
+            SUM(yq) OVER (PARTITION BY event_type, bn, blk) AS sb,
+            SUM(CAST(yq AS HUGEINT) * yq)
+              OVER (PARTITION BY event_type, bn, blk) AS ssb
+          FROM blocks),
+        cdev AS (
+          SELECT event_type, bn, blk, sb, ssb,
+            bn * p - k * sb AS c
+          FROM win WHERE cnt = bn),
+        per_block AS (
+          SELECT event_type, bn, blk,
+            CAST(FLOOR(CAST(MAX(c) - MIN(c) AS DOUBLE)
+              / SQRT(CAST(bn * ssb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              * 1000000.0 + 0.5) AS BIGINT) AS rsq
+          FROM cdev
+          WHERE CAST(bn * ssb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+          GROUP BY event_type, bn, blk, sb, ssb),
+        per_size AS (
+          SELECT event_type, bn,
+            CAST(SUM(rsq) AS DOUBLE) / COUNT(*) / 1e6 AS rs
+          FROM per_block GROUP BY event_type, bn),
+        pts AS (
+          SELECT event_type, bn, rs,
+            CAST(FLOOR(LN(CAST(bn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+            CAST(FLOOR(LN(rs) * 1000000.0 + 0.5) AS BIGINT) AS y
+          FROM per_size),
+        fit AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS kk,
+            SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+            MAX(CASE WHEN bn = 8 THEN rs END) AS rs8,
+            MAX(CASE WHEN bn = 64 THEN rs END) AS rs64
+          FROM pts GROUP BY event_type HAVING COUNT(*) = 4),
+        npts AS (
+          SELECT event_type,
+            CAST(COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS BIGINT) AS n_hours
+          FROM events GROUP BY event_type)
+        SELECT f.event_type, n.n_hours,
+          FLOOR(rs8 * 10000 + 0.500001) / 10000 AS rs8,
+          FLOOR(rs64 * 10000 + 0.500001) / 10000 AS rs64,
+          FLOOR((CAST(kk * sxy - sx * sy AS DOUBLE)
+                 / CAST(kk * sxx - sx * sx AS DOUBLE))
+                * 10000 + 0.500001) / 10000 AS hurst
+        FROM fit f JOIN npts n ON n.event_type = f.event_type
+        ORDER BY f.event_type"""),
+      "Hurst exponent by R/S analysis over hourly mean series: exact-integer cumulative deviations, micro-quantized per-block R/S, 4-point integer OLS")
   )
 }
