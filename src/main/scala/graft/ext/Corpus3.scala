@@ -605,6 +605,130 @@ object Corpus3 {
                    / (CAST(k_points AS DOUBLE) * 1e6))
                   * 1000000 + 0.500001) / 1000000 END AS heaps_log_k
         FROM m"""),
-      "Heaps' law exponent from the ten ingest-decile vocab points: micro-quantized logs (q109 discipline) feed an exact int64 OLS")
+      "Heaps' law exponent from the ten ingest-decile vocab points: micro-quantized logs (q109 discipline) feed an exact int64 OLS"),
+
+    // ---------------------------------------------------------------- q244
+    // Good–Turing frequency-of-frequencies table (Good 1953): the
+    // unseen-token mass estimate p₀ = N₁/N and the discounted count
+    // r* = (r+1)·N_{r+1}/N_r for r = 1..5 — the open-vocabulary
+    // smoothing table every n-gram LM (q163/q240) implicitly needs,
+    // and the "how much of the distribution have we even seen"
+    // number for corpus sizing. One token pass → vocab-bounded count
+    // frame → count-of-counts grid (bounded by max token count);
+    // everything integer until the two final divisions. r* is NULL
+    // at r=0 (nothing to discount) and where N_r = 0; no smoothing
+    // of the N_r sequence is applied (raw Turing estimates), which
+    // the r_star=0 rows make visible rather than hiding.
+    Query(
+      "q244_good_turing",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("r"))
+        val fof = cnt.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+          .localCheckpoint() // bounded count-of-counts grid, one scan
+        val tot = cnt.agg(sum(col("r")).as("n_total")) // 1 row
+        val spine = s.range(0, 6).select(col("id").as("r"))
+        spine
+          .join(broadcast(fof), Seq("r"), "left")
+          .join(broadcast(fof.select((col("r") - 1).as("r"),
+            col("n_r").as("n_next"))), Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"),
+            coalesce(col("n_r"), lit(0L)).as("n_r"),
+            coalesce(col("n_next"), lit(0L)).as("n_next"),
+            when(col("r") > 0 && coalesce(col("n_r"), lit(0L)) > 0,
+              Num.r6(((col("r") + 1) * coalesce(col("n_next"), lit(0L)))
+                .cast("double") / col("n_r")))
+              .as("r_star"),
+            Num.r6(when(col("r") === 0,
+              coalesce(col("n_next"), lit(0L)).cast("double"))
+              .otherwise((col("r") * coalesce(col("n_r"), lit(0L))).cast("double"))
+              / col("n_total")).as("mass_share"))
+          .orderBy(col("r"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        cnt AS (SELECT t, COUNT(*) AS r FROM tok GROUP BY t),
+        fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY r),
+        tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_total FROM cnt),
+        spine AS (SELECT unnest(range(0, 6)) AS r)
+        SELECT s.r AS r,
+          CAST(COALESCE(f.n_r, 0) AS BIGINT) AS n_r,
+          CAST(COALESCE(g.n_r, 0) AS BIGINT) AS n_next,
+          CASE WHEN s.r > 0 AND COALESCE(f.n_r, 0) > 0 THEN
+            ${Num.sql("CAST((s.r + 1) * COALESCE(g.n_r, 0) AS DOUBLE) / f.n_r", 6)}
+          END AS r_star,
+          ${Num.sql(
+            """(CASE WHEN s.r = 0 THEN CAST(COALESCE(g.n_r, 0) AS DOUBLE)
+                ELSE CAST(s.r * COALESCE(f.n_r, 0) AS DOUBLE) END) / n_total""", 6)}
+            AS mass_share
+        FROM spine s
+        LEFT JOIN fof f ON s.r = f.r
+        LEFT JOIN fof g ON g.r = s.r + 1
+        CROSS JOIN tot
+        ORDER BY r"""),
+      "Good-Turing count-of-counts table: unseen mass N1/N and raw Turing discounts r* = (r+1)N_{r+1}/N_r for r=0..5 (Good 1953)"),
+
+    // ---------------------------------------------------------------- q248
+    // Distinct-n diversity (Li et al. 2016) per source: distinct
+    // n-grams / total n-grams for n = 1..3 — the standard repetition/
+    // mode-collapse diagnostic for generated or crawled text (a source
+    // full of boilerplate shows low distinct-2/3 even when distinct-1
+    // looks healthy). ONE posexplode + lead() window pass (the q38
+    // codegen discipline) emits all three gram sizes as a struct
+    // array, so the raw-text shuffle happens once; the distinct
+    // count shuffles on (source, n, gram) — vocab-bounded.
+    Query(
+      "q248_distinct_n",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val base = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+          .select(col("source"), col("t"),
+            lead(col("t"), 1).over(w).as("t1"),
+            lead(col("t"), 2).over(w).as("t2"))
+        base
+          .select(col("source"), explode(array(
+            struct(lit(1).as("n"), col("t").as("gram")),
+            struct(lit(2).as("n"), when(col("t1").isNotNull,
+              concat_ws(" ", col("t"), col("t1"))).as("gram")),
+            struct(lit(3).as("n"), when(col("t2").isNotNull,
+              concat_ws(" ", col("t"), col("t1"), col("t2"))).as("gram"))))
+            .as("e"))
+          .select(col("source"), col("e.n").as("n"), col("e.gram").as("gram"))
+          .filter(col("gram").isNotNull)
+          .groupBy(col("source"), col("n"))
+          .agg(count(lit(1)).as("total_ngrams"),
+            countDistinct(col("gram")).as("distinct_ngrams"))
+          .select(col("source"), col("n"), col("total_ngrams"),
+            col("distinct_ngrams"),
+            Num.r6(col("distinct_ngrams").cast("double") / col("total_ngrams"))
+              .as("distinct_ratio"))
+          .orderBy(col("source"), col("n"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT source, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT source, 1 AS n, unnest(t) AS gram FROM toks
+          UNION ALL
+          SELECT source, 2 AS n,
+            unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+            AS gram
+          FROM toks
+          UNION ALL
+          SELECT source, 3 AS n,
+            unnest([array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]) AS gram
+          FROM toks)
+        SELECT source, n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+          CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+          ${Num.sql("CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*)", 6)}
+            AS distinct_ratio
+        FROM g GROUP BY source, n ORDER BY source, n"""),
+      "distinct-1/2/3 n-gram diversity ratios per source (Li et al. 2016): one window pass emits all gram sizes, vocab-bounded distinct")
   )
 }

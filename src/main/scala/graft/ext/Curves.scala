@@ -256,5 +256,142 @@ object Curves {
           ${Num.sql("(n_cohort - COALESCE(n_converted, 0)) / CAST(n_cohort AS DOUBLE)", 4)} AS surviving_share
         FROM days LEFT JOIN conv USING (day) CROSS JOIN n
         ORDER BY day"""),
-      "signup-to-purchase survival curve over 14 daily horizons (exact integer day math, explicit censoring)"))
+      "signup-to-purchase survival curve over 14 daily horizons (exact integer day math, explicit censoring)"),
+
+    // --------------------------------------------------------------- q245
+    // Log-rank test (Mantel 1966) comparing time-to-SECOND-event
+    // between the q181 md5 arms — the hypothesis test q130's curve
+    // begs for: do the two arms' engagement-latency distributions
+    // differ? Per user: t₁ = first distinct event time, t₂ = second
+    // (censored at the corpus horizon when absent), duration in whole
+    // MINUTES — the q223 bounded-bucket discipline, so the risk-set
+    // cumulative window runs over a time-range-bounded grid, never a
+    // per-user sort. At each death time: observed arm-A deaths d₁,
+    // expected d·n₁/n, hypergeometric variance d·(n₁/n)·((n−n₁)/n)·
+    // ((n−d)/(n−1)) — each term computed from exact integers by the
+    // IDENTICAL IEEE formula on both engines and micro-quantized
+    // BEFORE the sums, so association order cannot surface. Censored
+    // users at t remain at risk at t (the standard tie convention).
+    Query(
+      "q245_logrank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us")).distinct()
+        val horizon = ev.agg(max(col("us")).as("tmax")) // 1 row
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val per = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("k"), min(col("us")).as("t1"),
+            max(col("us")).as("t2"))
+          .crossJoin(broadcast(horizon))
+          .select(col("user_id"),
+            (col("k") === 2).as("observed"),
+            when(col("k") === 2, (col("t2") - col("t1")) / lit(60000000L))
+              .otherwise((col("tmax") - col("t1")) / lit(60000000L))
+              .cast("long").as("dur_min"),
+            (graft.ext.Dedup.h60(
+              concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+              .as("arm"))
+        val g = per.groupBy(col("dur_min"))
+          .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+            sum(when(col("observed") && col("arm") === 0, 1L).otherwise(0L))
+              .as("d1"),
+            count(lit(1)).as("c"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c1"))
+          .localCheckpoint() // bounded minute-grid histogram, one scan
+        // descending cumulative = users still at risk at each time
+        val wd = Window.orderBy(col("dur_min").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val risk = g
+          .withColumn("n", sum(col("c")).over(wd))
+          .withColumn("n1", sum(col("c1")).over(wd))
+          .filter(col("d") > 0)
+        val e1t = floor(lit(1e6) * (col("d") * col("n1")).cast("double")
+          / col("n") + lit(0.5)).cast("long")
+        val vt = floor(lit(1e6) *
+          (((col("d") * col("n1")).cast("double") / col("n")) *
+            ((col("n") - col("n1")).cast("double") / col("n")) *
+            (when(col("n") > 1, (col("n") - col("d")).cast("double")
+              / (col("n") - 1)).otherwise(lit(0.0)))) + lit(0.5)).cast("long")
+        val totals = per.agg(count(lit(1)).as("n_users"))
+        risk
+          .agg(sum(col("d")).as("n_deaths"), sum(col("d1")).as("o1"),
+            sum(e1t).as("e1q"), sum(vt).as("vq"))
+          .crossJoin(broadcast(totals))
+          .select(col("n_users"), col("n_deaths"), col("o1"),
+            Num.r6(col("e1q") / lit(1e6)).as("e1"),
+            Num.r6(col("vq") / lit(1e6)).as("v"),
+            when(col("vq") > 0, Num.r6(
+              (col("o1").cast("double") - col("e1q") / lit(1e6)) *
+                (col("o1").cast("double") - col("e1q") / lit(1e6)) /
+                (col("vq") / lit(1e6)))).as("chi2"),
+            when(col("vq") > 0,
+              (col("o1").cast("double") - col("e1q") / lit(1e6)) *
+                (col("o1").cast("double") - col("e1q") / lit(1e6)) /
+                (col("vq") / lit(1e6)) > lit(3.841))
+              .otherwise(lit(false)).as("logrank_flag"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
+        horizon AS (SELECT MAX(us) AS tmax FROM ev),
+        ranked AS (
+          SELECT user_id, us,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us) AS rn
+          FROM ev),
+        per AS (
+          SELECT user_id, COUNT(*) = 2 AS observed,
+            CAST(CASE WHEN COUNT(*) = 2
+              THEN (MAX(us) - MIN(us)) // 60000000
+              ELSE (MAX(tmax) - MIN(us)) // 60000000 END AS BIGINT)
+              AS dur_min,
+            ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2
+              AS arm
+          FROM ranked CROSS JOIN horizon
+          WHERE rn <= 2 GROUP BY user_id),
+        g AS (
+          SELECT dur_min,
+            CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN observed AND arm = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d1,
+            CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          FROM per GROUP BY dur_min),
+        risk AS (
+          SELECT d, d1,
+            SUM(c) OVER (ORDER BY dur_min DESC
+              ROWS UNBOUNDED PRECEDING) AS n,
+            SUM(c1) OVER (ORDER BY dur_min DESC
+              ROWS UNBOUNDED PRECEDING) AS n1
+          FROM g),
+        terms AS (
+          SELECT d, d1,
+            CAST(FLOOR(1e6 * CAST(d * n1 AS DOUBLE) / n + 0.5) AS BIGINT)
+              AS e1t,
+            CAST(FLOOR(1e6 *
+              ((CAST(d * n1 AS DOUBLE) / n) *
+               (CAST(n - n1 AS DOUBLE) / n) *
+               (CASE WHEN n > 1 THEN CAST(n - d AS DOUBLE) / (n - 1)
+                 ELSE 0.0 END)) + 0.5) AS BIGINT) AS vt
+          FROM risk WHERE d > 0),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per),
+        agg AS (
+          SELECT CAST(SUM(d) AS BIGINT) AS n_deaths,
+            CAST(SUM(d1) AS BIGINT) AS o1,
+            CAST(SUM(e1t) AS BIGINT) AS e1q, CAST(SUM(vt) AS BIGINT) AS vq
+          FROM terms)
+        SELECT n_users, n_deaths, o1,
+          ${Num.sql("e1q / 1e6", 6)} AS e1,
+          ${Num.sql("vq / 1e6", 6)} AS v,
+          CASE WHEN vq > 0 THEN ${Num.sql(
+            """(CAST(o1 AS DOUBLE) - e1q / 1e6) *
+               (CAST(o1 AS DOUBLE) - e1q / 1e6) / (vq / 1e6)""", 6)} END AS chi2,
+          CASE WHEN vq > 0 THEN
+            ((CAST(o1 AS DOUBLE) - e1q / 1e6) *
+             (CAST(o1 AS DOUBLE) - e1q / 1e6) / (vq / 1e6)) > 3.841
+          ELSE FALSE END AS logrank_flag
+        FROM agg CROSS JOIN tot"""),
+      "log-rank test (Mantel 1966) on time-to-second-event between md5 arms: minute-bucketed risk sets, micro-quantized per-time expected/variance terms"))
 }

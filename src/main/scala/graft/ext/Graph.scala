@@ -817,5 +817,133 @@ object Graph {
         SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
         ORDER BY role, score DESC, id"""
       },
-      "HITS hubs/authorities on the bipartite supplier->part graph: 2 synchronous iterations, integer L1 normalization each half-step, top-10 per role"))
+      "HITS hubs/authorities on the bipartite supplier->part graph: 2 synchronous iterations, integer L1 normalization each half-step, top-10 per role"),
+
+    // ---------------------------------------------------------------- q252
+    // Betweenness centrality (Brandes 2001), 3-hop-truncated from the
+    // top-20 hub seeds — the brokerage metric that completes the
+    // centrality family (degree/PageRank/k-core/harmonic measure
+    // importance; betweenness measures CONTROL of flow). Forward
+    // pass: the q222 bounded multi-source BFS, now carrying σ =
+    // shortest-path counts (integer sums, not distinct). Backward
+    // pass: dependency accumulation δ(v) = Σ_w (σ_v/σ_w)(1 + δ(w))
+    // layer by layer; every per-edge term is computed from exact
+    // integers by the identical IEEE formula and micro-quantized
+    // BEFORE the per-node sum, so accumulation order cannot surface.
+    // All frames are (20 seeds × ≤5000-edge backbone)-bounded.
+    Query(
+      "q252_betweenness",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val seeds = deg.orderBy(col("deg").desc, col("node")).limit(20)
+          .select(col("node").as("seed")).localCheckpoint()
+        val l0 = seeds.select(col("seed"), col("seed").as("node"),
+          lit(1L).as("sigma")).localCheckpoint()
+        def expand(cur: org.apache.spark.sql.DataFrame,
+            visited: org.apache.spark.sql.DataFrame) = cur
+          .select(col("seed"), col("node").as("a"), col("sigma"))
+          .join(broadcast(edges), Seq("a"))
+          .select(col("seed"), col("b").as("node"), col("sigma"))
+          .join(visited.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti")
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint()
+        val v0 = l0.select(col("seed"), col("node"))
+        val l1 = expand(l0, v0)
+        val v1 = v0.unionByName(l1.select(col("seed"), col("node")))
+          .localCheckpoint()
+        val l2 = expand(l1, v1)
+        val v2 = v1.unionByName(l2.select(col("seed"), col("node")))
+          .localCheckpoint()
+        val l3 = expand(l2, v2)
+        // backward dependency accumulation over the BFS DAG, δ(L3)=0
+        def accumulate(prev: org.apache.spark.sql.DataFrame,
+            nextWithDelta: org.apache.spark.sql.DataFrame) = prev
+          .select(col("seed"), col("node").as("v"), col("sigma").as("sv"))
+          .join(broadcast(edges), col("v") === col("a"))
+          .join(nextWithDelta.select(col("seed"), col("node").as("b"),
+            col("sigma").as("sw"), col("dq")), Seq("seed", "b"))
+          .withColumn("term", floor(lit(1e6) *
+            (col("sv").cast("double") / col("sw")) *
+            (lit(1.0) + col("dq").cast("double") / lit(1e6)) + lit(0.5))
+            .cast("long"))
+          .groupBy(col("seed"), col("v").as("node"))
+          .agg(sum(col("term")).as("dq"))
+          .localCheckpoint()
+        val d3 = l3.withColumn("dq", lit(0L))
+        val d2raw = accumulate(l2, d3)
+        // layer-2 nodes with no layer-3 successors carry δ=0
+        val d2 = l2.join(d2raw, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("sigma"),
+            coalesce(col("dq"), lit(0L)).as("dq"))
+        val d1 = accumulate(l1, d2)
+        val b = d1.select(col("node"), col("dq"))
+          .unionByName(d2.select(col("node"), col("dq")))
+          .groupBy(col("node")).agg(sum(col("dq")).as("bq"))
+          .filter(col("bq") > 0)
+        b.orderBy(col("bq").desc, col("node")).limit(20)
+          .select(col("node"), graft.Num.r6(col("bq").cast("double") / lit(1e6))
+            .as("betweenness"))
+      },
+      Some {
+        def layer(i: Int): String = {
+          val p = i - 1
+          s"""s$i AS MATERIALIZED (
+              SELECT f.seed, e.b AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+              FROM s$p f JOIN e ON e.a = f.node
+              WHERE NOT EXISTS (SELECT 1 FROM v$p v
+                                WHERE v.seed = f.seed AND v.node = e.b)
+              GROUP BY f.seed, e.b),
+          v$i AS (SELECT seed, node FROM v$p
+                  UNION ALL SELECT seed, node FROM s$i)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        seeds AS MATERIALIZED (
+          SELECT node AS seed FROM deg ORDER BY deg DESC, node LIMIT 20),
+        s0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+               FROM seeds),
+        v0 AS (SELECT seed, node FROM s0),
+        ${(1 to 3).map(layer).mkString(",\n        ")},
+        d3 AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dq FROM s3),
+        d2raw AS MATERIALIZED (
+          SELECT p.seed, p.node,
+            CAST(SUM(CAST(FLOOR(1e6 * (CAST(p.sigma AS DOUBLE) / w.sigma)
+              * (1.0 + CAST(w.dq AS DOUBLE) / 1e6) + 0.5) AS BIGINT))
+              AS BIGINT) AS dq
+          FROM s2 p JOIN e ON e.a = p.node
+          JOIN d3 w ON w.seed = p.seed AND w.node = e.b
+          GROUP BY p.seed, p.node),
+        d2 AS (
+          SELECT l.seed, l.node, l.sigma,
+            CAST(COALESCE(r.dq, 0) AS BIGINT) AS dq
+          FROM s2 l LEFT JOIN d2raw r
+            ON r.seed = l.seed AND r.node = l.node),
+        d1 AS MATERIALIZED (
+          SELECT p.seed, p.node,
+            CAST(SUM(CAST(FLOOR(1e6 * (CAST(p.sigma AS DOUBLE) / w.sigma)
+              * (1.0 + CAST(w.dq AS DOUBLE) / 1e6) + 0.5) AS BIGINT))
+              AS BIGINT) AS dq
+          FROM s1 p JOIN e ON e.a = p.node
+          JOIN d2 w ON w.seed = p.seed AND w.node = e.b
+          GROUP BY p.seed, p.node),
+        b AS (
+          SELECT node, CAST(SUM(dq) AS BIGINT) AS bq
+          FROM (SELECT node, dq FROM d1 UNION ALL SELECT node, dq FROM d2)
+          GROUP BY node HAVING SUM(dq) > 0)
+        SELECT node,
+          FLOOR((CAST(bq AS DOUBLE) / 1e6) * 1000000 + 0.500001) / 1000000
+            AS betweenness
+        FROM b ORDER BY bq DESC, node LIMIT 20"""
+      },
+      "3-hop-truncated Brandes betweenness from the top-20 hub seeds: integer sigma forward BFS, micro-quantized dependency accumulation backward"))
 }

@@ -515,6 +515,72 @@ object LmQuality3 {
                  / COUNT(*)) * 1000000 + 0.500001) / 1000000
             AS survival_share
         FROM p GROUP BY source ORDER BY source"""),
-      "per-source filter-cascade funnel (length, lexical diversity, token shape): integer-exact survivors after each successive rule")
+      "per-source filter-cascade funnel (length, lexical diversity, token shape): integer-exact survivors after each successive rule"),
+
+    // ---------------------------------------------------------------- q251
+    // Character-class mix per source: letter/digit/space shares and
+    // the non-ASCII count — the cheap script/encoding audit that
+    // catches mojibake, binary spills and wrong-language drift before
+    // tokenization sees them. Class counts are exact integers via
+    // length-minus-stripped-length (one regexp_replace per class, no
+    // per-char explode); all sums int64, shares divided once. The
+    // punct_other share is the closed-form remainder, so the four
+    // shares sum to 1 by construction.
+    Query(
+      "q251_charclass_mix",
+      (s, d) => {
+        def cls(re: String): org.apache.spark.sql.Column =
+          length(col("text")) - length(regexp_replace(col("text"), re, ""))
+        val per = Tables.documents(s, d)
+          .select(col("source"), length(col("text")).as("nc"),
+            cls("[A-Za-z]").as("lt"), cls("[0-9]").as("dg"),
+            cls("[ ]").as("sp"), cls("[^\\x00-\\x7F]").as("na"))
+        per.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chars"), sum(col("lt")).as("letters"),
+            sum(col("dg")).as("digits"), sum(col("sp")).as("spaces"),
+            sum(col("na")).as("nonascii_chars"))
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            Num.r6(col("letters").cast("double") / col("n_chars"))
+              .as("letter_share"),
+            Num.r6(col("digits").cast("double") / col("n_chars"))
+              .as("digit_share"),
+            Num.r6(col("spaces").cast("double") / col("n_chars"))
+              .as("space_share"),
+            Num.r6((col("n_chars") - col("letters") - col("digits")
+              - col("spaces")).cast("double") / col("n_chars"))
+              .as("punct_other_share"),
+            col("nonascii_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT source, LENGTH(text) AS nc,
+            LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS lt,
+            LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+              AS dg,
+            LENGTH(text) - LENGTH(regexp_replace(text, '[ ]', '', 'g'))
+              AS sp,
+            LENGTH(text) - LENGTH(regexp_replace(text, '[^\\x00-\\x7F]', '',
+              'g')) AS na
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(nc) AS BIGINT) AS n_chars,
+            CAST(SUM(lt) AS BIGINT) AS letters,
+            CAST(SUM(dg) AS BIGINT) AS digits,
+            CAST(SUM(sp) AS BIGINT) AS spaces,
+            CAST(SUM(na) AS BIGINT) AS nonascii_chars
+          FROM per GROUP BY source)
+        SELECT source, n_docs, n_chars,
+          ${Num.sql("CAST(letters AS DOUBLE) / n_chars", 6)} AS letter_share,
+          ${Num.sql("CAST(digits AS DOUBLE) / n_chars", 6)} AS digit_share,
+          ${Num.sql("CAST(spaces AS DOUBLE) / n_chars", 6)} AS space_share,
+          ${Num.sql("CAST(n_chars - letters - digits - spaces AS DOUBLE) / n_chars", 6)}
+            AS punct_other_share,
+          nonascii_chars
+        FROM agg ORDER BY source"""),
+      "character-class mix per source: exact-integer letter/digit/space/punct shares and non-ASCII count via length-minus-stripped-length")
   )
 }

@@ -386,6 +386,171 @@ object Quality2 {
                  / (9.0 * CAST(n_class AS DOUBLE) * CAST(n AS DOUBLE)))
                 * 1000000 + 0.500001) / 1000000) > 0.2 AS t_breach
         FROM agg ORDER BY c_mktsegment, c_nationkey"""),
-      "t-closeness audit over the q211 quasi-identifier: EMD between each class's acctbal-decile distribution and the global one (Li et al. 2007)")
+      "t-closeness audit over the q211 quasi-identifier: EMD between each class's acctbal-decile distribution and the global one (Li et al. 2007)"),
+
+    // ---------------------------------------------------------------- q246
+    // Differential-privacy sensitivity audit (Dwork et al. 2006) for
+    // the per-event-type count release: under USER-level adjacency
+    // (add/remove one user and ALL their rows) the L1 sensitivity of
+    // a count is the maximum per-user contribution, not 1 — the gap
+    // between the two is exactly how much noisier a correct user-level
+    // Laplace mechanism must be than the naive event-level one. One
+    // corpus pass to the (event_type × user) contribution frame; the
+    // __all__ row folds user totals from that frame, never a second
+    // scan. rel_noise_* = Laplace scale (sensitivity/ε at ε=1) over
+    // the true count — the relative error each mechanism pays.
+    Query(
+      "q246_dp_sensitivity",
+      (s, d) => {
+        val perUT = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded (type × user) frame, one scan
+        val perType = perUT.groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_users"), max(col("c")).as("max_contrib"))
+        val overall = perUT.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("c"))
+          .agg(sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_users"), max(col("c")).as("max_contrib"))
+          .withColumn("event_type", lit("__all__"))
+        perType.unionByName(overall.select(col("event_type"),
+            col("n_events"), col("n_users"), col("max_contrib")))
+          .select(col("event_type").as("segment"),
+            col("n_events"), col("n_users"),
+            col("max_contrib").as("max_user_contrib"),
+            Num.r6(col("n_events").cast("double") / col("n_users"))
+              .as("mean_user_contrib"),
+            Num.r6(lit(1.0) / col("n_events")).as("rel_noise_event"),
+            Num.r6(col("max_contrib").cast("double") / col("n_events"))
+              .as("rel_noise_user"))
+          .orderBy(col("segment"))
+      },
+      Some(s"""
+        WITH per_ut AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, user_id),
+        per_type AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(MAX(c) AS BIGINT) AS max_contrib
+          FROM per_ut GROUP BY event_type),
+        per_user AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS c
+          FROM per_ut GROUP BY user_id),
+        overall AS (
+          SELECT '__all__' AS event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(MAX(c) AS BIGINT) AS max_contrib
+          FROM per_user),
+        uni AS (SELECT * FROM per_type UNION ALL SELECT * FROM overall)
+        SELECT event_type AS segment, n_events, n_users,
+          max_contrib AS max_user_contrib,
+          ${Num.sql("CAST(n_events AS DOUBLE) / n_users", 6)}
+            AS mean_user_contrib,
+          ${Num.sql("1.0 / n_events", 6)} AS rel_noise_event,
+          ${Num.sql("CAST(max_contrib AS DOUBLE) / n_events", 6)}
+            AS rel_noise_user
+        FROM uni ORDER BY segment"""),
+      "user-level DP sensitivity audit: max per-user contribution per count cell vs event-level sensitivity 1, with Laplace relative-noise comparison (Dwork et al. 2006)"),
+
+    // ---------------------------------------------------------------- q247
+    // PII incidence scan per source: email / IPv4 / phone patterns
+    // plus Luhn-validated 13–16-digit runs (the check that separates
+    // a real card number from a random digit string) — the release
+    // gate a training corpus runs before anything ships. Patterns are
+    // deliberately in the RE2 ∩ java.util.regex common subset so both
+    // engines match identically. Luhn folds each candidate's digits
+    // right-to-left with the double-every-second rule via one HOF over
+    // a ≤16-element sequence — candidate cardinality is corpus-sparse,
+    // so the interpreted lambda never sees hot-path volume.
+    Query(
+      "q247_pii_scan",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val docs = Tables.documents(s, d)
+        val flags = docs.select(col("source"),
+            col("text").rlike(emailRe).as("he"),
+            col("text").rlike(ipv4Re).as("hi"),
+            col("text").rlike(phoneRe).as("hp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("he"), 1L).otherwise(0L)).as("docs_email"),
+            sum(when(col("hi"), 1L).otherwise(0L)).as("docs_ipv4"),
+            sum(when(col("hp"), 1L).otherwise(0L)).as("docs_phone"),
+            sum(when(col("he") || col("hi") || col("hp"), 1L).otherwise(0L))
+              .as("docs_any"))
+        val dig = (i: org.apache.spark.sql.Column) =>
+          reverse(col("num")).substr(i, lit(1)).cast("int")
+        val luhn = docs
+          .select(col("source"),
+            explode(expr("regexp_extract_all(text, '[0-9]{13,16}', 0)"))
+              .as("num"))
+          .withColumn("chk", aggregate(
+            sequence(lit(1), length(col("num"))), lit(0),
+            (acc, i) => {
+              val x = dig(i)
+              acc + when(i % 2 === 0,
+                when(x * 2 > 9, x * 2 - 9).otherwise(x * 2)).otherwise(x)
+            }))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("luhn_candidates"),
+            sum(when(col("chk") % 10 === 0, 1L).otherwise(0L)).as("luhn_valid"))
+        flags.join(luhn, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("docs_email"),
+            col("docs_ipv4"), col("docs_phone"),
+            coalesce(col("luhn_candidates"), lit(0L)).as("luhn_candidates"),
+            coalesce(col("luhn_valid"), lit(0L)).as("luhn_valid"),
+            Num.r6(col("docs_any").cast("double") / col("n_docs"))
+              .as("pii_doc_share"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT source,
+            CASE WHEN regexp_matches(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+              THEN 1 ELSE 0 END AS he,
+            CASE WHEN regexp_matches(text,
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')
+              THEN 1 ELSE 0 END AS hi,
+            CASE WHEN regexp_matches(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')
+              THEN 1 ELSE 0 END AS hp
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(he) AS BIGINT) AS docs_email,
+            CAST(SUM(hi) AS BIGINT) AS docs_ipv4,
+            CAST(SUM(hp) AS BIGINT) AS docs_phone,
+            CAST(SUM(CASE WHEN he + hi + hp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_any
+          FROM f GROUP BY source),
+        cand AS (
+          SELECT source,
+            unnest(regexp_extract_all(text, '[0-9]{13,16}')) AS num
+          FROM documents),
+        chk AS (
+          SELECT source, list_sum(
+            [CASE WHEN i % 2 = 0 THEN
+               (CASE WHEN 2 * CAST(substring(reverse(num), i, 1) AS INT) > 9
+                 THEN 2 * CAST(substring(reverse(num), i, 1) AS INT) - 9
+                 ELSE 2 * CAST(substring(reverse(num), i, 1) AS INT) END)
+             ELSE CAST(substring(reverse(num), i, 1) AS INT) END
+             FOR i IN range(1, length(num) + 1)]) AS chk
+          FROM cand),
+        luhn AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS luhn_candidates,
+            CAST(SUM(CASE WHEN chk % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS luhn_valid
+          FROM chk GROUP BY source)
+        SELECT a.source, n_docs, docs_email, docs_ipv4, docs_phone,
+          CAST(COALESCE(luhn_candidates, 0) AS BIGINT) AS luhn_candidates,
+          CAST(COALESCE(luhn_valid, 0) AS BIGINT) AS luhn_valid,
+          ${Num.sql("CAST(docs_any AS DOUBLE) / n_docs", 6)} AS pii_doc_share
+        FROM agg a LEFT JOIN luhn l ON a.source = l.source
+        ORDER BY a.source"""),
+      "PII incidence per source: email/IPv4/phone regex presence plus Luhn-validated 13-16-digit runs, RE2-and-Java-compatible patterns")
   )
 }

@@ -585,6 +585,142 @@ object TimeModels2 {
                 * 10000 + 0.500001) / 10000 AS hurst
         FROM fit f JOIN npts n ON n.event_type = f.event_type
         ORDER BY f.event_type"""),
-      "Hurst exponent by R/S analysis over hourly mean series: exact-integer cumulative deviations, micro-quantized per-block R/S, 4-point integer OLS")
+      "Hurst exponent by R/S analysis over hourly mean series: exact-integer cumulative deviations, micro-quantized per-block R/S, 4-point integer OLS"),
+
+    // ---------------------------------------------------------------- q249
+    // Holt–Winters with fixed additive seasonality per event type:
+    // the q166 hour-of-day profile deseasonalizes the hourly series,
+    // the q165 Holt recursion runs on what remains, and the h-step
+    // forecasts re-add the target hour's seasonal — the full
+    // level+trend+season forecaster, composed from pinned parts.
+    // Exactness discipline: hourly means, the centered-MA trend and
+    // the seasonal profile are all micro-quantized int64 BEFORE any
+    // averaging sum (engine association can't surface), so the Holt
+    // recursion — bit-identical per q165 — receives bit-identical
+    // deseasonalized inputs. Hour buckets bound every window by the
+    // time span, never the row count.
+    Query(
+      "q249_holt_winters",
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("vq")).as("sq"), count(lit(1)).as("c"))
+          .withColumn("mq",
+            floor(col("sq").cast("double") / col("c") + lit(0.5)).cast("long"))
+        val wMA = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(-12, 12)
+        val detr = hourly
+          .withColumn("man", sum(col("mq")).over(wMA))
+          .withColumn("mac", count(lit(1)).over(wMA))
+          .withColumn("dq", col("mq") -
+            floor(col("man").cast("double") / col("mac") + lit(0.5)).cast("long"))
+        val seasonal = detr
+          .groupBy(col("event_type"), hour(col("bucket")).as("hod"))
+          .agg(floor(sum(col("dq")).cast("double") / count(lit(1)) + lit(0.5))
+            .cast("long").as("s_q"))
+          .localCheckpoint() // bounded (type × 24) profile, one scan
+        val holt = udaf(new graft.functions.HoltAggregator(0.3, 0.1),
+          Encoders.scalaDouble)
+        val ord = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = hourly.select(col("event_type"), col("bucket"), col("mq"),
+            hour(col("bucket")).as("hod"))
+          .join(broadcast(seasonal), Seq("event_type", "hod"))
+          .withColumn("ds", (col("mq") - col("s_q")).cast("double") / lit(1e6))
+          .withColumn("st", holt(col("ds")).over(cum))
+          .withColumn("nb", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("bucket").desc)))
+          .filter(col("rn") === 1)
+        def fc(h: Int) = {
+          val sh = seasonal.select(col("event_type"),
+            col("hod").as(s"hod$h"), (col("s_q").cast("double") / lit(1e6))
+              .as(s"sv$h"))
+          (run: org.apache.spark.sql.DataFrame) => run
+            .withColumn(s"hod$h", (col("hod") + lit(h)) % 24)
+            .join(broadcast(sh), Seq("event_type", s"hod$h"), "left")
+        }
+        Seq(1, 2, 3).foldLeft(run.drop("rn"))((df, h) => fc(h)(df))
+          .select(col("event_type"), col("nb").as("n_buckets"),
+            Num.r4(col("st._1")).as("level"),
+            Num.r4(col("st._2")).as("trend"),
+            Num.r4(col("st._1") + col("st._2") + coalesce(col("sv1"), lit(0.0)))
+              .as("fc1"),
+            Num.r4(col("st._1") + lit(2.0) * col("st._2")
+              + coalesce(col("sv2"), lit(0.0))).as("fc2"),
+            Num.r4(col("st._1") + lit(3.0) * col("st._2")
+              + coalesce(col("sv3"), lit(0.0))).as("fc3"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+            CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+              AS sq,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        hm AS (
+          SELECT event_type, bucket,
+            CAST(FLOOR(CAST(sq AS DOUBLE) / c + 0.5) AS BIGINT) AS mq
+          FROM hourly),
+        detr AS (
+          SELECT event_type, bucket, mq,
+            mq - CAST(FLOOR(
+              CAST(SUM(mq) OVER w AS DOUBLE) / COUNT(*) OVER w + 0.5)
+              AS BIGINT) AS dq
+          FROM hm
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        seasonal AS (
+          SELECT event_type,
+            CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hod,
+            CAST(FLOOR(CAST(SUM(dq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+              AS s_q
+          FROM detr GROUP BY event_type, EXTRACT(hour FROM bucket)),
+        src AS (
+          SELECT h.event_type,
+            ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.bucket)
+              AS rn,
+            CAST(h.mq - s.s_q AS DOUBLE) / 1e6 AS y,
+            CAST(EXTRACT(hour FROM h.bucket) AS BIGINT) AS hod
+          FROM hm h JOIN seasonal s
+            ON s.event_type = h.event_type
+           AND s.hod = CAST(EXTRACT(hour FROM h.bucket) AS BIGINT)),
+        nmax AS (SELECT event_type AS nk, CAST(MAX(rn) AS BIGINT) AS n
+                 FROM src GROUP BY event_type),
+        walk(event_type, rn, l, b) AS (
+          SELECT event_type, rn, y, CAST(0.0 AS DOUBLE) FROM src WHERE rn = 1
+          UNION ALL
+          SELECT s.event_type, s.rn,
+            0.3 * s.y + (CAST(1.0 AS DOUBLE) - 0.3) * (w.l + w.b),
+            0.1 * ((0.3 * s.y + (CAST(1.0 AS DOUBLE) - 0.3) * (w.l + w.b))
+                   - w.l)
+              + (CAST(1.0 AS DOUBLE) - 0.1) * w.b
+          FROM walk w JOIN src s
+            ON s.event_type = w.event_type AND s.rn = w.rn + 1)
+        SELECT w.event_type, n AS n_buckets,
+          FLOOR(l * 10000 + 0.500001) / 10000 AS level,
+          FLOOR(b * 10000 + 0.500001) / 10000 AS trend,
+          FLOOR((l + b + COALESCE(s1.s_q, 0) / 1e6) * 10000 + 0.500001)
+            / 10000 AS fc1,
+          FLOOR((l + 2.0 * b + COALESCE(s2.s_q, 0) / 1e6) * 10000 + 0.500001)
+            / 10000 AS fc2,
+          FLOOR((l + 3.0 * b + COALESCE(s3.s_q, 0) / 1e6) * 10000 + 0.500001)
+            / 10000 AS fc3
+        FROM walk w
+        JOIN nmax ON nk = w.event_type AND w.rn = n
+        JOIN src last ON last.event_type = w.event_type AND last.rn = n
+        LEFT JOIN seasonal s1
+          ON s1.event_type = w.event_type AND s1.hod = (last.hod + 1) % 24
+        LEFT JOIN seasonal s2
+          ON s2.event_type = w.event_type AND s2.hod = (last.hod + 2) % 24
+        LEFT JOIN seasonal s3
+          ON s3.event_type = w.event_type AND s3.hod = (last.hod + 3) % 24
+        ORDER BY w.event_type"""),
+      "Holt-Winters with fixed additive hour-of-day seasonality: micro-quantized deseasonalization feeds the bit-exact q165 Holt recursion, h-step forecasts re-seasonalized")
   )
 }
