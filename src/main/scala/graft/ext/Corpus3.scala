@@ -729,6 +729,140 @@ object Corpus3 {
           ${Num.sql("CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*)", 6)}
             AS distinct_ratio
         FROM g GROUP BY source, n ORDER BY source, n"""),
-      "distinct-1/2/3 n-gram diversity ratios per source (Li et al. 2016): one window pass emits all gram sizes, vocab-bounded distinct")
+      "distinct-1/2/3 n-gram diversity ratios per source (Li et al. 2016): one window pass emits all gram sizes, vocab-bounded distinct"),
+
+    // ---------------------------------------------------------------- q253
+    // Chao1 vocabulary-richness estimate (Chao 1984, bias-corrected
+    // form — defined even when no doubletons exist): D + N₁(N₁−1)/
+    // (2(N₂+1)), with Good–Turing sample coverage C = 1 − N₁/N —
+    // q244's companion question: not "how much mass is unseen" but
+    // "how many TYPES are we still missing", the tokenizer/vocab
+    // sizing number. Same one-pass count frame; four integers feed
+    // two closed-form divisions.
+    Query(
+      "q253_chao1",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("r"))
+        val m = cnt.agg(sum(col("r")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("r") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+        val chao1 = col("n_distinct") +
+          (col("n_singletons") * (col("n_singletons") - 1)).cast("double") /
+            (lit(2.0) * (col("n_doubletons") + 1))
+        m.select(col("n_tokens"), col("n_distinct"), col("n_singletons"),
+          col("n_doubletons"),
+          Num.r6(chao1).as("chao1"),
+          Num.r6(lit(1.0) - col("n_singletons").cast("double")
+            / col("n_tokens")).as("coverage"),
+          Num.r6((chao1 - col("n_distinct")) / chao1).as("undetected_share"))
+      },
+      Some(s"""
+        WITH cnt AS (
+          SELECT t, COUNT(*) AS r
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY t),
+        m AS (
+          SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_singletons,
+            CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_doubletons
+          FROM cnt)
+        SELECT n_tokens, n_distinct, n_singletons, n_doubletons,
+          ${Num.sql(
+            """n_distinct + CAST(n_singletons * (n_singletons - 1) AS DOUBLE)
+               / (2.0 * (n_doubletons + 1))""", 6)} AS chao1,
+          ${Num.sql("1.0 - CAST(n_singletons AS DOUBLE) / n_tokens", 6)}
+            AS coverage,
+          ${Num.sql(
+            """((n_distinct + CAST(n_singletons * (n_singletons - 1) AS DOUBLE)
+                / (2.0 * (n_doubletons + 1))) - n_distinct)
+               / (n_distinct + CAST(n_singletons * (n_singletons - 1) AS DOUBLE)
+                / (2.0 * (n_doubletons + 1)))""", 6)} AS undetected_share
+        FROM m"""),
+      "Chao1 bias-corrected vocabulary-richness estimate with Good-Turing coverage: how many token types the corpus is still missing (Chao 1984)"),
+
+    // ---------------------------------------------------------------- q254
+    // Source-ablation OOV table — leave-one-source-out data valuation
+    // on the q199/q240 split (train doc_id%3≠0, held-out %3=0): for
+    // each source s, how much WORSE does held-out vocabulary coverage
+    // get if s is removed from training? One pass builds the token →
+    // (n_sources, lone_source) profile; every held-out token instance
+    // whose type lives in exactly ONE training source charges its
+    // ablation to that source — so ALL 20 ablations fold from a
+    // single groupBy on lone_source, never 20 re-scans. The global
+    // OOV base (types unseen in ANY training source) is the shared
+    // floor each ablated rate adds to.
+    Query(
+      "q254_source_ablation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val trainTok = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        val profile = trainTok.groupBy(col("t"))
+          .agg(countDistinct(col("source")).as("n_src"),
+            max(col("source")).as("lone_src"))
+          .localCheckpoint() // vocab-bounded token profile, one scan
+        val held = docs.filter(col("doc_id") % 3 === 0)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .join(broadcast(profile), Seq("t"), "left")
+        val totals = held.agg(count(lit(1)).as("n_held_tokens"),
+          sum(when(col("n_src").isNull, 1L).otherwise(0L)).as("n_oov_base"))
+        val added = held.filter(col("n_src") === 1)
+          .groupBy(col("lone_src").as("source"))
+          .agg(count(lit(1)).as("n_oov_added"))
+        val spine = trainTok.select(col("source")).distinct()
+        spine.join(added, Seq("source"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("source"), col("n_held_tokens"),
+            coalesce(col("n_oov_added"), lit(0L)).as("n_oov_added"),
+            Num.r6(col("n_oov_base").cast("double") / col("n_held_tokens"))
+              .as("oov_rate_base"),
+            Num.r6((col("n_oov_base")
+              + coalesce(col("n_oov_added"), lit(0L))).cast("double")
+              / col("n_held_tokens")).as("oov_rate_ablated"),
+            Num.r6(coalesce(col("n_oov_added"), lit(0L)).cast("double")
+              / col("n_held_tokens")).as("oov_lift"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH train_tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS t
+          FROM documents WHERE doc_id % 3 <> 0),
+        profile AS (
+          SELECT t, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src,
+            MAX(source) AS lone_src
+          FROM train_tok GROUP BY t),
+        held AS (
+          SELECT h.t, p.n_src, p.lone_src
+          FROM (SELECT unnest(string_split(text, ' ')) AS t
+                FROM documents WHERE doc_id % 3 = 0) h
+          LEFT JOIN profile p ON p.t = h.t),
+        totals AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_held_tokens,
+            CAST(SUM(CASE WHEN n_src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_oov_base
+          FROM held),
+        added AS (
+          SELECT lone_src AS source, CAST(COUNT(*) AS BIGINT) AS n_oov_added
+          FROM held WHERE n_src = 1 GROUP BY lone_src),
+        spine AS (SELECT DISTINCT source FROM train_tok)
+        SELECT s.source, n_held_tokens,
+          CAST(COALESCE(a.n_oov_added, 0) AS BIGINT) AS n_oov_added,
+          ${Num.sql("CAST(n_oov_base AS DOUBLE) / n_held_tokens", 6)}
+            AS oov_rate_base,
+          ${Num.sql(
+            """CAST(n_oov_base + COALESCE(a.n_oov_added, 0) AS DOUBLE)
+               / n_held_tokens""", 6)} AS oov_rate_ablated,
+          ${Num.sql("CAST(COALESCE(a.n_oov_added, 0) AS DOUBLE) / n_held_tokens", 6)}
+            AS oov_lift
+        FROM spine s LEFT JOIN added a ON a.source = s.source
+        CROSS JOIN totals
+        ORDER BY s.source"""),
+      "leave-one-source-out OOV ablation table: all ablations fold from one token->lone-source profile pass — the data-valuation number per source")
   )
 }

@@ -393,5 +393,117 @@ object Curves {
              (CAST(o1 AS DOUBLE) - e1q / 1e6) / (vq / 1e6)) > 3.841
           ELSE FALSE END AS logrank_flag
         FROM agg CROSS JOIN tot"""),
-      "log-rank test (Mantel 1966) on time-to-second-event between md5 arms: minute-bucketed risk sets, micro-quantized per-time expected/variance terms"))
+      "log-rank test (Mantel 1966) on time-to-second-event between md5 arms: minute-bucketed risk sets, micro-quantized per-time expected/variance terms"),
+
+    // --------------------------------------------------------------- q255
+    // Kaplan–Meier estimator with Greenwood standard errors over the
+    // q245 cohort (time to second event, censored at the corpus
+    // horizon): the nonparametric survival curve q130's fixed-horizon
+    // table approximates. Product-limit S(t) = Π(1−dᵢ/nᵢ) is folded
+    // in LOG space — each step's ln((n−d)/n) micro-quantized BEFORE
+    // the cumulative sum (int64, association-free), one EXP at the
+    // end (the q43 exp precedent); Greenwood's Σ d/(n(n−d)) likewise
+    // 1e-12-tick-quantized per step. The quantization is part of the
+    // pinned semantics, identical on both engines. Total-extinction
+    // times (n = d) zero the curve and null the SE from there on.
+    Query(
+      "q255_kaplan_meier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us")).distinct()
+        val horizon = ev.agg(max(col("us")).as("tmax")) // 1 row
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val per = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("k"), min(col("us")).as("t1"),
+            max(col("us")).as("t2"))
+          .crossJoin(broadcast(horizon))
+          .select((col("k") === 2).as("observed"),
+            when(col("k") === 2, (col("t2") - col("t1")) / lit(60000000L))
+              .otherwise((col("tmax") - col("t1")) / lit(60000000L))
+              .cast("long").as("dur_min"))
+        val g = per.groupBy(col("dur_min"))
+          .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("c"))
+          .localCheckpoint() // bounded minute-grid histogram, one scan
+        val wd = Window.orderBy(col("dur_min").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val death = g.withColumn("n", sum(col("c")).over(wd))
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d"), col("n"))
+        val t = death.select(col("dur_min"), col("d"), col("n"),
+          when(col("n") > col("d"),
+            floor(lit(1e6) * log((col("n") - col("d")).cast("double")
+              / col("n")) + lit(0.5)).cast("long")).otherwise(0L).as("lnq"),
+          when(col("n") === col("d"), 1L).otherwise(0L).as("z"),
+          when(col("n") > col("d"),
+            floor(lit(1e12) * col("d").cast("double")
+              / (col("n") * (col("n") - col("d"))) + lit(0.5)).cast("long"))
+            .otherwise(0L).as("gq"))
+        val wa = Window.orderBy(col("dur_min"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("cl", sum(col("lnq")).over(wa))
+          .withColumn("cz", sum(col("z")).over(wa))
+          .withColumn("cg", sum(col("gq")).over(wa))
+          .select(col("dur_min"), col("n").as("n_risk"),
+            col("d").as("n_events"),
+            when(col("cz") > 0, lit(0.0))
+              .otherwise(Num.r6(exp(col("cl") / lit(1e6)))).as("survival"),
+            when(col("cz") > 0, lit(null).cast("double"))
+              .otherwise(Num.r6(exp(col("cl") / lit(1e6))
+                * sqrt(col("cg") / lit(1e12)))).as("greenwood_se"))
+          .orderBy(col("dur_min"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
+        horizon AS (SELECT MAX(us) AS tmax FROM ev),
+        ranked AS (
+          SELECT user_id, us,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us) AS rn
+          FROM ev),
+        per AS (
+          SELECT COUNT(*) = 2 AS observed,
+            CAST(CASE WHEN COUNT(*) = 2
+              THEN (MAX(us) - MIN(us)) // 60000000
+              ELSE (MAX(tmax) - MIN(us)) // 60000000 END AS BIGINT)
+              AS dur_min
+          FROM ranked CROSS JOIN horizon
+          WHERE rn <= 2 GROUP BY user_id),
+        g AS (
+          SELECT dur_min,
+            CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM per GROUP BY dur_min),
+        death AS (
+          SELECT dur_min, d, n FROM (
+            SELECT dur_min, d,
+              SUM(c) OVER (ORDER BY dur_min DESC ROWS UNBOUNDED PRECEDING)
+                AS n
+            FROM g) WHERE d > 0),
+        t AS (
+          SELECT dur_min, d, n,
+            CASE WHEN n > d THEN CAST(FLOOR(1e6
+              * LN(CAST(n - d AS DOUBLE) / n) + 0.5) AS BIGINT)
+            ELSE 0 END AS lnq,
+            CASE WHEN n = d THEN 1 ELSE 0 END AS z,
+            CASE WHEN n > d THEN CAST(FLOOR(1e12
+              * CAST(d AS DOUBLE) / (n * (n - d)) + 0.5) AS BIGINT)
+            ELSE 0 END AS gq
+          FROM death),
+        c AS (
+          SELECT dur_min, n, d,
+            SUM(lnq) OVER wa AS cl, SUM(z) OVER wa AS cz,
+            SUM(gq) OVER wa AS cg
+          FROM t WINDOW wa AS (ORDER BY dur_min ROWS UNBOUNDED PRECEDING))
+        SELECT dur_min, CAST(n AS BIGINT) AS n_risk, d AS n_events,
+          CASE WHEN cz > 0 THEN 0.0
+            ELSE ${Num.sql("EXP(cl / 1e6)", 6)} END AS survival,
+          CASE WHEN cz > 0 THEN NULL
+            ELSE ${Num.sql("EXP(cl / 1e6) * SQRT(cg / 1e12)", 6)} END
+            AS greenwood_se
+        FROM c ORDER BY dur_min"""),
+      "Kaplan-Meier product-limit survival curve with Greenwood SEs: log-space fold with micro-quantized per-step terms, minute-bucketed risk sets"))
 }
