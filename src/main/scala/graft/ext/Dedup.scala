@@ -865,5 +865,126 @@ object Dedup {
           ${(0 until SimBits).map(b =>
             s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS simhash
         FROM votes ORDER BY doc_id"""),
-      "32-bit SimHash fingerprints (per-bit majority vote of token hashes)"))
+      "32-bit SimHash fingerprints (per-bit majority vote of token hashes)"),
+
+    // --------------------------------------------------------------- q257
+    // Dedup-threshold savings curve: for Jaccard cut-offs 0.5..0.9
+    // over the LSH candidate pairs, how many pairs fire, how many
+    // docs a keep-smallest-id greedy pass would drop, and what share
+    // of corpus TOKENS that saves — the q224 calibration's decision
+    // companion: q224 says how accurate each threshold is, this says
+    // what each threshold BUYS. Exact Jaccard micro-quantized once
+    // (q35's long-ratio double), thresholds as integer tenths so the
+    // sweep predicate is pure int64; the greedy drop set (every
+    // b-side doc of a firing pair) is the standard superset
+    // approximation of transitive keep-first — q84's clusters are the
+    // exact path when chains matter. Same candidate-plan scale shape
+    // as q35/q224 (replication-pathology cohort at high SF).
+    Query(
+      "q257_dedup_threshold_curve",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hashed = cachedHashedShingles(s, d, docs)
+        val sigs = hashed
+          .groupBy(col("doc_id"))
+          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
+            (1 until K).map(k =>
+              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
+        val ex = jaccard(lshCandidates(sigs), hashed)
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
+              .as("exq"))
+          .localCheckpoint() // candidate pairs scored once, swept 5×
+        val tk = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val tot = tk.agg(sum(col("ntok")).as("total_tokens")) // 1 row
+        val spine = s.range(5, 10).select(col("id").as("tenths"))
+        val fired = ex.crossJoin(broadcast(spine))
+          .filter(col("exq") >= col("tenths") * lit(100000L))
+        val pairs = fired.groupBy(col("tenths"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val drops = fired.select(col("tenths"), col("doc_b")).distinct()
+          .join(tk, col("doc_b") === col("doc_id"))
+          .groupBy(col("tenths"))
+          .agg(count(lit(1)).as("n_dropped_docs"),
+            sum(col("ntok")).as("tokens_dropped"))
+        spine.join(pairs, Seq("tenths"), "left")
+          .join(drops, Seq("tenths"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("tenths").as("threshold_tenths"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dropped_docs"), lit(0L)).as("n_dropped_docs"),
+            coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+            graft.Num.r6(coalesce(col("tokens_dropped"), lit(0L))
+              .cast("double") / col("total_tokens")).as("savings_share"))
+          .orderBy(col("threshold_tenths"))
+      },
+      Some {
+        val rows = K / Bands
+        val bandKeySql = (b: Int) => (0 until rows)
+          .map(r => s"m${b * rows + r} * ${math.pow(2, 31 * r).toLong}")
+          .mkString(" + ")
+        s"""
+        WITH $sqlDocShingles,
+        h AS (SELECT doc_id, ${sqlHp("sh")} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+            ${(0 until K).map(k =>
+              s"MIN((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k")
+              .mkString(",\n            ")}
+          FROM h GROUP BY doc_id),
+        banded AS (
+          ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        ex AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(FLOOR((COALESCE(i.n_inter, 0)
+                / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)))
+                * 1000000 + 0.500001) AS BIGINT) AS exq
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN counts ca ON ca.doc_id = c.doc_a
+          JOIN counts cb ON cb.doc_id = c.doc_b),
+        tk AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+               FROM documents),
+        tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS total_tokens FROM tk),
+        spine AS (SELECT unnest(range(5, 10)) AS tenths),
+        fired AS (
+          SELECT s.tenths, e.doc_a, e.doc_b
+          FROM spine s JOIN ex e ON e.exq >= s.tenths * 100000),
+        pp AS (SELECT tenths, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM fired GROUP BY tenths),
+        dr AS (
+          SELECT tenths, CAST(COUNT(*) AS BIGINT) AS n_dropped_docs,
+            CAST(SUM(ntok) AS BIGINT) AS tokens_dropped
+          FROM (SELECT DISTINCT tenths, doc_b FROM fired) f
+          JOIN tk ON tk.doc_id = f.doc_b
+          GROUP BY tenths)
+        SELECT s.tenths AS threshold_tenths,
+          CAST(COALESCE(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(COALESCE(dr.n_dropped_docs, 0) AS BIGINT) AS n_dropped_docs,
+          CAST(COALESCE(dr.tokens_dropped, 0) AS BIGINT) AS tokens_dropped,
+          ${graft.Num.sql(
+            "CAST(COALESCE(dr.tokens_dropped, 0) AS DOUBLE) / total_tokens",
+            6)} AS savings_share
+        FROM spine s
+        LEFT JOIN pp ON pp.tenths = s.tenths
+        LEFT JOIN dr ON dr.tenths = s.tenths
+        CROSS JOIN tot
+        ORDER BY threshold_tenths"""
+      },
+      "dedup-threshold savings curve: pairs fired, greedy-dropped docs and token savings share for Jaccard cut-offs 0.5-0.9 over the LSH candidates"))
 }

@@ -443,6 +443,92 @@ object Eval {
           FLOOR((CAST(hits AS DOUBLE) / CAST(k_used AS DOUBLE))
                 * 1000000 + 0.500001) / 1000000 AS p_at_k
         FROM dcg CROSS JOIN idcg"""),
-      "nDCG@10 / MRR / P@10 of the BM25 ranking vs term-count pseudo-relevance: integer gains + precomputed micro discount literals, exact int64 DCG sums")
+      "nDCG@10 / MRR / P@10 of the BM25 ranking vs term-count pseudo-relevance: integer gains + precomputed micro discount literals, exact int64 DCG sums"),
+
+    // ---------------------------------------------------------------- q259
+    // ROC operating points for the lexical-diversity score as an
+    // is-English classifier — the threshold-choice table that q214's
+    // ECE and q159's AUC summarize away: per cut-off, the exact
+    // TP/FP/FN/TN a filter deployed AT that threshold would commit
+    // to, plus Youden's J for the optimal-cut argmax. Scores are
+    // integer micro ratios (distinct·1e6 div total — pure int64), the
+    // threshold spine is 21 fixed micro literals, and every
+    // confusion-cell count folds from one (score × label) grid — the
+    // q159 no-per-threshold-rescan shape.
+    Query(
+      "q259_roc_points",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("doc_id"), col("pos"))
+          .agg((countDistinct(col("t")) * lit(1000000L)).as("dn"),
+            count(lit(1)).as("tt"))
+          .select(col("pos"), (col("dn") / col("tt")).cast("long").as("sc"))
+        val grid = scored.groupBy(col("sc"), col("pos"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded (score × label) grid, one scan
+        val tot = grid.agg(
+          sum(when(col("pos"), col("c")).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), col("c")).otherwise(0L)).as("n"))
+        val spine = s.range(0, 21)
+          .select((col("id") * 50000L).as("threshold_micro"))
+        broadcast(spine).join(grid, col("sc") >= col("threshold_micro"), "left")
+          .groupBy(col("threshold_micro"))
+          .agg(sum(when(col("pos"), col("c")).otherwise(0L)).as("tp"),
+            sum(when(!col("pos"), col("c")).otherwise(0L)).as("fp"))
+          .crossJoin(broadcast(tot))
+          .select(col("threshold_micro"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            (col("p") - coalesce(col("tp"), lit(0L))).as("fn"),
+            (col("n") - coalesce(col("fp"), lit(0L))).as("tn"),
+            Num.r6(coalesce(col("tp"), lit(0L)).cast("double") / col("p"))
+              .as("tpr"),
+            Num.r6(coalesce(col("fp"), lit(0L)).cast("double") / col("n"))
+              .as("fpr"),
+            Num.r6(coalesce(col("tp"), lit(0L)).cast("double") / col("p")
+              - coalesce(col("fp"), lit(0L)).cast("double") / col("n"))
+              .as("youden_j"))
+          .orderBy(col("threshold_micro"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT pos, CAST(dn // tt AS BIGINT) AS sc FROM (
+            SELECT doc_id, lang = 'en' AS pos,
+              COUNT(DISTINCT t) * 1000000 AS dn, COUNT(*) AS tt
+            FROM (SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id, lang = 'en')),
+        grid AS (
+          SELECT sc, pos, CAST(COUNT(*) AS BIGINT) AS c
+          FROM scored GROUP BY sc, pos),
+        tot AS (
+          SELECT
+            CAST(SUM(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS p,
+            CAST(SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS BIGINT) AS n
+          FROM grid),
+        spine AS (SELECT unnest(range(0, 21)) * 50000 AS threshold_micro),
+        cells AS (
+          SELECT s.threshold_micro,
+            CAST(SUM(CASE WHEN g.pos THEN g.c ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN NOT g.pos THEN g.c ELSE 0 END) AS BIGINT)
+              AS fp
+          FROM spine s LEFT JOIN grid g ON g.sc >= s.threshold_micro
+          GROUP BY s.threshold_micro)
+        SELECT threshold_micro,
+          CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+          CAST(COALESCE(fp, 0) AS BIGINT) AS fp,
+          CAST(p - COALESCE(tp, 0) AS BIGINT) AS fn,
+          CAST(n - COALESCE(fp, 0) AS BIGINT) AS tn,
+          ${Num.sql("CAST(COALESCE(tp, 0) AS DOUBLE) / p", 6)} AS tpr,
+          ${Num.sql("CAST(COALESCE(fp, 0) AS DOUBLE) / n", 6)} AS fpr,
+          ${Num.sql(
+            """CAST(COALESCE(tp, 0) AS DOUBLE) / p
+               - CAST(COALESCE(fp, 0) AS DOUBLE) / n""", 6)} AS youden_j
+        FROM cells CROSS JOIN tot
+        ORDER BY threshold_micro"""),
+      "ROC operating points for the lexical-diversity is-English classifier: exact confusion cells at 21 thresholds from one (score x label) grid, Youden's J per cut")
   )
 }

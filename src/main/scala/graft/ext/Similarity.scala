@@ -713,5 +713,134 @@ object Similarity {
         FROM exact x LEFT JOIN int8 i
           ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
         GROUP BY x.query_id ORDER BY x.query_id"""),
-      "int8 retrieval audit: recall@10 and top-1 retention of q88-quantized vectors vs the exact float ranking"))
+      "int8 retrieval audit: recall@10 and top-1 retention of q88-quantized vectors vs the exact float ranking"),
+
+    // ---------------------------------------------------------------- q258
+    // IVF probe-recall curve: recall@10 of q78's index at nprobe =
+    // 1..4 against the exact top-10 — the accuracy-vs-cost tuning
+    // table every IVF deployment reads before picking nprobe. Uses
+    // the candidate-superset identity: a vector with cosine above the
+    // exact 10th-best is itself in the exact top-10, so IVF-top10 ∩
+    // exact-top10 = the exact neighbors whose assigned cell ranks ≤
+    // nprobe for that query (same r4/r6 rounding + id tie-breaks as
+    // q78/q33, which makes the identity hold under ties too). That
+    // reduces the sweep to one cell-rank join on ≤100 neighbor rows —
+    // no per-nprobe index rebuild. The only driver action is q78's
+    // documented scalar count() sizing k = ⌈√n⌉.
+    Query(
+      "q258_ivf_probe_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val k = math.max(16L,
+          math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
+        val cents = emb
+          .select(col("vec_id"), col("v"),
+            Dedup.h60(col("vec_id").cast("string")).as("hk"))
+          .orderBy(col("hk"), col("vec_id")).limit(k)
+          .withColumn("cell", row_number().over(Window
+            .orderBy(col("hk"), col("vec_id"))) - 1)
+          .select(col("cell"), col("v").as("cv"))
+          .localCheckpoint() // √n centroids, broadcast everywhere below
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .localCheckpoint()
+        // exact ground truth: bounded 10 × n scan, q33's conventions
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val exact = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"),
+            graft.Num.r4(cosine(col("v"), col("qv"))).as("cosine"))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+          .localCheckpoint()
+        // cell rank per query over all k cells (bounded 10 × k)
+        val pw = Window.partitionBy(col("query_id"))
+          .orderBy(col("cs").desc, col("cell"))
+        val pRank = probes.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cell"),
+            graft.Num.r6(cosine(col("qv"), col("cv"))).as("cs"))
+          .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
+          .select(col("query_id"), col("cell"), col("prn"))
+        // each exact neighbor's IVF cell (q78's assignment convention)
+        val nw = Window.partitionBy(col("query_id"), col("neighbor_id"))
+          .orderBy(col("cs").desc, col("cell"))
+        val nCell = exact.select(col("query_id"), col("neighbor_id"), col("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("query_id"), col("neighbor_id"), col("cell"),
+            graft.Num.r6(cosine(col("v"), col("cv"))).as("cs"))
+          .withColumn("rn", row_number().over(nw)).filter(col("rn") === 1)
+          .select(col("query_id"), col("cell"))
+        val found = nCell.join(pRank, Seq("query_id", "cell"))
+          .select(col("prn"))
+        val nq = probes.agg(countDistinct(col("query_id")).as("n_queries"))
+        val spine = s.range(1, 5).select(col("id").as("nprobe"))
+        broadcast(spine)
+          .join(found, col("prn") <= col("nprobe"), "left")
+          .crossJoin(broadcast(nq))
+          .groupBy(col("nprobe"))
+          .agg(count(col("prn")).as("n_hits"),
+            max(col("n_queries")).as("nqm"))
+          .select(col("nprobe"), col("n_hits"),
+            graft.Num.r6(col("n_hits").cast("double")
+              / (col("nqm") * 10)).as("recall_at_10"))
+          .orderBy(col("nprobe"))
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
+        def selfSql(a: String) = s"list_sum([x * x FOR x IN $a])"
+        def cosSql(a: String, b: String, digits: Int) = graft.Num.sql(
+          s"${dotSql(a, b)} / (sqrt(${selfSql(a)}) * sqrt(${selfSql(b)}))",
+          digits)
+        s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        kk AS (
+          SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+          FROM emb),
+        cent AS (
+          SELECT v AS cv, rn - 1 AS cell FROM (
+            SELECT v,
+              ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+            FROM (SELECT vec_id, v,
+                    ${Dedup.sqlH60("CAST(vec_id AS VARCHAR)")} AS h
+                  FROM emb)) CROSS JOIN kk WHERE rn <= k),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        exact AS (
+          SELECT query_id, neighbor_id, v FROM (
+            SELECT p.query_id, e.vec_id AS neighbor_id, e.v,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY ${cosSql("e.v", "p.qv", 4)} DESC, e.vec_id) AS rn
+            FROM emb e CROSS JOIN probes p
+            WHERE e.vec_id <> p.query_id) WHERE rn <= 10),
+        prank AS (
+          SELECT query_id, cell, prn FROM (
+            SELECT p.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY ${cosSql("p.qv", "c.cv", 6)} DESC, c.cell) AS prn
+            FROM probes p CROSS JOIN cent c) WHERE prn <= 4),
+        ncell AS (
+          SELECT query_id, cell FROM (
+            SELECT x.query_id, x.neighbor_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY x.query_id, x.neighbor_id
+                ORDER BY ${cosSql("x.v", "c.cv", 6)} DESC, c.cell) AS rn
+            FROM exact x CROSS JOIN cent c) WHERE rn = 1),
+        found AS (
+          SELECT n.query_id, p.prn
+          FROM ncell n JOIN prank p
+            ON p.query_id = n.query_id AND p.cell = n.cell),
+        nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM probes),
+        spine AS (SELECT unnest(range(1, 5)) AS nprobe)
+        SELECT s.nprobe, CAST(COUNT(f.prn) AS BIGINT) AS n_hits,
+          ${graft.Num.sql(
+            "CAST(COUNT(f.prn) AS DOUBLE) / (MAX(n_queries) * 10)", 6)}
+            AS recall_at_10
+        FROM spine s
+        LEFT JOIN found f ON f.prn <= s.nprobe
+        CROSS JOIN nq
+        GROUP BY s.nprobe ORDER BY s.nprobe"""
+      },
+      "IVF probe-recall tuning curve: recall@10 at nprobe 1-4 via the candidate-superset identity — one cell-rank join, no per-nprobe rebuild"))
 }

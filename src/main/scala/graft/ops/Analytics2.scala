@@ -1004,6 +1004,94 @@ object Analytics2 {
           FLOOR((CAST(COUNT(*) FILTER (WHERE nprior < 5) AS DOUBLE)
                  / COUNT(*)) * 1000000 + 0.500001) / 1000000 AS cold_share
         FROM x GROUP BY event_type ORDER BY event_type"""),
-      "cold-start rate per event type: share of events with <5 prior events for their user — the blind-serving fraction, one keyed window pass")
+      "cold-start rate per event type: share of events with <5 prior events for their user — the blind-serving fraction, one keyed window pass"),
+
+    // ---------------------------------------------------------------- q260
+    // Event-lateness audit per type: within each user's ARRIVAL order
+    // (event_id — the generator's write order), how often does event
+    // time run backwards, and by how much? late = ts below the user's
+    // running event-time high-water mark; lateness in whole minutes.
+    // This is the number that sizes a streaming watermark: p95
+    // lateness IS the allowed-lateness setting that loses <5% of
+    // events. One keyed cumulative window (never global); percentiles
+    // as exact ranks over the bounded (type × lateness-minute)
+    // histogram — the q223 discipline.
+    Query(
+      "q260_lateness_audit",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("mx", max(col("us")).over(w))
+          .withColumn("late", col("mx").isNotNull && col("mx") > col("us"))
+          .localCheckpoint() // one keyed pass feeds base AND histogram
+        val base = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        val hist = ev.filter(col("late"))
+          .select(col("event_type"),
+            ((col("mx") - col("us")) / lit(60000000L)).cast("long").as("lm"))
+          .groupBy(col("event_type"), col("lm")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded: types × minutes-in-span
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("lm"))))
+        def pct(q: Double, name: String) = cum
+          .join(hist.groupBy(col("event_type")).agg(sum(col("c")).as("nm")),
+            Seq("event_type"))
+          .filter(col("cum") >= ceil(col("nm") * lit(q)))
+          .groupBy(col("event_type")).agg(min(col("lm")).as(name))
+        base
+          .join(pct(0.5, "p50_late_min"), Seq("event_type"), "left")
+          .join(pct(0.95, "p95_late_min"), Seq("event_type"), "left")
+          .select(col("event_type"), col("n_events"), col("n_late"),
+            Num.r6(col("n_late").cast("double") / col("n_events"))
+              .as("late_share"),
+            col("p50_late_min"), col("p95_late_min"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+            MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+          FROM events),
+        flagged AS (
+          SELECT event_type,
+            (mx IS NOT NULL AND mx > us) AS late,
+            CASE WHEN mx IS NOT NULL AND mx > us
+              THEN CAST((mx - us) // 60000000 AS BIGINT) END AS lm
+          FROM ev),
+        base AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+          FROM flagged GROUP BY event_type),
+        hist AS (
+          SELECT event_type, lm, CAST(COUNT(*) AS BIGINT) AS c
+          FROM flagged WHERE late GROUP BY event_type, lm),
+        cum AS (
+          SELECT event_type, lm,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY lm
+                         ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist),
+        nm AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nm
+               FROM hist GROUP BY event_type),
+        p50 AS (
+          SELECT c.event_type, CAST(MIN(lm) AS BIGINT) AS p50_late_min
+          FROM cum c JOIN nm ON nm.event_type = c.event_type
+          WHERE c.cum >= CEIL(nm.nm * 0.5) GROUP BY c.event_type),
+        p95 AS (
+          SELECT c.event_type, CAST(MIN(lm) AS BIGINT) AS p95_late_min
+          FROM cum c JOIN nm ON nm.event_type = c.event_type
+          WHERE c.cum >= CEIL(nm.nm * 0.95) GROUP BY c.event_type)
+        SELECT b.event_type, n_events, n_late,
+          ${Num.sql("CAST(n_late AS DOUBLE) / n_events", 6)} AS late_share,
+          p50_late_min, p95_late_min
+        FROM base b
+        LEFT JOIN p50 ON p50.event_type = b.event_type
+        LEFT JOIN p95 ON p95.event_type = b.event_type
+        ORDER BY b.event_type"""),
+      "event-lateness audit per type: out-of-order share vs per-user arrival order + p50/p95 lateness minutes — the watermark-sizing table")
   )
 }

@@ -272,5 +272,71 @@ object Analytics3 {
           FLOOR((CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE) + ssw))
                 * 1000000 + 0.500001) / 1000000 AS eta_sq
         FROM agg"""),
-      "one-way ANOVA F across sources on doc length: exact integer group moments, micro-quantized SSB/SSW terms, eta-squared effect size"))
+      "one-way ANOVA F across sources on doc length: exact integer group moments, micro-quantized SSB/SSW terms, eta-squared effect size"),
+
+    // ---------------------------------------------------------------- q256
+    // Quantile treatment effects on per-user activity between the
+    // q181 md5 arms: decile-by-decile differences of the per-user
+    // event-count distribution — the DISTRIBUTIONAL readout the mean
+    // tests (q181/q237) hide (a treatment that moves only the heavy
+    // tail leaves the median untouched). Deciles are exact ranks over
+    // the bounded (arm × activity-count) histogram — the q223/q142
+    // discipline, never a per-arm sort of raw users; the rank cut is
+    // the pure-integer ceil(n·d/10) = (n·d+9) div 10, so both engines
+    // agree without a single double until... there are no doubles.
+    Query(
+      "q256_qte_activity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .withColumn("arm", graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+        val hist = perUser.groupBy(col("arm"), col("c"))
+          .agg(count(lit(1)).as("k"))
+          .localCheckpoint() // bounded (arm × activity-count) grid
+        val n = hist.groupBy(col("arm")).agg(sum(col("k")).as("n"))
+        val cum = hist.withColumn("cum", sum(col("k")).over(
+          Window.partitionBy(col("arm")).orderBy(col("c"))))
+        val spine = s.range(1, 10).select(col("id").as("decile"))
+        val q = cum.join(n, Seq("arm"))
+          .crossJoin(broadcast(spine))
+          .filter(col("cum") >=
+            ((col("n") * col("decile") + lit(9)) / lit(10)).cast("long"))
+          .groupBy(col("decile"), col("arm")).agg(min(col("c")).as("v"))
+        q.groupBy(col("decile"))
+          .agg(max(when(col("arm") === 0, col("v"))).as("events_a"),
+            max(when(col("arm") === 1, col("v"))).as("events_b"))
+          .select(col("decile"), col("events_a"), col("events_b"),
+            (col("events_a") - col("events_b")).as("qte_events"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH per_user AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+            ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2
+              AS arm
+          FROM events GROUP BY user_id),
+        hist AS (
+          SELECT arm, c, CAST(COUNT(*) AS BIGINT) AS k
+          FROM per_user GROUP BY arm, c),
+        n AS (SELECT arm, CAST(SUM(k) AS BIGINT) AS n FROM hist GROUP BY arm),
+        cum AS (
+          SELECT arm, c,
+            SUM(k) OVER (PARTITION BY arm ORDER BY c
+                         ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist),
+        spine AS (SELECT unnest(range(1, 10)) AS decile),
+        q AS (
+          SELECT s.decile, cum.arm, CAST(MIN(cum.c) AS BIGINT) AS v
+          FROM cum JOIN n USING (arm) CROSS JOIN spine s
+          WHERE cum.cum >= (n.n * s.decile + 9) // 10
+          GROUP BY s.decile, cum.arm)
+        SELECT decile,
+          CAST(MAX(CASE WHEN arm = 0 THEN v END) AS BIGINT) AS events_a,
+          CAST(MAX(CASE WHEN arm = 1 THEN v END) AS BIGINT) AS events_b,
+          CAST(MAX(CASE WHEN arm = 0 THEN v END)
+               - MAX(CASE WHEN arm = 1 THEN v END) AS BIGINT) AS qte_events
+        FROM q GROUP BY decile ORDER BY decile"""),
+      "quantile treatment effects on per-user activity between md5 arms: decile-by-decile differences via exact ranks over the bounded count histogram"))
 }
