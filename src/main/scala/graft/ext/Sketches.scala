@@ -591,5 +591,69 @@ object Sketches {
             AS exact_quantile
         FROM ps
         ORDER BY p"""),
-      "mergeable 64-bin histogram quantiles (p50/p90/p99 by within-bin interpolation) vs exact type-7 quantiles — the no-global-sort distributed percentile path"))
+      "mergeable 64-bin histogram quantiles (p50/p90/p99 by within-bin interpolation) vs exact type-7 quantiles — the no-global-sort distributed percentile path"),
+
+    // --------------------------------------------------------------- q261
+    // AMS F₂ sketch (Alon, Matias & Szegedy 1996): the second
+    // frequency moment of the per-user event counts — the self-join
+    // size / repeat-concentration number — estimated by 16 parallel
+    // ±1-hash counters folded in ONE corpus pass (each counter is a
+    // conditional sum over one md5 bit; all 16 share the hash), with
+    // the median-of-estimators (mean of the 8th/9th order statistics
+    // of 16) against the exact Σf². Counters and squares are pure
+    // int64 — at 100× c_j ≤ 10⁷, c_j² ≤ 10¹⁴, exactly representable —
+    // so both engines compute the identical estimate.
+    Query(
+      "q261_ams_f2",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"))
+          .withColumn("h", graft.ext.Dedup.h60(
+            concat(lit("f2|"), col("user_id").cast("string"))))
+        val counters = ev.agg(
+          sum(lit(1L) - lit(2L) * shiftright(col("h"), 0).bitwiseAND(lit(1L)))
+            .as("c0"),
+          (1 until 16).map(j =>
+            sum(lit(1L) - lit(2L) * shiftright(col("h"), j)
+              .bitwiseAND(lit(1L))).as(s"c$j")): _*)
+        val exact = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("f"))
+          .agg(count(lit(1)).as("n_users"), sum(col("f")).as("n_events"),
+            sum((col("f") * col("f")).cast("decimal(38,0)")).as("f2x"))
+        val est = (element_at(col("arr"), 8) + element_at(col("arr"), 9)) /
+          lit(2.0)
+        counters.crossJoin(broadcast(exact))
+          .withColumn("arr", sort_array(array(
+            (0 until 16).map(j => col(s"c$j") * col(s"c$j")): _*)))
+          .select(col("n_events"), col("n_users"),
+            col("f2x").cast("long").as("f2_exact"),
+            est.as("f2_est"),
+            Num.r6(abs(est - col("f2x").cast("double"))
+              / col("f2x").cast("double")).as("rel_err"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'f2|' || CAST(user_id AS VARCHAR)")}
+            AS h
+          FROM events),
+        c AS (
+          SELECT ${(0 until 16).map(j =>
+            s"CAST(SUM(1 - 2 * ((h >> $j) & 1)) AS BIGINT) AS c$j")
+            .mkString(",\n            ")}
+          FROM h),
+        ex AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(SUM(f) AS BIGINT) AS n_events,
+            CAST(SUM(f * f) AS BIGINT) AS f2_exact
+          FROM (SELECT user_id, COUNT(*) AS f FROM events GROUP BY user_id)),
+        a AS (
+          SELECT list_sort([${(0 until 16).map(j => s"c$j * c$j")
+            .mkString(", ")}]) AS arr
+          FROM c)
+        SELECT n_events, n_users, f2_exact,
+          (arr[8] + arr[9]) / 2.0 AS f2_est,
+          ${Num.sql(
+            """ABS((arr[8] + arr[9]) / 2.0 - CAST(f2_exact AS DOUBLE))
+               / f2_exact""", 6)} AS rel_err
+        FROM a CROSS JOIN ex"""),
+      "AMS F2 sketch: 16 one-pass +/-1-hash counters, median-of-estimators vs exact sum of squared user frequencies (Alon-Matias-Szegedy 1996)"))
 }

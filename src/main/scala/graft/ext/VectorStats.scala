@@ -58,5 +58,102 @@ object VectorStats {
           CAST(MAX(qv) AS BIGINT) AS max_q,
           ${Num.sql("CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 10000.0", 6)} AS mean
         FROM q GROUP BY label, dim ORDER BY label, dim"""),
-      "per-label per-dimension embedding moments via typed Aggregator: bounded 2 KB buffers, no n*64 explode shuffle"))
+      "per-label per-dimension embedding moments via typed Aggregator: bounded 2 KB buffers, no n*64 explode shuffle"),
+
+    // --------------------------------------------------------------- q264
+    // Calinski–Harabasz index of the label clustering (Caliński &
+    // Harabasz 1974): (SSB/(k−1))/(SSW/(n−k)) — the UNCAPPED linear
+    // companion to q187's capped silhouette (silhouette needs pairs;
+    // CH needs only per-(label, dim) moments, so it runs on the full
+    // corpus at any scale). Components 1e-4-tick-quantized (q159's
+    // grid), Σx and Σx² exact integers per (label × dim) cell, each
+    // cell's SSW/SSB contribution computed by the identical IEEE
+    // formula and micro-quantized BEFORE the bounded 64·k-cell sum.
+    Query(
+      "q264_calinski_harabasz",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            floor(col("x").cast("double") * lit(10000.0) + lit(0.5))
+              .cast("long").as("xq"))
+        val perLD = base.groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("nl"), sum(col("xq")).as("sx"),
+            sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"))
+          .localCheckpoint() // bounded k × 64 moment grid, one scan
+        val perD = perLD.groupBy(col("dim"))
+          .agg(sum(col("nl")).as("n"), sum(col("sx")).as("sxg"))
+        val k = perLD.select(col("label")).distinct()
+          .agg(count(lit(1)).as("k_labels"))
+        // per-cell contributions in VALUE units, micro-quantized
+        val cells = perLD.join(perD, Seq("dim"))
+          .select(col("label"), col("dim"), col("nl"),
+            floor(lit(1e6) * (col("sxx").cast("double") / lit(1e8)
+              - (col("sx").cast("double") / lit(1e4))
+                * (col("sx").cast("double") / lit(1e4)) / col("nl"))
+              + lit(0.5)).cast("long").as("sswq"),
+            floor(lit(1e6) * (col("nl").cast("double")
+              * ((col("sx").cast("double") / (lit(1e4) * col("nl"))
+                  - col("sxg").cast("double") / (lit(1e4) * col("n")))
+                * (col("sx").cast("double") / (lit(1e4) * col("nl"))
+                  - col("sxg").cast("double") / (lit(1e4) * col("n")))))
+              + lit(0.5)).cast("long").as("ssbq"))
+        val nTot = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+        cells.agg(sum(col("sswq")).as("sswq"), sum(col("ssbq")).as("ssbq"))
+          .crossJoin(broadcast(k)).crossJoin(broadcast(nTot))
+          .select(col("n_vectors"), col("k_labels"),
+            Num.r6(col("ssbq") / lit(1e6)).as("ssb"),
+            Num.r6(col("sswq") / lit(1e6)).as("ssw"),
+            when(col("k_labels") > 1 && col("sswq") > 0, Num.r6(
+              (col("ssbq").cast("double") / (col("k_labels") - 1)) /
+                (col("sswq").cast("double") / (col("n_vectors") - col("k_labels")))))
+              .as("ch_index"))
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT label, unnest(embedding) AS xf,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings),
+        base AS (
+          SELECT label, dim,
+            CAST(FLOOR(CAST(xf AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS xq
+          FROM raw),
+        per_ld AS (
+          SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS nl,
+            CAST(SUM(xq) AS BIGINT) AS sx,
+            CAST(SUM(xq * xq) AS BIGINT) AS sxx
+          FROM base GROUP BY label, dim),
+        per_d AS (
+          SELECT dim, CAST(SUM(nl) AS BIGINT) AS n,
+            CAST(SUM(sx) AS BIGINT) AS sxg
+          FROM per_ld GROUP BY dim),
+        kk AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k_labels
+               FROM per_ld),
+        cells AS (
+          SELECT
+            CAST(FLOOR(1e6 * (CAST(l.sxx AS DOUBLE) / 1e8
+              - (CAST(l.sx AS DOUBLE) / 1e4)
+                * (CAST(l.sx AS DOUBLE) / 1e4) / l.nl) + 0.5) AS BIGINT)
+              AS sswq,
+            CAST(FLOOR(1e6 * (CAST(l.nl AS DOUBLE)
+              * ((CAST(l.sx AS DOUBLE) / (1e4 * l.nl)
+                  - CAST(g.sxg AS DOUBLE) / (1e4 * g.n))
+                * (CAST(l.sx AS DOUBLE) / (1e4 * l.nl)
+                  - CAST(g.sxg AS DOUBLE) / (1e4 * g.n)))) + 0.5) AS BIGINT)
+              AS ssbq
+          FROM per_ld l JOIN per_d g USING (dim)),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings),
+        agg AS (
+          SELECT CAST(SUM(sswq) AS BIGINT) AS sswq,
+            CAST(SUM(ssbq) AS BIGINT) AS ssbq
+          FROM cells)
+        SELECT n_vectors, k_labels,
+          ${Num.sql("ssbq / 1e6", 6)} AS ssb,
+          ${Num.sql("sswq / 1e6", 6)} AS ssw,
+          CASE WHEN k_labels > 1 AND sswq > 0 THEN ${Num.sql(
+            """(CAST(ssbq AS DOUBLE) / (k_labels - 1))
+               / (CAST(sswq AS DOUBLE) / (n_vectors - k_labels))""", 6)}
+          END AS ch_index
+        FROM agg CROSS JOIN kk CROSS JOIN nt"""),
+      "Calinski-Harabasz label-clustering index from exact per-(label,dim) integer moments: the uncapped linear companion to the capped silhouette (Calinski & Harabasz 1974)"))
 }

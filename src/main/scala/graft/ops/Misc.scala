@@ -225,5 +225,72 @@ object Misc {
         s.sql(SharedSql)
       },
       Some(SharedSql),
-      "spark.sql entry path: one ANSI SQL text evaluated verbatim by both engines"))
+      "spark.sql entry path: one ANSI SQL text evaluated verbatim by both engines"),
+
+    // ---------------------------------------------------------------- q262
+    // Language-ID confusion matrix: q44's marker-word classifier
+    // evaluated against the labeled lang — WHERE the classifier's
+    // errors go (q125 reports agreement rate; this reports the full
+    // labeled × guessed cell structure, the artifact that says "de is
+    // being eaten by unknown", not just "87% right"). Same scoring
+    // and argmax tie rule as q44 so the matrix audits exactly the
+    // deployed classifier; one corpus pass, (langs+1)² bounded output.
+    Query(
+      "q262_lang_confusion",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val score = (lang: String) => size(filter(toks,
+          t => Markers(lang).map(m => t === m).reduce(_ || _)))
+        val en = score("en"); val de = score("de"); val es = score("es")
+        val guessed = Tables.documents(s, d)
+          .select(col("lang").as("labeled_lang"),
+            when(en >= de && en >= es && en > 0, "en")
+              .when(de >= es && de > 0, "de")
+              .when(es > 0, "es")
+              .otherwise("unknown").as("guessed_lang"))
+        val cells = guessed
+          .groupBy(col("labeled_lang"), col("guessed_lang"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("labeled_lang"))
+          .agg(sum(col("n")).as("n_labeled"))
+        cells.join(totals, Seq("labeled_lang"))
+          .select(col("labeled_lang"), col("guessed_lang"), col("n"),
+            Num.r6(col("n").cast("double") / col("n_labeled"))
+              .as("share_of_labeled"),
+            (col("labeled_lang") === col("guessed_lang")).as("correct"))
+          .orderBy(col("labeled_lang"), col("guessed_lang"))
+      },
+      Some {
+        def hits(lang: String) = {
+          val list = Markers(lang).map(m => s"'$m'").mkString(", ")
+          s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS BIGINT)"
+        }
+        s"""
+        WITH t AS (
+          SELECT lang AS labeled_lang,
+            ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
+            ${hits("es")} AS es_hits
+          FROM documents),
+        g AS (
+          SELECT labeled_lang,
+            CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+                      AND en_hits > 0 THEN 'en'
+                 WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                 WHEN es_hits > 0 THEN 'es'
+                 ELSE 'unknown' END AS guessed_lang
+          FROM t),
+        cells AS (
+          SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM g GROUP BY labeled_lang, guessed_lang),
+        tot AS (
+          SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+          FROM cells GROUP BY labeled_lang)
+        SELECT c.labeled_lang, c.guessed_lang, c.n,
+          ${Num.sql("CAST(c.n AS DOUBLE) / n_labeled", 6)}
+            AS share_of_labeled,
+          c.labeled_lang = c.guessed_lang AS correct
+        FROM cells c JOIN tot USING (labeled_lang)
+        ORDER BY c.labeled_lang, c.guessed_lang"""
+      },
+      "language-ID confusion matrix: q44's marker classifier vs the labeled lang, full labeled x guessed cells with per-label shares"))
 }

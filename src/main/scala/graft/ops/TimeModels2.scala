@@ -721,6 +721,107 @@ object TimeModels2 {
         LEFT JOIN seasonal s3
           ON s3.event_type = w.event_type AND s3.hod = (last.hod + 3) % 24
         ORDER BY w.event_type"""),
-      "Holt-Winters with fixed additive hour-of-day seasonality: micro-quantized deseasonalization feeds the bit-exact q165 Holt recursion, h-step forecasts re-seasonalized")
+      "Holt-Winters with fixed additive hour-of-day seasonality: micro-quantized deseasonalization feeds the bit-exact q165 Holt recursion, h-step forecasts re-seasonalized"),
+
+    // ---------------------------------------------------------------- q263
+    // STL strength-of-trend / strength-of-seasonality (Hyndman's
+    // tsfeatures convention): Ft = max(0, 1 − V(R)/V(T+R)),
+    // Fs = max(0, 1 − V(R)/V(S+R)) over the q166/q249 decomposition —
+    // the two numbers that say whether q165's trend model or q249's
+    // seasonal model is even worth fitting for a series. Every
+    // component (hourly mean, centered-MA trend, hour-of-day
+    // seasonal, remainder) is the micro-quantized int64 of the q249
+    // chain, and each variance is the EXACT integer n·Σx² − (Σx)² in
+    // DECIMAL(38) — one double division per ratio at the very end.
+    Query(
+      "q263_stl_strength",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("vq")).as("sq"), count(lit(1)).as("c"))
+          .withColumn("mq",
+            floor(col("sq").cast("double") / col("c") + lit(0.5)).cast("long"))
+        val wMA = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(-12, 12)
+        val detr = hourly
+          .withColumn("tq", floor(sum(col("mq")).over(wMA).cast("double")
+            / count(lit(1)).over(wMA) + lit(0.5)).cast("long"))
+          .withColumn("dq", col("mq") - col("tq"))
+          .withColumn("hod", hour(col("bucket")))
+          .localCheckpoint() // bounded hour-bucket frame, one scan
+        val seasonal = detr
+          .groupBy(col("event_type"), col("hod"))
+          .agg(floor(sum(col("dq")).cast("double") / count(lit(1)) + lit(0.5))
+            .cast("long").as("s_q"))
+        val parts = detr.join(broadcast(seasonal), Seq("event_type", "hod"))
+          .select(col("event_type"),
+            (col("dq") - col("s_q")).as("r"),   // remainder
+            col("dq").as("sr"),                 // S + R (detrended)
+            (col("mq") - col("s_q")).as("tr"))  // T + R (deseasonalized)
+        def ss(c: org.apache.spark.sql.Column) =
+          (count(lit(1)).cast("decimal(38,0)")
+            * sum((c * c).cast("decimal(38,0)"))
+            - sum(c).cast("decimal(38,0)") * sum(c).cast("decimal(38,0)"))
+        parts.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"),
+            ss(col("r")).as("vr"), ss(col("sr")).as("vsr"),
+            ss(col("tr")).as("vtr"))
+          .select(col("event_type"), col("n_buckets"),
+            when(col("vtr") > 0, Num.r6(greatest(lit(0.0),
+              lit(1.0) - col("vr").cast("double") / col("vtr").cast("double"))))
+              .as("trend_strength"),
+            when(col("vsr") > 0, Num.r6(greatest(lit(0.0),
+              lit(1.0) - col("vr").cast("double") / col("vsr").cast("double"))))
+              .as("seasonal_strength"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+            CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+              AS sq,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        hm AS (
+          SELECT event_type, bucket,
+            CAST(FLOOR(CAST(sq AS DOUBLE) / c + 0.5) AS BIGINT) AS mq
+          FROM hourly),
+        detr AS (
+          SELECT event_type, bucket, mq,
+            CAST(FLOOR(CAST(SUM(mq) OVER w AS DOUBLE) / COUNT(*) OVER w
+              + 0.5) AS BIGINT) AS tq,
+            CAST(EXTRACT(hour FROM bucket) AS INTEGER) AS hod
+          FROM hm
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        d2 AS (SELECT event_type, bucket, mq, tq, mq - tq AS dq, hod
+               FROM detr),
+        seasonal AS (
+          SELECT event_type, hod,
+            CAST(FLOOR(CAST(SUM(dq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+              AS s_q
+          FROM d2 GROUP BY event_type, hod),
+        parts AS (
+          SELECT d.event_type,
+            d.dq - s.s_q AS r, d.dq AS sr, d.mq - s.s_q AS tr
+          FROM d2 d JOIN seasonal s
+            ON s.event_type = d.event_type AND s.hod = d.hod),
+        agg AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+            COUNT(*) * SUM(r * r) - SUM(r) * SUM(r) AS vr,
+            COUNT(*) * SUM(sr * sr) - SUM(sr) * SUM(sr) AS vsr,
+            COUNT(*) * SUM(tr * tr) - SUM(tr) * SUM(tr) AS vtr
+          FROM parts GROUP BY event_type)
+        SELECT event_type, n_buckets,
+          CASE WHEN vtr > 0 THEN
+            FLOOR(GREATEST(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vtr AS DOUBLE))
+                  * 1000000 + 0.500001) / 1000000 END AS trend_strength,
+          CASE WHEN vsr > 0 THEN
+            FLOOR(GREATEST(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vsr AS DOUBLE))
+                  * 1000000 + 0.500001) / 1000000 END AS seasonal_strength
+        FROM agg ORDER BY event_type"""),
+      "STL strength-of-trend/seasonality (Hyndman tsfeatures): exact integer variances of remainder vs detrended/deseasonalized components")
   )
 }
