@@ -1,0 +1,315 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics and experimentation continuation, batch 24: cohort
+  * retention, categorical mutual information, the Cochran–Mantel–
+  * Haenszel stratified test, and Gumbel extreme-value return levels.
+  * Exactness discipline as everywhere: integer weeks/counts, pico- or
+  * micro-quantized per-cell double terms summed as int64 (grid-bounded
+  * term counts), identical IEEE expression trees, `Num.r4/r6` last.
+  */
+object Cohorts {
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q271
+    // Weekly cohort retention matrix: users are cohorted by the epoch
+    // week of their first event (absolute integer weeks — no engine
+    // week-truncation semantics involved), and retention at offsets
+    // 0–3 is the share of the cohort active in week cohort+offset.
+    // Shape: one distinct (user, week) pass + a per-user min — both on
+    // the user_id exchange; the (cohort × offset) grid is bounded by
+    // the time span, never the row count.
+    Query(
+      "q271_cohort_retention",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+        val actives = wk.distinct()
+        val cohorts = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+        actives.join(cohorts, Seq("user_id"))
+          .select(col("cw"), (col("wk") - col("cw")).as("wk_offset"))
+          .filter(col("wk_offset") >= 0 && col("wk_offset") <= 3)
+          .groupBy(col("cw"), col("wk_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, Seq("cw"))
+          .select(col("cw").as("cohort_wk"), col("wk_offset"), col("n_cohort"),
+            col("n_active"),
+            Num.r4(col("n_active").cast("double") / col("n_cohort").cast("double"))
+              .as("retention"))
+          .orderBy(col("cohort_wk"), col("wk_offset"))
+      },
+      Some("""
+        WITH wk AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        actives AS (SELECT DISTINCT user_id, wk FROM wk),
+        cohorts AS (SELECT user_id, MIN(wk) AS cw FROM wk GROUP BY user_id),
+        sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort
+                  FROM cohorts GROUP BY cw),
+        cells AS (
+          SELECT cw, wk - cw AS wk_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM actives JOIN cohorts USING (user_id)
+          WHERE wk - cw BETWEEN 0 AND 3
+          GROUP BY cw, wk - cw)
+        SELECT cw AS cohort_wk, wk_offset, n_cohort, n_active,
+          FLOOR((CAST(n_active AS DOUBLE) / n_cohort) * 10000 + 0.500001) / 10000
+            AS retention
+        FROM cells JOIN sizes USING (cw)
+        ORDER BY cohort_wk, wk_offset"""),
+      "Weekly cohort retention matrix (absolute epoch weeks, offsets 0-3): distinct-activity pass + per-user min, grid-bounded output"),
+
+    // ---------------------------------------------------------------- q272
+    // Mutual information (nats) between document language and source,
+    // with the entropies and the normalized MI — the effect-size
+    // companion to q198's chi-square independence test (chi2 says
+    // "dependent", MI says "by how many bits"). Every p·ln(·) term is
+    // pico-quantized BEFORE the grid sum (≤ langs×sources terms), so
+    // the sums are exact; NMI assembles from the three quantized
+    // totals.
+    Query(
+      "q272_mutual_info",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val joint = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("nls"))
+        val byL = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        val byS = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val miq = joint.join(broadcast(byL), Seq("lang"))
+          .join(broadcast(byS), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(floor(
+            (col("nls").cast("double") / col("n").cast("double")) *
+              log((col("n") * col("nls")).cast("double") /
+                (col("nl") * col("ns")).cast("double"))
+              * lit(1e12) + lit(0.5)).cast("long").as("tq"))
+          .agg(sum(col("tq")).as("miq"))
+        val hlq = byL.crossJoin(broadcast(tot))
+          .select(floor(-(col("nl").cast("double") / col("n").cast("double")) *
+            log(col("nl").cast("double") / col("n").cast("double"))
+            * lit(1e12) + lit(0.5)).cast("long").as("tq"))
+          .agg(sum(col("tq")).as("hlq"))
+        val hsq = byS.crossJoin(broadcast(tot))
+          .select(floor(-(col("ns").cast("double") / col("n").cast("double")) *
+            log(col("ns").cast("double") / col("n").cast("double"))
+            * lit(1e12) + lit(0.5)).cast("long").as("tq"))
+          .agg(sum(col("tq")).as("hsq"))
+        miq.crossJoin(broadcast(hlq)).crossJoin(broadcast(hsq))
+          .crossJoin(broadcast(tot))
+          .select(col("n"),
+            Num.r6(col("miq").cast("double") / lit(1e12)).as("mi_nats"),
+            Num.r6(col("hlq").cast("double") / lit(1e12)).as("h_lang"),
+            Num.r6(col("hsq").cast("double") / lit(1e12)).as("h_source"),
+            Num.r6((col("miq").cast("double") / lit(1e12)) /
+              sqrt((col("hlq").cast("double") / lit(1e12)) *
+                (col("hsq").cast("double") / lit(1e12)))).as("nmi"))
+      },
+      Some("""
+        WITH joint AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nls
+          FROM documents GROUP BY lang, source),
+        byl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+                FROM documents GROUP BY lang),
+        bys AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+                FROM documents GROUP BY source),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        miq AS (
+          SELECT SUM(CAST(FLOOR(
+            (CAST(nls AS DOUBLE) / n) *
+            LN(CAST(n * nls AS DOUBLE) / CAST(nl * ns AS DOUBLE))
+            * 1e12 + 0.5) AS BIGINT)) AS miq
+          FROM joint JOIN byl USING (lang) JOIN bys USING (source)
+          CROSS JOIN tot),
+        hlq AS (
+          SELECT SUM(CAST(FLOOR(
+            -(CAST(nl AS DOUBLE) / n) * LN(CAST(nl AS DOUBLE) / n)
+            * 1e12 + 0.5) AS BIGINT)) AS hlq
+          FROM byl CROSS JOIN tot),
+        hsq AS (
+          SELECT SUM(CAST(FLOOR(
+            -(CAST(ns AS DOUBLE) / n) * LN(CAST(ns AS DOUBLE) / n)
+            * 1e12 + 0.5) AS BIGINT)) AS hsq
+          FROM bys CROSS JOIN tot)
+        SELECT n,
+          FLOOR((CAST(miq AS DOUBLE) / 1e12) * 1000000 + 0.500001) / 1000000
+            AS mi_nats,
+          FLOOR((CAST(hlq AS DOUBLE) / 1e12) * 1000000 + 0.500001) / 1000000
+            AS h_lang,
+          FLOOR((CAST(hsq AS DOUBLE) / 1e12) * 1000000 + 0.500001) / 1000000
+            AS h_source,
+          FLOOR(((CAST(miq AS DOUBLE) / 1e12)
+                 / SQRT((CAST(hlq AS DOUBLE) / 1e12) * (CAST(hsq AS DOUBLE) / 1e12)))
+                * 1000000 + 0.500001) / 1000000 AS nmi
+        FROM miq CROSS JOIN hlq CROSS JOIN hsq CROSS JOIN tot"""),
+      "Mutual information + NMI between lang and source (pico-quantized exact term sums over the bounded grid)"),
+
+    // ---------------------------------------------------------------- q273
+    // Cochran–Mantel–Haenszel test pooled across event-type strata: do
+    // the md5 A/B arms (q181's split) differ in the rate of high-value
+    // events (value ≥ 100), adjusting for event type? Per-stratum
+    // 2×2 tables are exact integers; the E/V/odds terms are
+    // micro-quantized per stratum (5 terms) so the pooled sums are
+    // exact; the continuity-corrected χ²₁ and the Mantel–Haenszel
+    // pooled odds ratio assemble from the quantized totals.
+    Query(
+      "q273_cmh",
+      (s, d) => {
+        val tab = Tables.events(s, d)
+          .select(col("event_type"),
+            (graft.ext.Dedup.h60(
+              concat(lit("ab|"), col("user_id").cast("string"))) % 2).as("arm"),
+            (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long") >=
+              lit(100000000L)).cast("long").as("succ"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("arm") === 0 && col("succ") === 1, 1L).otherwise(0L)).as("a"),
+            sum(when(col("arm") === 0 && col("succ") === 0, 1L).otherwise(0L)).as("b"),
+            sum(when(col("arm") === 1 && col("succ") === 1, 1L).otherwise(0L)).as("c"),
+            sum(when(col("arm") === 1 && col("succ") === 0, 1L).otherwise(0L)).as("dd"))
+          .withColumn("nk", col("a") + col("b") + col("c") + col("dd"))
+          .filter(col("nk") >= 2)
+        val terms = tab.select(
+          floor((col("a").cast("double") -
+            ((col("a") + col("b")) * (col("a") + col("c"))).cast("double") /
+              col("nk").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("numq"),
+          floor(((col("a") + col("b")).cast("double") *
+            (col("c") + col("dd")).cast("double") *
+            (col("a") + col("c")).cast("double") *
+            (col("b") + col("dd")).cast("double") /
+            (col("nk").cast("double") * col("nk").cast("double") *
+              (col("nk") - 1).cast("double"))) * lit(1e6) + lit(0.5))
+            .cast("long").as("varq"),
+          floor(((col("a") * col("dd")).cast("double") / col("nk").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long").as("ornq"),
+          floor(((col("b") * col("c")).cast("double") / col("nk").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long").as("ordq"))
+        terms.agg(count(lit(1)).as("n_strata"),
+          sum(col("numq")).as("snum"), sum(col("varq")).as("svar"),
+          sum(col("ornq")).as("sorn"), sum(col("ordq")).as("sord"))
+          .filter(col("svar") > 0 && col("sord") > 0)
+          .select(col("n_strata"),
+            Num.r4(pow(greatest(abs(col("snum").cast("double") / lit(1e6)) - lit(0.5),
+              lit(0.0)), 2) / (col("svar").cast("double") / lit(1e6))).as("cmh_chi2"),
+            Num.r4((col("sorn").cast("double") / lit(1e6)) /
+              (col("sord").cast("double") / lit(1e6))).as("pooled_or"),
+            (pow(greatest(abs(col("snum").cast("double") / lit(1e6)) - lit(0.5),
+              lit(0.0)), 2) / (col("svar").cast("double") / lit(1e6)) >
+              lit(3.841458820694124)).as("significant"))
+      },
+      Some(s"""
+        WITH tab AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN arm = 0 AND succ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN arm = 0 AND NOT succ THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN arm = 1 AND succ THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN arm = 1 AND NOT succ THEN 1 ELSE 0 END) AS BIGINT) AS dd
+          FROM (
+            SELECT event_type,
+              ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+              CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) >= 100000000 AS succ
+            FROM events)
+          GROUP BY event_type),
+        sized AS (
+          SELECT *, a + b + c + dd AS nk FROM tab WHERE a + b + c + dd >= 2),
+        terms AS (
+          SELECT
+            CAST(FLOOR((CAST(a AS DOUBLE)
+              - CAST((a + b) * (a + c) AS DOUBLE) / CAST(nk AS DOUBLE))
+              * 1e6 + 0.5) AS BIGINT) AS numq,
+            CAST(FLOOR((CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)
+              / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE) * CAST(nk - 1 AS DOUBLE)))
+              * 1e6 + 0.5) AS BIGINT) AS varq,
+            CAST(FLOOR((CAST(a * dd AS DOUBLE) / CAST(nk AS DOUBLE))
+              * 1e6 + 0.5) AS BIGINT) AS ornq,
+            CAST(FLOOR((CAST(b * c AS DOUBLE) / CAST(nk AS DOUBLE))
+              * 1e6 + 0.5) AS BIGINT) AS ordq
+          FROM sized),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+            CAST(SUM(numq) AS BIGINT) AS snum, CAST(SUM(varq) AS BIGINT) AS svar,
+            CAST(SUM(ornq) AS BIGINT) AS sorn, CAST(SUM(ordq) AS BIGINT) AS sord
+          FROM terms)
+        SELECT n_strata,
+          FLOOR((POWER(GREATEST(ABS(CAST(snum AS DOUBLE) / 1e6) - 0.5, 0.0), 2)
+                 / (CAST(svar AS DOUBLE) / 1e6)) * 10000 + 0.500001) / 10000
+            AS cmh_chi2,
+          FLOOR(((CAST(sorn AS DOUBLE) / 1e6) / (CAST(sord AS DOUBLE) / 1e6))
+                * 10000 + 0.500001) / 10000 AS pooled_or,
+          (POWER(GREATEST(ABS(CAST(snum AS DOUBLE) / 1e6) - 0.5, 0.0), 2)
+             / (CAST(svar AS DOUBLE) / 1e6) > 3.841458820694124) AS significant
+        FROM agg WHERE svar > 0 AND sord > 0"""),
+      "Cochran-Mantel-Haenszel test + MH pooled odds ratio across event-type strata for the md5 A/B arms (micro-quantized exact stratum terms)"),
+
+    // ---------------------------------------------------------------- q275
+    // Gumbel extreme-value return levels per event type: hourly block
+    // maxima fit by the method of moments (σ̂ = s·√6/π, μ̂ = x̄ − γσ̂)
+    // and the 100-block return level μ̂ − σ̂·ln(−ln(1−1/100)) — "the
+    // hourly peak exceeded once per ~100 hours", the capacity-planning
+    // number. Block maxima are exact micro-ints; moments go through
+    // DECIMAL sums; the ln(−ln(0.99)) constant is a shared literal so
+    // no transcendental runs at query time on either engine.
+    Query(
+      "q275_gumbel_evt",
+      (s, d) => {
+        val blocks = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+          .agg(max(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("bx"))
+        val mom = blocks.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("bx")).as("sm"),
+            sum((col("bx") * col("bx")).cast("decimal(38,0)")).as("sq"))
+          .filter(col("n_blocks") >= 10)
+        val fit = mom
+          .withColumn("meanv",
+            col("sm").cast("double") / col("n_blocks").cast("double") / lit(1e6))
+          .withColumn("varv",
+            (col("sq").cast("double") - col("sm").cast("double") *
+              col("sm").cast("double") / col("n_blocks").cast("double")) /
+              (col("n_blocks") - 1).cast("double") / lit(1e12))
+          .filter(col("varv") > 0)
+          .withColumn("sigma", sqrt(col("varv")) * sqrt(lit(6.0)) / lit(math.Pi))
+          .withColumn("mu", col("meanv") - lit(0.5772156649015329) * col("sigma"))
+          .withColumn("rl100", col("mu") - col("sigma") * lit(-4.600149226776579))
+        fit.select(col("event_type"), col("n_blocks"),
+          Num.r4(col("meanv")).as("mean_block_max"),
+          Num.r4(col("sigma")).as("gumbel_sigma"),
+          Num.r4(col("mu")).as("gumbel_mu"),
+          Num.r4(col("rl100")).as("return_level_100"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH blocks AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS hh,
+            MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS bx
+          FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        mom AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+            CAST(SUM(bx) AS BIGINT) AS sm,
+            SUM(CAST(bx AS HUGEINT) * bx) AS sq
+          FROM blocks GROUP BY event_type
+          HAVING COUNT(*) >= 10),
+        fit0 AS (
+          SELECT event_type, n_blocks,
+            CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6 AS meanv,
+            (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+               / CAST(n_blocks AS DOUBLE)) / CAST(n_blocks - 1 AS DOUBLE) / 1e12
+              AS varv
+          FROM mom),
+        fit1 AS (
+          SELECT *, SQRT(varv) * SQRT(6.0) / PI() AS sigma
+          FROM fit0 WHERE varv > 0),
+        fit2 AS (
+          SELECT *, meanv - 0.5772156649015329 * sigma AS mu FROM fit1)
+        SELECT event_type, n_blocks,
+          FLOOR(meanv * 10000 + 0.500001) / 10000 AS mean_block_max,
+          FLOOR(sigma * 10000 + 0.500001) / 10000 AS gumbel_sigma,
+          FLOOR(mu * 10000 + 0.500001) / 10000 AS gumbel_mu,
+          FLOOR((mu - sigma * -4.600149226776579) * 10000 + 0.500001) / 10000
+            AS return_level_100
+        FROM fit2 ORDER BY event_type"""),
+      "Gumbel method-of-moments fit on hourly block maxima per event type with the 100-block return level (exact integer block maxima, shared transcendental literals)")
+  )
+}
