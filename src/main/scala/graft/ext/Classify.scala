@@ -22,17 +22,20 @@ object Classify {
     * scored class), identically in the oracle.
     */
   private[ext] def nbPredictions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // materialize the token explode ONCE — train stats, vocab and eval
+    // counts all derive from it (13 scans → 2 in the physical plan)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("t"))
+      .localCheckpoint()
     val train = docs.filter(col("doc_id") % 10 < 7)
     val eval_ = docs.filter(col("doc_id") % 10 >= 7)
     // class stats: train token mass per source, doc counts, vocab
     val clsTok = train.groupBy(col("source")).agg(count(lit(1)).as("ns"))
     val clsDoc = Tables.documents(s, d).filter(col("doc_id") % 10 < 7)
       .groupBy(col("source")).agg(count(lit(1)).as("docs_s"))
-    val totDoc = Tables.documents(s, d).filter(col("doc_id") % 10 < 7)
-      .agg(count(lit(1)).as("docs_n"))
+      .localCheckpoint() // bounded class table; also feeds the total
+    val totDoc = clsDoc.agg(sum(col("docs_s")).as("docs_n"))
     val vocab = train.select(col("t")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     // 20-row class table: nano-quantized log-prior and the shared
