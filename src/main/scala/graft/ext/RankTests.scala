@@ -1,0 +1,400 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank/association-test continuation, batch 28: ordinal trend
+  * (Cochran–Armitage), blocked ranks (Friedman), ordinal effect size
+  * (Cliff's delta), categorical association strength (Cramér's V),
+  * and top-k ranking agreement (rank-biased overlap). All five follow
+  * the registry's exactness rules: midranks and deviations become
+  * integers before any cross-row sum, bounded-grid terms are
+  * micro-quantized, wide second moments ride DECIMAL/HUGEINT, and
+  * EXP/LN run on identical doubles on both engines.
+  */
+object RankTests {
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q287
+    // Cochran–Armitage trend test: does the purchase share trend
+    // across hour-of-day (ordinal scores w = 0..23)? T = Σw·r − p·Σw·n,
+    // Var = p(1−p)(Σn·w² − (Σn·w)²/N) — every moment is an exact
+    // integer from one 24-cell grid, so Z is a scalar double identical
+    // on both engines. The canonical dose-response gate for "is this
+    // metric drifting with an ordered exposure".
+    Query(
+      "q287_cochran_armitage",
+      (s, d) => {
+        val cell = Tables.events(s, d)
+          .groupBy((expr("unix_micros(ts) div 3600000000") % 24).as("w"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("event_type") === "purchase", 1)).as("r"))
+        cell.agg(sum(col("n")).as("nt"), sum(col("r")).as("rt"),
+            sum(col("w") * col("r")).as("swr"),
+            sum(col("w") * col("n")).as("swn"),
+            sum(col("w") * col("w") * col("n")).as("swwn"))
+          .select(col("nt").as("n_total"), col("rt").as("n_cases"),
+            Num.r4(
+              (col("swr").cast("double") -
+                col("rt").cast("double") / col("nt").cast("double") *
+                  col("swn").cast("double")) /
+              sqrt(col("rt").cast("double") / col("nt").cast("double") *
+                (lit(1.0) - col("rt").cast("double") / col("nt").cast("double")) *
+                (col("swwn").cast("double") -
+                  col("swn").cast("double") * col("swn").cast("double") /
+                    col("nt").cast("double"))))
+              .as("z_trend"))
+      },
+      Some("""
+        WITH cell AS (
+          SELECT (epoch_us(ts) // 3600000000) % 24 AS w,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS r
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt,
+            CAST(SUM(w * r) AS BIGINT) AS swr,
+            CAST(SUM(w * n) AS BIGINT) AS swn,
+            CAST(SUM(w * w * n) AS BIGINT) AS swwn
+          FROM cell)
+        SELECT nt AS n_total, rt AS n_cases,
+          FLOOR(((CAST(swr AS DOUBLE) -
+                  CAST(rt AS DOUBLE) / nt * CAST(swn AS DOUBLE)) /
+                 SQRT(CAST(rt AS DOUBLE) / nt *
+                      (1.0 - CAST(rt AS DOUBLE) / nt) *
+                      (CAST(swwn AS DOUBLE) -
+                       CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / nt)))
+                * 10000 + 0.500001) / 10000 AS z_trend
+        FROM m"""),
+      "Cochran-Armitage purchase-share trend across hour-of-day (exact integer moments, scalar Z)"),
+
+    // ---------------------------------------------------------------- q288
+    // Friedman test with midranks: blocks = epoch days, treatments =
+    // event types, response = daily count (missing cells filled 0 via
+    // the bounded day×type grid). Midranks within each block use the
+    // 2·midrank integer trick; the tie-robust statistic
+    // χ² = (k−1)·Σ(Rj − n(k+1)/2)² / (Σr² − nk(k+1)²/4) is assembled
+    // from DECIMAL-summed quantized terms. One scan; everything after
+    // is (days × types)-bounded.
+    Query(
+      "q288_friedman",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val days = ev.select(col("day")).distinct()
+        val types = ev.select(col("event_type")).distinct()
+        val grid = days.crossJoin(broadcast(types))
+          .join(ev, Seq("day", "event_type"), "left")
+          .na.fill(0L, Seq("c"))
+        val wR = Window.partitionBy(col("day")).orderBy(col("c"))
+        val tie = Window.partitionBy(col("day"), col("c"))
+        val ranked = grid
+          .withColumn("mr2",
+            lit(2L) * rank().over(wR) + count(lit(1)).over(tie) - lit(1L))
+          .localCheckpoint() // bounded grid feeds Rj sums and Σr²
+        val byType = ranked.groupBy(col("event_type"))
+          .agg(sum(col("mr2")).as("rj2"), count(lit(1)).as("nblocks"))
+        val tot = byType.agg(count(lit(1)).as("k"), max(col("nblocks")).as("n"))
+        val sr2 = ranked.agg(
+          sum(col("mr2").cast("decimal(38,0)") * col("mr2")).as("s4r2"))
+        val dev = byType.crossJoin(broadcast(tot))
+          .select(col("k"), col("n"),
+            // dq = milli-quantized (Rj − n(k+1)/2); Rj = rj2/2
+            floor((col("rj2").cast("double") / lit(2.0) -
+              col("n").cast("double") * (col("k").cast("double") + lit(1.0)) / lit(2.0))
+              * lit(1e3) + lit(0.5)).cast("long").as("dq"))
+          .select(col("k"), col("n"),
+            (col("dq").cast("decimal(38,0)") * col("dq")).as("term"))
+          .groupBy(col("k"), col("n")).agg(sum(col("term")).as("ssdev"))
+        dev.crossJoin(broadcast(sr2))
+          .select(col("k").as("n_treatments"), col("n").as("n_blocks"),
+            Num.r4((col("k").cast("double") - lit(1.0)) *
+              (col("ssdev").cast("double") / lit(1e6)) /
+              (col("s4r2").cast("double") / lit(4.0) -
+                col("n").cast("double") * col("k").cast("double") *
+                  (col("k").cast("double") + lit(1.0)) *
+                  (col("k").cast("double") + lit(1.0)) / lit(4.0)))
+              .as("chi2_friedman"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT d.day, t.event_type, COALESCE(c, 0) AS c
+          FROM (SELECT DISTINCT day FROM ev) d
+          CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+          LEFT JOIN ev ON ev.day = d.day AND ev.event_type = t.event_type),
+        ranked AS (
+          SELECT day, event_type,
+            2 * RANK() OVER (PARTITION BY day ORDER BY c)
+              + COUNT(*) OVER (PARTITION BY day, c) - 1 AS mr2
+          FROM grid),
+        bytype AS (
+          SELECT event_type, CAST(SUM(mr2) AS BIGINT) AS rj2,
+            CAST(COUNT(*) AS BIGINT) AS nblocks
+          FROM ranked GROUP BY event_type),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(MAX(nblocks) AS BIGINT) AS n FROM bytype),
+        sr2 AS (SELECT SUM(CAST(mr2 AS HUGEINT) * mr2) AS s4r2 FROM ranked),
+        dev AS (
+          SELECT k, n,
+            SUM(CAST(FLOOR((CAST(rj2 AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) / 2.0)
+                  * 1e3 + 0.5) AS HUGEINT)
+                * CAST(FLOOR((CAST(rj2 AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) / 2.0)
+                  * 1e3 + 0.5) AS HUGEINT)) AS ssdev
+          FROM bytype CROSS JOIN tot GROUP BY k, n)
+        SELECT k AS n_treatments, n AS n_blocks,
+          FLOOR(((CAST(k AS DOUBLE) - 1.0) * (CAST(ssdev AS DOUBLE) / 1e6) /
+                 (CAST(s4r2 AS DOUBLE) / 4.0 -
+                  CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) + 1.0)
+                    * (CAST(k AS DOUBLE) + 1.0) / 4.0))
+                * 10000 + 0.500001) / 10000 AS chi2_friedman
+        FROM dev CROSS JOIN sr2"""),
+      "Friedman blocked-rank test over day blocks x event-type treatments (midrank ties, DECIMAL moments)"),
+
+    // ---------------------------------------------------------------- q289
+    // Cliff's delta ordinal effect size between English and
+    // non-English document lengths, computed from the two bounded
+    // value histograms: #(a>b) = Σ_v cntA(v)·cumB(<v) — exact integer
+    // dominance counts, never an all-pairs join. The standard
+    // "how big is the difference really" companion to q188's
+    // Mann-Whitney U.
+    Query(
+      "q289_cliffs_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select((col("lang") === "en").as("isa"), col("n_chars").as("v"))
+        val hist = docs.groupBy(col("v"))
+          .agg(count(when(col("isa"), 1)).as("ca"),
+            count(when(!col("isa"), 1)).as("cb"))
+        val wV = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cuma", sum(col("ca")).over(wV) - col("ca"))
+          .withColumn("cumb", sum(col("cb")).over(wV) - col("cb"))
+        cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+            sum(col("ca").cast("decimal(38,0)") * col("cumb")).as("gt"),
+            sum(col("cb").cast("decimal(38,0)") * col("cuma")).as("lt"))
+          .select(col("na").as("n_en"), col("nb").as("n_other"),
+            Num.r6((col("gt").cast("double") - col("lt").cast("double")) /
+              (col("na").cast("double") * col("nb").cast("double")))
+              .as("cliffs_delta"))
+      },
+      Some("""
+        WITH hist AS (
+          SELECT n_chars AS v,
+            CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+            CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS cb
+          FROM documents GROUP BY n_chars),
+        cum AS (
+          SELECT v, ca, cb,
+            SUM(ca) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ca AS cuma,
+            SUM(cb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb AS cumb
+          FROM hist)
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_en,
+          CAST(SUM(cb) AS BIGINT) AS n_other,
+          FLOOR(((CAST(SUM(CAST(ca AS HUGEINT) * cumb) AS DOUBLE)
+                  - CAST(SUM(CAST(cb AS HUGEINT) * cuma) AS DOUBLE)) /
+                 (CAST(SUM(ca) AS DOUBLE) * CAST(SUM(cb) AS DOUBLE)))
+                * 1000000 + 0.500001) / 1000000 AS cliffs_delta
+        FROM cum"""),
+      "Cliff's delta effect size for en-vs-other doc lengths (histogram dominance counts, no all-pairs)"),
+
+    // ---------------------------------------------------------------- q290
+    // Cramér's V (plus the Bergsma bias-corrected variant) for the
+    // event_type × hour-of-day contingency grid — "how strongly does
+    // traffic mix depend on time". Chi-square is assembled from
+    // micro-quantized per-cell terms over the bounded grid; the
+    // correction arithmetic is scalar. Complements q198 (which tests
+    // lang×source independence) with an effect-size measure.
+    Query(
+      "q290_cramers_v",
+      (s, d) => {
+        val obs = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            (expr("unix_micros(ts) div 3600000000") % 24).as("hr"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint() // bounded grid read thrice
+        val rows = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+        val cols = obs.groupBy(col("hr")).agg(sum(col("o")).as("ct"))
+        val tot = obs.agg(sum(col("o")).as("n"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("hr")).as("c"))
+        // densify: an unobserved (type, hour) cell still contributes
+        // (0−e)²/e = e to chi-square — groupBy alone would drop it
+        val dense = rows.select(col("event_type"))
+          .crossJoin(broadcast(cols.select(col("hr"))))
+          .join(obs, Seq("event_type", "hr"), "left")
+          .na.fill(0L, Seq("o"))
+        val chi = dense.join(broadcast(rows), Seq("event_type"))
+          .join(broadcast(cols), Seq("hr"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dev", col("o").cast("double") -
+            col("rt").cast("double") * col("ct").cast("double") /
+              col("n").cast("double"))
+          .select(col("n"), col("r"), col("c"),
+            floor(col("dev") * col("dev") /
+              (col("rt").cast("double") * col("ct").cast("double") /
+                col("n").cast("double")) * lit(1e6) + lit(0.5))
+              .cast("long").as("termq"))
+          .groupBy(col("n"), col("r"), col("c"))
+          .agg(sum(col("termq")).as("chi2q"))
+        chi.select(col("n").as("n_total"), col("r").as("n_rows"),
+            col("c").as("n_cols"),
+            Num.r4(col("chi2q").cast("double") / lit(1e6)).as("chi2"),
+            Num.r6(sqrt(col("chi2q").cast("double") / lit(1e6) /
+              (col("n").cast("double") *
+                (least(col("r"), col("c")).cast("double") - lit(1.0)))))
+              .as("cramers_v"),
+            Num.r6(sqrt(
+              greatest(lit(0.0),
+                col("chi2q").cast("double") / lit(1e6) / col("n").cast("double") -
+                  (col("r").cast("double") - lit(1.0)) *
+                    (col("c").cast("double") - lit(1.0)) /
+                    (col("n").cast("double") - lit(1.0))) /
+              (least(
+                col("r").cast("double") -
+                  (col("r").cast("double") - lit(1.0)) *
+                    (col("r").cast("double") - lit(1.0)) /
+                    (col("n").cast("double") - lit(1.0)),
+                col("c").cast("double") -
+                  (col("c").cast("double") - lit(1.0)) *
+                    (col("c").cast("double") - lit(1.0)) /
+                    (col("n").cast("double") - lit(1.0))) - lit(1.0))))
+              .as("cramers_v_corrected"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+            CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        rws AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+                FROM obs GROUP BY event_type),
+        cls AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY hr),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+                  CAST(COUNT(DISTINCT hr) AS BIGINT) AS c FROM obs),
+        dense AS (
+          SELECT rws.event_type, cls.hr, COALESCE(o, 0) AS o
+          FROM rws CROSS JOIN cls
+          LEFT JOIN obs ON obs.event_type = rws.event_type
+            AND obs.hr = cls.hr),
+        chi AS (
+          SELECT n, r, c,
+            CAST(SUM(CAST(FLOOR(
+              (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) *
+              (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) /
+              (CAST(rt AS DOUBLE) * ct / n) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS chi2q
+          FROM dense JOIN rws USING (event_type) JOIN cls USING (hr)
+          CROSS JOIN tot GROUP BY n, r, c)
+        SELECT n AS n_total, r AS n_rows, c AS n_cols,
+          FLOOR((CAST(chi2q AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS chi2,
+          FLOOR(SQRT(CAST(chi2q AS DOUBLE) / 1e6 /
+                     (CAST(n AS DOUBLE) * (CAST(LEAST(r, c) AS DOUBLE) - 1.0)))
+                * 1000000 + 0.500001) / 1000000 AS cramers_v,
+          FLOOR(SQRT(GREATEST(0.0,
+                  CAST(chi2q AS DOUBLE) / 1e6 / n -
+                  (CAST(r AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                    / (CAST(n AS DOUBLE) - 1.0)) /
+                (LEAST(CAST(r AS DOUBLE) -
+                    (CAST(r AS DOUBLE) - 1.0) * (CAST(r AS DOUBLE) - 1.0)
+                      / (CAST(n AS DOUBLE) - 1.0),
+                  CAST(c AS DOUBLE) -
+                    (CAST(c AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                      / (CAST(n AS DOUBLE) - 1.0))
+                 - 1.0))
+                * 1000000 + 0.500001) / 1000000 AS cramers_v_corrected
+        FROM chi"""),
+      "Cramer's V + Bergsma-corrected V for event_type x hour-of-day (micro-quantized chi-square cells)"),
+
+    // ---------------------------------------------------------------- q291
+    // Rank-biased overlap (p = 0.9, extrapolated) between two source
+    // rankings: by document count vs by total characters — "do my two
+    // size notions agree on which sources dominate". Both rankings
+    // are permutations of the bounded source set; a source joins the
+    // prefix intersection at depth max(rank_a, rank_b), so X_d is a
+    // cumulative count and the depth sum is source-set-bounded.
+    // p^(d−1) is EXP((d−1)·LN p) on both engines (the q255 EXP/LN
+    // discipline), and each depth term is nano-quantized before the
+    // final sum.
+    Query(
+      "q291_rbo",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("ndocs"), sum(col("n_chars")).as("nchars"))
+          .localCheckpoint() // bounded source table ranked twice
+        val ra = Window.orderBy(col("ndocs").desc, col("source"))
+        val rb = Window.orderBy(col("nchars").desc, col("source"))
+        val ranked = bySrc
+          .withColumn("rka", row_number().over(ra))
+          .withColumn("rkb", row_number().over(rb))
+          .select(col("source"),
+            greatest(col("rka"), col("rkb")).cast("long").as("m"))
+        val k = ranked.agg(max(col("m")).as("k"))
+        val depth = ranked.groupBy(col("m")).agg(count(lit(1)).as("joins"))
+        val wD = Window.orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // dense depths 1..k: X_d only changes where a source joins, but
+        // the term p^(d-1)·X_d/d must be summed at EVERY depth — build
+        // the dense axis from the ranked table's row_number itself
+        val axis = ranked.select(row_number().over(Window.orderBy(col("source")))
+          .as("dd"))
+        val xd = axis.join(depth, axis("dd") >= depth("m"), "left")
+          .groupBy(col("dd")).agg(coalesce(sum(col("joins")), lit(0L)).as("x"))
+        val terms = xd
+          .select(floor(exp((col("dd").cast("double") - lit(1.0)) * log(lit(0.9))) *
+            col("x").cast("double") / col("dd").cast("double") * lit(1e9)
+            + lit(0.5)).cast("long").as("tq"))
+          .agg(sum(col("tq")).as("st"))
+        terms.crossJoin(broadcast(k))
+          .select(col("k").as("n_sources"),
+            Num.r6(lit(0.1) * col("st").cast("double") / lit(1e9) +
+              exp(col("k").cast("double") * log(lit(0.9))))
+              .as("rbo_ext"))
+      },
+      Some("""
+        WITH bysrc AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS ndocs,
+            CAST(SUM(n_chars) AS BIGINT) AS nchars
+          FROM documents GROUP BY source),
+        ranked AS (
+          SELECT source,
+            GREATEST(
+              ROW_NUMBER() OVER (ORDER BY ndocs DESC, source),
+              ROW_NUMBER() OVER (ORDER BY nchars DESC, source)) AS m
+          FROM bysrc),
+        k AS (SELECT CAST(MAX(m) AS BIGINT) AS k FROM ranked),
+        depth AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS joins
+                  FROM ranked GROUP BY m),
+        axis AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS dd
+          FROM ranked),
+        xd AS (
+          SELECT dd, COALESCE(CAST(SUM(joins) AS BIGINT), 0) AS x
+          FROM axis LEFT JOIN depth ON dd >= m GROUP BY dd),
+        terms AS (
+          SELECT CAST(SUM(CAST(FLOOR(
+              EXP((CAST(dd AS DOUBLE) - 1.0) * LN(0.9)) *
+              CAST(x AS DOUBLE) / dd * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS st
+          FROM xd)
+        SELECT k AS n_sources,
+          FLOOR((0.1 * CAST(st AS DOUBLE) / 1e9 +
+                 EXP(CAST(k AS DOUBLE) * LN(0.9)))
+                * 1000000 + 0.500001) / 1000000 AS rbo_ext
+        FROM terms CROSS JOIN k"""),
+      "Rank-biased overlap (p=0.9, extrapolated) between doc-count and char-count source rankings")
+  )
+}
