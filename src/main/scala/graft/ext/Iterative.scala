@@ -1,0 +1,254 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative fixed-point continuation, batch 29: Markov stationary
+  * distribution, per-source quantile normalization, and TextRank
+  * keyword extraction. The two power iterations run in EXACT INTEGER
+  * ppb arithmetic — transition weights are round-half-up rationals,
+  * every per-iteration vector entry is an integer, so the k-th
+  * iterate is bit-identical in Spark (driver-side loop over bounded
+  * localCheckpoint'd frames) and DuckDB (recursive CTE with GROUP BY
+  * in the recursive term). Zero-weight self-edges keep every node in
+  * the recursive join alive — an outer join in the recursive term
+  * would recurse forever on NULL iteration counters.
+  */
+object Iterative {
+
+  /** Scala twin of the SQL `(2*w*SCALE + d) div (2*d)` round-half-up. */
+  private val SCALE = 1000000000L
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q292
+    // Stationary distribution of the user-journey Markov chain: the
+    // long-run share of time spent in each event type, the natural
+    // "where does traffic settle" companion to q111's one-step
+    // matrix. 12 integer power iterations over the bounded
+    // states×states matrix; row-normalized ppb weights; states with
+    // no incoming edges decay to zero mass exactly as the math says.
+    Query(
+      "q292_markov_stationary",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("i"), col("next_type").as("j"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("i")).agg(sum(col("n")).as("t"))
+        val states = trans.select(col("i").as("state"))
+          .union(trans.select(col("j"))).distinct().localCheckpoint()
+        val m = trans.join(broadcast(tot), Seq("i"))
+          .select(col("i"), col("j"),
+            expr(s"(2 * n * $SCALE + t) div (2 * t)").as("ppb"))
+          .union(states.select(col("state"), col("state"), lit(0L)))
+          .localCheckpoint()
+        // bounded driver algebra: |states| is the event-type count, a
+        // plan-time constant (the q78 discipline)
+        val k = states.count()
+        var v = states.select(col("state"), lit(SCALE / k).as("vp"))
+        for (_ <- 1 to 12) {
+          v = v.join(m, v("state") === m("i"))
+            .select(m("j").as("state"), (v("vp") * m("ppb")).as("x"))
+            .groupBy(col("state"))
+            .agg(expr(s"(2 * sum(x) + $SCALE) div ${2 * SCALE}").as("vp"))
+            .localCheckpoint()
+        }
+        v.select(col("state").as("event_type"), col("vp").as("ppb"),
+            Num.r6(col("vp").cast("double") / lit(1e9)).as("stationary_p"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH RECURSIVE trans AS (
+          SELECT event_type AS i, next_type AS j, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT event_type,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS next_type
+            FROM events)
+          WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT i, CAST(SUM(n) AS BIGINT) AS t FROM trans GROUP BY i),
+        states AS (SELECT DISTINCT i AS state FROM trans
+                   UNION SELECT DISTINCT j FROM trans),
+        m AS (
+          SELECT i, j, (2 * n * $SCALE + t) // (2 * t) AS ppb
+          FROM trans JOIN tot USING (i)
+          UNION ALL SELECT state, state, 0 FROM states),
+        kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        v(iter, state, vp) AS (
+          SELECT 0, state, $SCALE // k FROM states CROSS JOIN kk
+          UNION ALL
+          SELECT iter + 1, j, (2 * SUM(vp * ppb) + $SCALE) // ${2 * SCALE}
+          FROM v JOIN m ON m.i = v.state WHERE iter < 12 GROUP BY iter + 1, j)
+        SELECT state AS event_type, CAST(vp AS BIGINT) AS ppb,
+          FLOOR((CAST(vp AS DOUBLE) / 1e9) * 1000000 + 0.500001) / 1000000
+            AS stationary_p
+        FROM v WHERE iter = 12 ORDER BY event_type"""),
+      "Markov stationary distribution of event types: 12 exact-integer ppb power iterations over the bounded chain"),
+
+    // ---------------------------------------------------------------- q293
+    // Quantile normalization audit: each source's exact-rank decile
+    // values of document length against the pooled deciles — the
+    // table a normalization pass reads to remap per-source length
+    // distributions onto the corpus distribution. All ranks are the
+    // q281 ceil-rank discipline over bounded histograms; the only
+    // global window is over distinct length values.
+    Query(
+      "q293_quantile_normalize",
+      (s, d) => {
+        val hist = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds per-source and pooled rank scans
+        val deciles = array((1 to 9).map(lit): _*)
+        val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ng = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val srcQ = hist.withColumn("cum", sum(col("c")).over(wS))
+          .join(broadcast(ng), Seq("source"))
+          .select(col("source"), col("v"), col("cum"), col("n"),
+            explode(deciles).as("q"))
+          .filter(col("cum") >= expr("(q * n + 9) div 10"))
+          .groupBy(col("source"), col("q")).agg(min(col("v")).as("src_value"))
+        val pooled = hist.groupBy(col("v")).agg(sum(col("c")).as("c"))
+        val wP = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val np = pooled.agg(sum(col("c")).as("n"))
+        val poolQ = pooled.withColumn("cum", sum(col("c")).over(wP))
+          .crossJoin(broadcast(np))
+          .select(col("v"), col("cum"), col("n"), explode(deciles).as("q"))
+          .filter(col("cum") >= expr("(q * n + 9) div 10"))
+          .groupBy(col("q")).agg(min(col("v")).as("pooled_value"))
+        srcQ.join(broadcast(poolQ), Seq("q"))
+          .select(col("source"), col("q").cast("long").as("decile"),
+            col("src_value"), col("pooled_value"),
+            (col("src_value") - col("pooled_value")).as("shift"))
+          .orderBy(col("source"), col("decile"))
+      },
+      Some("""
+        WITH hist AS (
+          SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, n_chars),
+        qs AS (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS q),
+        ng AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+               FROM hist GROUP BY source),
+        scum AS (
+          SELECT source, v,
+            SUM(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        srcq AS (
+          SELECT source, q, CAST(MIN(v) AS BIGINT) AS src_value
+          FROM scum JOIN ng USING (source) CROSS JOIN qs
+          WHERE cum >= (q * n + 9) // 10
+          GROUP BY source, q),
+        pooled AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM hist GROUP BY v),
+        np AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pooled),
+        pcum AS (
+          SELECT v, SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pooled),
+        poolq AS (
+          SELECT q, CAST(MIN(v) AS BIGINT) AS pooled_value
+          FROM pcum CROSS JOIN np CROSS JOIN qs
+          WHERE cum >= (q * n + 9) // 10
+          GROUP BY q)
+        SELECT source, CAST(q AS BIGINT) AS decile, src_value, pooled_value,
+          src_value - pooled_value AS shift
+        FROM srcq JOIN poolq USING (q)
+        ORDER BY source, decile"""),
+      "Quantile-normalization audit: per-source vs pooled exact-rank length deciles and their shifts"),
+
+    // ---------------------------------------------------------------- q294
+    // TextRank keywords: damped PageRank (d = 0.85 = 17/20, 10
+    // iterations) over the adjacency graph of the top-100 corpus
+    // tokens, edge weight = adjacent-cooccurrence count, symmetrized.
+    // Same exact-integer ppb machinery as q292; 0.85·x rounds as
+    // (17x+10) div 20 and the teleport term as (3e8+k) div (2k), so
+    // both engines walk identical integer states. Top-10 keywords.
+    Query(
+      "q294_textrank",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "t")
+        val top = toks.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("t")).limit(100)
+          .select(col("t")).localCheckpoint()
+        val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val adj = toks.withColumn("nt", lead(col("t"), 1).over(wD))
+          .filter(col("nt").isNotNull && col("t") =!= col("nt"))
+          .select(col("t").as("a"), col("nt").as("b"))
+          .join(broadcast(top.select(col("t").as("a"))), Seq("a"))
+          .join(broadcast(top.select(col("t").as("b"))), Seq("b"))
+        val und = adj.select(col("a").as("i"), col("b").as("j"))
+          .union(adj.select(col("b"), col("a")))
+          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+        val deg = und.groupBy(col("i")).agg(sum(col("w")).as("dg"))
+        val m = und.join(broadcast(deg), Seq("i"))
+          .select(col("i"), col("j"),
+            expr(s"(2 * w * $SCALE + dg) div (2 * dg)").as("ppb"))
+          .union(top.select(col("t"), col("t"), lit(0L)))
+          .localCheckpoint()
+        val k = top.count() // bounded driver algebra (≤ 100)
+        val base = (300000000L + k) / (2L * k)
+        var v = top.select(col("t").as("node"), lit(SCALE / k).as("vp"))
+        for (_ <- 1 to 10) {
+          v = v.join(m, v("node") === m("i"))
+            .select(m("j").as("node"), (v("vp") * m("ppb")).as("x"))
+            .groupBy(col("node"))
+            .agg(expr(
+              s"$base + (17 * ((2 * sum(x) + $SCALE) div ${2 * SCALE}) + 10) div 20")
+              .as("vp"))
+            .localCheckpoint()
+        }
+        v.orderBy(col("vp").desc, col("node")).limit(10)
+          .select(col("node").as("keyword"), col("vp").as("rank_ppb"))
+          .orderBy(col("rank_ppb").desc, col("keyword"))
+      },
+      Some(s"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, pos, t FROM (
+            SELECT doc_id,
+              UNNEST(string_split(text, ' ')) AS t,
+              UNNEST(GENERATE_SERIES(1, LEN(string_split(text, ' ')))) AS pos
+            FROM documents)),
+        top AS (
+          SELECT t FROM (SELECT t, COUNT(*) AS freq FROM toks GROUP BY t)
+          ORDER BY freq DESC, t LIMIT 100),
+        adj AS (
+          SELECT a, b FROM (
+            SELECT t AS a,
+              LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM toks)
+          WHERE b IS NOT NULL AND a <> b
+            AND a IN (SELECT t FROM top) AND b IN (SELECT t FROM top)),
+        und AS (
+          SELECT i, j, CAST(COUNT(*) AS BIGINT) AS w FROM (
+            SELECT a AS i, b AS j FROM adj
+            UNION ALL SELECT b, a FROM adj)
+          GROUP BY i, j),
+        deg AS (SELECT i, CAST(SUM(w) AS BIGINT) AS dg FROM und GROUP BY i),
+        m AS (
+          SELECT i, j, (2 * w * $SCALE + dg) // (2 * dg) AS ppb
+          FROM und JOIN deg USING (i)
+          UNION ALL SELECT t, t, 0 FROM top),
+        kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM top),
+        v(iter, node, vp) AS (
+          SELECT 0, t, $SCALE // k FROM top CROSS JOIN kk
+          UNION ALL
+          SELECT iter + 1, j,
+            (SELECT (300000000 + k) // (2 * k) FROM kk)
+            + (17 * ((2 * SUM(vp * ppb) + $SCALE) // ${2 * SCALE}) + 10) // 20
+          FROM v JOIN m ON m.i = v.node WHERE iter < 10 GROUP BY iter + 1, j)
+        SELECT node AS keyword, CAST(vp AS BIGINT) AS rank_ppb
+        FROM v WHERE iter = 10
+        ORDER BY rank_ppb DESC, keyword LIMIT 10"""),
+      "TextRank keywords over the top-100 token adjacency graph (10 damped exact-integer ppb iterations, top 10)")
+  )
+}
