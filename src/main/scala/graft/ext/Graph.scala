@@ -945,5 +945,193 @@ object Graph {
             AS betweenness
         FROM b ORDER BY bq DESC, node LIMIT 20"""
       },
-      "3-hop-truncated Brandes betweenness from the top-20 hub seeds: integer sigma forward BFS, micro-quantized dependency accumulation backward"))
+      "3-hop-truncated Brandes betweenness from the top-20 hub seeds: integer sigma forward BFS, micro-quantized dependency accumulation backward"),
+
+    // ---------------------------------------------------------------- q353
+    // Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)): do the
+    // high-degree suppliers preferentially trade with EACH OTHER?
+    // Evaluated on a fixed k grid over the backbone; every count is an
+    // exact integer, the single division is the output. The structural
+    // complement to assortativity (q217): assortativity is the
+    // correlation, rich-club is the subgraph density profile.
+    Query(
+      "q353_rich_club",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val deg = e0.select(col("u").as("node"))
+          .unionByName(e0.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val ks = s.range(1, 6).select(pow(lit(2.0), col("id")).cast("long").as("k"))
+        val nk = ks.join(deg, col("deg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+        val ek = ks.join(
+            e0.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+              .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v"),
+            col("du") > col("k") && col("dv") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            graft.Num.r4(lit(2.0) * coalesce(col("n_edges"), lit(0L)).cast("double") /
+              (col("n_nodes").cast("double") * (col("n_nodes").cast("double") - lit(1.0))))
+              .as("phi"))
+          .filter(col("n_nodes") >= 2)
+          .orderBy(col("k"))
+      },
+      Some(s"""
+        WITH $sqlBackbone,
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY node),
+        ks AS (SELECT CAST(POW(2, k) AS BIGINT) AS k
+               FROM (SELECT UNNEST(RANGE(1, 6)) AS k)),
+        nk AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM ks JOIN deg ON deg.deg > ks.k GROUP BY k),
+        ek AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM ks JOIN (
+            SELECT du.deg AS du, dv.deg AS dv
+            FROM e0 JOIN deg du ON du.node = e0.u
+                    JOIN deg dv ON dv.node = e0.v) p
+            ON p.du > ks.k AND p.dv > ks.k
+          GROUP BY k)
+        SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+          FLOOR((2.0 * COALESCE(ek.n_edges, 0) /
+                 (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1.0)))
+                * 10000 + 0.500001) / 10000 AS phi
+        FROM nk LEFT JOIN ek ON ek.k = nk.k
+        WHERE nk.n_nodes >= 2
+        ORDER BY nk.k"""),
+      "rich-club density profile phi(k) on the backbone over the k = 2,4,8,16,32 degree grid"),
+
+    // ---------------------------------------------------------------- q354
+    // Preferential-attachment link prediction: for 2-hop-connected but
+    // non-adjacent supplier pairs, score = deg(u)·deg(v) — the classic
+    // baseline next to Adamic–Adar (q196; AA weights the SHARED
+    // neighbors, PA only the endpoints). Candidates come from the
+    // wedge join (never all-pairs); output the top-20 predicted links
+    // with their common-neighbor counts.
+    Query(
+      "q354_pref_attachment",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val wedges = edges.select(col("a").as("u"), col("b").as("w"))
+          .join(edges.select(col("a").as("w"), col("b").as("v")), "w")
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+        val cand = wedges.join(e0, Seq("u", "v"), "left_anti")
+        cand.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"), col("common"),
+            (col("du") * col("dv")).as("pa_score"))
+          .orderBy(col("pa_score").desc, col("u"), col("v")).limit(20)
+      },
+      Some(s"""
+        WITH $sqlBackbone,
+        e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        wedges AS (
+          SELECT x.a AS u, y.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+          FROM e x JOIN e y ON x.b = y.a
+          WHERE x.a < y.b
+          GROUP BY x.a, y.b),
+        cand AS (
+          SELECT w.* FROM wedges w
+          WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v))
+        SELECT c.u, c.v, c.common,
+          CAST(du.deg * dv.deg AS BIGINT) AS pa_score
+        FROM cand c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+        ORDER BY pa_score DESC, c.u, c.v LIMIT 20"""),
+      "preferential-attachment link prediction over wedge-generated non-adjacent candidate pairs (top-20)"),
+
+    // ---------------------------------------------------------------- q355
+    // Wasserman–Faust closeness of the top-20 hubs, 3-hop-truncated:
+    // C(s) = ((r−1)/Σd) · ((r−1)/(n−1)) over the nodes reached within
+    // 3 hops — the "how quickly can this node reach the network"
+    // companion to harmonic centrality (q222; harmonic handles
+    // disconnection by summing 1/d, closeness by restricting to the
+    // reached set and scaling by its share). Same bounded multi-source
+    // BFS: 20 seeds × ≤5000 edges, distances and counts all integer.
+    Query(
+      "q355_closeness",
+      (s, d) => {
+        val e0 = backbone(s, d)
+        val edges = e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val n = deg.agg(count(lit(1)).as("n"))
+        val seeds = deg.orderBy(col("deg").desc, col("node")).limit(20)
+          .select(col("node").as("seed")).localCheckpoint()
+        val l0 = seeds.select(col("seed"), col("seed").as("node"))
+          .localCheckpoint()
+        def expand(cur: org.apache.spark.sql.DataFrame,
+            visited: org.apache.spark.sql.DataFrame) = cur
+          .select(col("seed"), col("node").as("a"))
+          .join(broadcast(edges), Seq("a"))
+          .select(col("seed"), col("b").as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .localCheckpoint()
+        val l1 = expand(l0, l0)
+        val v1 = l0.unionByName(l1).localCheckpoint()
+        val l2 = expand(l1, v1)
+        val v2 = v1.unionByName(l2).localCheckpoint()
+        val l3 = expand(l2, v2)
+        val all = l1.withColumn("dist", lit(1L))
+          .unionByName(l2.withColumn("dist", lit(2L)))
+          .unionByName(l3.withColumn("dist", lit(3L)))
+        all.groupBy(col("seed"))
+          .agg(count(lit(1)).as("r1"), sum(col("dist")).as("sd"))
+          .crossJoin(broadcast(n))
+          .select(col("seed").as("node"), (col("r1") + lit(1)).as("n_reached"),
+            graft.Num.r6((col("r1").cast("double") / col("sd").cast("double")) *
+              (col("r1").cast("double") / (col("n").cast("double") - lit(1.0))))
+              .as("closeness"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def layer(i: Int): String = {
+          val p = i - 1
+          s"""s$i AS MATERIALIZED (
+              SELECT DISTINCT f.seed, e.b AS node
+              FROM s$p f JOIN e ON e.a = f.node
+              WHERE NOT EXISTS (SELECT 1 FROM v$p v
+                                WHERE v.seed = f.seed AND v.node = e.b)),
+          v$i AS (SELECT seed, node FROM v$p
+                  UNION ALL SELECT seed, node FROM s$i)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+        e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+                           UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        seeds AS MATERIALIZED (
+          SELECT node AS seed FROM deg ORDER BY deg DESC, node LIMIT 20),
+        s0 AS (SELECT seed, seed AS node FROM seeds),
+        v0 AS (SELECT seed, node FROM s0),
+        ${(1 to 3).map(layer).mkString(",\n        ")},
+        reach AS (
+          SELECT seed, CAST(COUNT(*) AS BIGINT) AS r1,
+            CAST(SUM(dist) AS BIGINT) AS sd
+          FROM (SELECT seed, node, 1 AS dist FROM s1
+                UNION ALL SELECT seed, node, 2 FROM s2
+                UNION ALL SELECT seed, node, 3 FROM s3)
+          GROUP BY seed)
+        SELECT seed AS node, r1 + 1 AS n_reached,
+          FLOOR(((CAST(r1 AS DOUBLE) / sd) * (CAST(r1 AS DOUBLE) / (n.n - 1.0)))
+                * 1000000 + 0.500001) / 1000000 AS closeness
+        FROM reach CROSS JOIN n
+        ORDER BY node"""
+      },
+      "Wasserman-Faust closeness of the top-20 hubs, 3-hop bounded multi-source BFS"))
 }

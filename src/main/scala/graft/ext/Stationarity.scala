@@ -1,0 +1,254 @@
+package graft.ext
+
+import graft.{Num, Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostic continuation, batch 47: Durbin–Watson serial
+  * correlation of detrended daily volume, the Wald–Wolfowitz runs test,
+  * and the KPSS level-stationarity statistic. Together with the ADF
+  * unit-root test (q309) and Ljung–Box portmanteau (q338) these close
+  * out the standard pre-modeling battery: ADF's null is "unit root",
+  * KPSS's null is "stationary" — running both brackets the answer;
+  * DW/runs audit the residual independence assumption every OLS trend
+  * (q145, q303) quietly makes.
+  *
+  * Exactness: the daily series is integer counts; OLS moments ride
+  * DECIMAL(38); residuals/deviations quantize to the 1e-6 grid before
+  * any ordered cross-row sum, so both engines sum identical integers
+  * in any order. Observed days are treated as consecutive (the q309
+  * convention; calendar gaps are q343's own audit).
+  */
+object Stationarity {
+
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+
+  private val dailySql =
+    """daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1)"""
+
+  def queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q350
+    // Durbin–Watson on the residuals of the daily-volume OLS trend:
+    // DW ≈ 2 means independent residuals, → 0 positive serial
+    // correlation (the usual case for traffic), → 4 negative. The
+    // residual grid is 1e-6; numerator/denominator second moments ride
+    // DECIMAL so the 100× series cannot overflow.
+    Query(
+      "q350_durbin_watson",
+      (s, d) => {
+        val dl = daily(s, d)
+        val mo = dl.agg(count(lit(1)).as("n"),
+          sum(col("day")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("day").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("day").cast("decimal(38,0)") * col("day")).as("sxx"))
+        val fit = mo.select(col("n"),
+          ((col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double") / col("n").cast("double")) /
+           (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n").cast("double"))).as("b"),
+          (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+          (col("sx").cast("double") / col("n").cast("double")).as("xbar"))
+        val res = dl.crossJoin(broadcast(fit))
+          .select(col("day"), col("n"), col("b"),
+            floor((col("y").cast("double") -
+              (col("ybar") + col("b") * (col("day").cast("double") - col("xbar"))))
+              * lit(1e6) + lit(0.5)).cast("long").as("qe"))
+        val wT = Window.orderBy(col("day"))
+        res.withColumn("de", col("qe") - lag(col("qe"), 1).over(wT))
+          .agg(max(col("n")).as("n_days"), max(Num.r6(col("b"))).as("slope"),
+            sum(col("de").cast("decimal(38,0)") * col("de")).as("num"),
+            sum(col("qe").cast("decimal(38,0)") * col("qe")).as("den"))
+          .select(col("n_days"), col("slope"),
+            Num.r4(col("num").cast("double") / col("den").cast("double"))
+              .as("dw_stat"))
+      },
+      Some(s"""
+        WITH $dailySql,
+        mo AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(CAST(day AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(SUM(CAST(day AS HUGEINT) * day) AS HUGEINT) AS sxx
+          FROM daily),
+        fit AS (
+          SELECT n,
+            (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+            CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar
+          FROM mo),
+        res AS (
+          SELECT day, n, b,
+            CAST(FLOOR((CAST(y AS DOUBLE) -
+              (ybar + b * (CAST(day AS DOUBLE) - xbar))) * 1e6 + 0.5) AS BIGINT)
+              AS qe
+          FROM daily CROSS JOIN fit),
+        de AS (
+          SELECT n, b, qe, qe - LAG(qe) OVER (ORDER BY day) AS de FROM res)
+        SELECT MAX(n) AS n_days,
+          MAX(FLOOR(b * 1000000 + 0.500001) / 1000000) AS slope,
+          FLOOR((CAST(SUM(CAST(de AS HUGEINT) * de) AS DOUBLE) /
+                 CAST(SUM(CAST(qe AS HUGEINT) * qe) AS DOUBLE))
+                * 10000 + 0.500001) / 10000 AS dw_stat
+        FROM de"""),
+      "Durbin-Watson serial-correlation statistic on detrended daily volume (1e-6 residual grid)"),
+
+    // ---------------------------------------------------------------- q351
+    // Wald–Wolfowitz runs test: are above-median and below-median days
+    // randomly interleaved, or do they clump (regimes/trends)? Days
+    // equal to the lower median are excluded (the standard rule);
+    // R, n1, n2 are exact integers and Z comes from the closed form.
+    Query(
+      "q351_runs_test",
+      (s, d) => {
+        val dl = daily(s, d)
+        val wR = Window.orderBy(col("y"), col("day"))
+        val med = dl.withColumn("rn", row_number().over(wR))
+          .crossJoin(broadcast(dl.agg(count(lit(1)).as("n"))))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("y").as("med"))
+        val sgn = dl.crossJoin(broadcast(med))
+          .filter(col("y") =!= col("med"))
+          .select(col("day"), (col("y") > col("med")).cast("int").as("s"))
+        val wT = Window.orderBy(col("day"))
+        sgn.withColumn("chg",
+            when(lag(col("s"), 1).over(wT).isNull, 1)
+              .when(col("s") =!= lag(col("s"), 1).over(wT), 1).otherwise(0))
+          .agg(sum(col("s")).as("n1"),
+            sum(lit(1) - col("s")).as("n2"),
+            sum(col("chg")).as("runs"))
+          .select(col("n1").cast("long").as("n_above"),
+            col("n2").cast("long").as("n_below"),
+            col("runs").cast("long").as("n_runs"),
+            Num.r4({
+              val n1 = col("n1").cast("double")
+              val n2 = col("n2").cast("double")
+              val r = col("runs").cast("double")
+              val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+              val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+                ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+              (r - mu) / sqrt(v)
+            }).as("z_runs"))
+      },
+      Some(s"""
+        WITH $dailySql,
+        med AS (
+          SELECT y AS med FROM (
+            SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS rn,
+              COUNT(*) OVER () AS n
+            FROM daily)
+          WHERE rn = (n + 1) // 2),
+        sgn AS (
+          SELECT day, CAST(y > med AS INT) AS s
+          FROM daily CROSS JOIN med WHERE y <> med),
+        chg AS (
+          SELECT s,
+            CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL THEN 1
+                 WHEN s <> LAG(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+          FROM sgn),
+        m AS (
+          SELECT CAST(SUM(s) AS BIGINT) AS n1,
+            CAST(SUM(1 - s) AS BIGINT) AS n2,
+            CAST(SUM(chg) AS BIGINT) AS runs
+          FROM chg)
+        SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+          FLOOR(((CAST(runs AS DOUBLE) -
+                  (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+                 SQRT(2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2) /
+                      ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2) *
+                       (CAST(n1 AS DOUBLE) + n2 - 1.0))))
+                * 10000 + 0.500001) / 10000 AS z_runs
+        FROM m"""),
+      "Wald-Wolfowitz runs test for random interleaving of above/below-median days"),
+
+    // ---------------------------------------------------------------- q352
+    // KPSS level-stationarity statistic (Bartlett window l=4). The
+    // trick that keeps it cross-engine exact: scale deviations by n
+    // (D_t = n·y_t − Σy is an exact integer), so partial sums and all
+    // five autocovariance moments are integer sums; the single final
+    // division produces the statistic. η < 0.463 fails to reject level
+    // stationarity at 5%.
+    Query(
+      "q352_kpss",
+      (s, d) => {
+        val dl = daily(s, d)
+        val tot = dl.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        val dev = dl.crossJoin(broadcast(tot))
+          .select(col("day"), col("n"),
+            (col("n") * col("y") - col("sy")).as("dd"))
+        val wT = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wL = Window.orderBy(col("day"))
+        val g = dev
+          .withColumn("sp", sum(col("dd")).over(wT))
+          .withColumn("l1", lag(col("dd"), 1).over(wL))
+          .withColumn("l2", lag(col("dd"), 2).over(wL))
+          .withColumn("l3", lag(col("dd"), 3).over(wL))
+          .withColumn("l4", lag(col("dd"), 4).over(wL))
+        g.agg(max(col("n")).as("n"),
+            sum(col("sp").cast("decimal(38,0)") * col("sp")).as("ss2"),
+            sum(col("dd").cast("decimal(38,0)") * col("dd")).as("g0"),
+            sum(col("dd").cast("decimal(38,0)") * col("l1")).as("g1"),
+            sum(col("dd").cast("decimal(38,0)") * col("l2")).as("g2"),
+            sum(col("dd").cast("decimal(38,0)") * col("l3")).as("g3"),
+            sum(col("dd").cast("decimal(38,0)") * col("l4")).as("g4"))
+          .select(col("n").as("n_days"),
+            Num.r4(lit(5.0) * col("ss2").cast("double") /
+              (col("n").cast("double") *
+                (lit(5.0) * col("g0").cast("double") +
+                 lit(2.0) * (lit(4.0) * col("g1").cast("double") +
+                   lit(3.0) * col("g2").cast("double") +
+                   lit(2.0) * col("g3").cast("double") +
+                   col("g4").cast("double")))))
+              .as("kpss_stat"))
+          .withColumn("level_stationary_5pct", col("kpss_stat") < 0.463)
+      },
+      Some(s"""
+        WITH $dailySql,
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+          FROM daily),
+        dev AS (
+          SELECT day, n, n * y - sy AS dd
+          FROM daily CROSS JOIN tot),
+        g AS (
+          SELECT n, dd,
+            SUM(dd) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+            LAG(dd, 1) OVER (ORDER BY day) AS l1,
+            LAG(dd, 2) OVER (ORDER BY day) AS l2,
+            LAG(dd, 3) OVER (ORDER BY day) AS l3,
+            LAG(dd, 4) OVER (ORDER BY day) AS l4
+          FROM dev),
+        m AS (
+          SELECT MAX(n) AS n,
+            CAST(SUM(CAST(sp AS HUGEINT) * sp) AS HUGEINT) AS ss2,
+            CAST(SUM(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS g0,
+            CAST(SUM(CAST(dd AS HUGEINT) * l1) AS HUGEINT) AS g1,
+            CAST(SUM(CAST(dd AS HUGEINT) * l2) AS HUGEINT) AS g2,
+            CAST(SUM(CAST(dd AS HUGEINT) * l3) AS HUGEINT) AS g3,
+            CAST(SUM(CAST(dd AS HUGEINT) * l4) AS HUGEINT) AS g4
+          FROM g)
+        SELECT n AS n_days,
+          FLOOR((5.0 * CAST(ss2 AS DOUBLE) /
+                 (CAST(n AS DOUBLE) *
+                  (5.0 * CAST(g0 AS DOUBLE) +
+                   2.0 * (4.0 * CAST(g1 AS DOUBLE) + 3.0 * CAST(g2 AS DOUBLE) +
+                          2.0 * CAST(g3 AS DOUBLE) + CAST(g4 AS DOUBLE)))))
+                * 10000 + 0.500001) / 10000 AS kpss_stat,
+          (FLOOR((5.0 * CAST(ss2 AS DOUBLE) /
+                 (CAST(n AS DOUBLE) *
+                  (5.0 * CAST(g0 AS DOUBLE) +
+                   2.0 * (4.0 * CAST(g1 AS DOUBLE) + 3.0 * CAST(g2 AS DOUBLE) +
+                          2.0 * CAST(g3 AS DOUBLE) + CAST(g4 AS DOUBLE)))))
+                * 10000 + 0.500001) / 10000) < 0.463 AS level_stationary_5pct
+        FROM m"""),
+      "KPSS level-stationarity statistic via n-scaled integer deviations (Bartlett l=4)")
+  )
+}
