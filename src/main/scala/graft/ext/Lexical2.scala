@@ -171,7 +171,7 @@ object Lexical2 {
         tot AS (
           SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(ai) AS BIGINT) AS aa,
             CAST(COUNT(*) AS BIGINT) AS k
-          FROM per)
+          FROM per),
         qc AS (
           SELECT CAST(FLOOR((
             (ai - ni * CAST(aa AS DOUBLE) / nn) * (ai - ni * CAST(aa AS DOUBLE) / nn)
