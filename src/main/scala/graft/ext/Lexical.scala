@@ -228,6 +228,64 @@ object Lexical {
           FLOOR((CAST(retained AS DOUBLE) / nu * EXP(off * LN(0.9)))
                 * 1000000 + 0.500001) / 1000000 AS discounted
         FROM offs CROSS JOIN nu ORDER BY week_offset"""),
-      "Discounted weekly-retention LTV curve (offsets 0-8, gamma=0.9 via EXP/LN, exact distinct-user counts)")
+      "Discounted weekly-retention LTV curve (offsets 0-8, gamma=0.9 via EXP/LN, exact distinct-user counts)"),
+
+    // ---------------------------------------------------------------- q362
+    // Pairwise source VOCABULARY overlap: Szymkiewicz–Simpson overlap
+    // coefficient |A∩B|/min(|A|,|B|), Sørensen–Dice and Jaccard — the
+    // set-membership companion to q334's distribution-level JSD matrix
+    // (a source can reuse another's entire vocabulary yet have maximal
+    // JSD; overlap sees through frequency). One distinct (source,
+    // token) pass, then a token-keyed equi-join shuffles only the
+    // vocab-bounded set; 20 sources → ≤190 output pairs. Zero-
+    // intersection pairs are omitted (inner join; the q318 discipline).
+    Query(
+      "q362_vocab_overlap",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .distinct()
+        val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+        val inter = vocab.select(col("source").as("sa"), col("t"))
+          .join(vocab.select(col("source").as("sb"), col("t")), Seq("t"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("sa"), col("nv").as("na"))), Seq("sa"))
+          .join(broadcast(sizes.select(col("source").as("sb"), col("nv").as("nb"))), Seq("sb"))
+          .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_common"),
+            Num.r4(col("n_common").cast("double") /
+              least(col("na"), col("nb")).cast("double")).as("overlap_coef"),
+            Num.r4(lit(2.0) * col("n_common").cast("double") /
+              (col("na") + col("nb")).cast("double")).as("dice"),
+            Num.r4(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some(s"""
+        WITH vocab AS (
+          SELECT DISTINCT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+          FROM documents),
+        sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+          FROM vocab GROUP BY source),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM vocab a JOIN vocab b ON a.t = b.t AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT sa, sb, na.nv AS na, nb.nv AS nb, n_common,
+          ${Num.sql("CAST(n_common AS DOUBLE) / LEAST(na.nv, nb.nv)", 4)}
+            AS overlap_coef,
+          ${Num.sql("2.0 * CAST(n_common AS DOUBLE) / (na.nv + nb.nv)", 4)}
+            AS dice,
+          ${Num.sql("CAST(n_common AS DOUBLE) / (na.nv + nb.nv - n_common)", 4)}
+            AS jaccard
+        FROM inter
+        JOIN sizes na ON na.source = inter.sa
+        JOIN sizes nb ON nb.source = inter.sb
+        ORDER BY sa, sb"""),
+      "Pairwise source vocabulary overlap coefficient / Dice / Jaccard over distinct token sets (vocab-bounded token join, zero-overlap pairs omitted)")
   )
 }

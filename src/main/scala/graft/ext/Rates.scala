@@ -200,6 +200,180 @@ object Rates {
                  (CAST(st AS DOUBLE) / 1e12)) * 1000000 + 0.500001) / 1000000
             AS cvm_stat
         FROM terms"""),
-      "Two-sample Cramer-von Mises between en/other lengths (pooled-weighted quantized EDF-gap squares)")
+      "Two-sample Cramer-von Mises between en/other lengths (pooled-weighted quantized EDF-gap squares)"),
+
+    // ---------------------------------------------------------------- q361
+    // Wald SPRT audit on the md5 A/B arms: per (user, day) exposure in
+    // arm 1, success = a purchase that day; H0: p = p̂0 (arm-0 pooled
+    // daily conversion), H1: p = 1.1·p̂0. The cumulative log-likelihood
+    // ratio after day t is cumS·ln(p1/p0) + cumF·ln((1−p1)/(1−p0)) —
+    // computed from EXACT cumulative integer counts times two log
+    // constants in one expression per row (never an iterative double
+    // sum), the q335 EXP/LN discipline — against Wald's ±ln 19 bounds
+    // (α = β = 0.05). The day window is calendar-bounded (the daily-
+    // volume precedent), everything upstream is one linear pass.
+    Query(
+      "q361_sprt",
+      (s, d) => {
+        val exposure = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(col("pur")).as("succ"))
+          .withColumn("arm", graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+        val p0row = exposure.filter(col("arm") === 0)
+          .agg(count(lit(1)).as("n0"), sum(col("succ")).as("s0"))
+        val daily = exposure.filter(col("arm") === 1)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_trials"), sum(col("succ")).as("n_success"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily
+          .withColumn("cs", sum(col("n_success")).over(w))
+          .withColumn("cn", sum(col("n_trials")).over(w))
+        cum.crossJoin(broadcast(p0row))
+          .withColumn("p0", col("s0").cast("double") / col("n0").cast("double"))
+          .withColumn("llr",
+            col("cs").cast("double") * log(lit(1.1)) +
+              (col("cn") - col("cs")).cast("double") *
+                log((lit(1.0) - lit(1.1) * col("p0")) / (lit(1.0) - col("p0"))))
+          .select(col("day"), col("n_trials"), col("n_success"),
+            Num.r6(col("llr")).as("cum_llr"),
+            when(col("llr") >= log(lit(19.0)), lit("accept_h1"))
+              .when(col("llr") <= -log(lit(19.0)), lit("accept_h0"))
+              .otherwise(lit("continue")).as("state"))
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH exposure AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS succ,
+            ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")}
+              % 2 AS arm
+          FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+        p0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(succ) AS BIGINT) AS s0
+          FROM exposure WHERE arm = 0),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_trials,
+            CAST(SUM(succ) AS BIGINT) AS n_success
+          FROM exposure WHERE arm = 1 GROUP BY day),
+        cum AS (
+          SELECT day, n_trials, n_success,
+            SUM(n_success) OVER w AS cs, SUM(n_trials) OVER w AS cn
+          FROM daily
+          WINDOW w AS (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        t AS (
+          SELECT day, n_trials, n_success,
+            CAST(cs AS DOUBLE) * LN(1.1)
+              + CAST(cn - cs AS DOUBLE)
+                * LN((1.0 - 1.1 * (CAST(s0 AS DOUBLE) / n0))
+                     / (1.0 - CAST(s0 AS DOUBLE) / n0)) AS llr
+          FROM cum CROSS JOIN p0)
+        SELECT day, n_trials, n_success,
+          ${Num.sql("llr", 6)} AS cum_llr,
+          CASE WHEN llr >= LN(19.0) THEN 'accept_h1'
+               WHEN llr <= -LN(19.0) THEN 'accept_h0'
+               ELSE 'continue' END AS state
+        FROM t ORDER BY day"""),
+      "Wald SPRT on the md5 A/B arms (H1 = 1.1x arm-0 conversion): cumulative LLR from exact integer counts times log constants, +/- ln 19 bounds"),
+
+    // ---------------------------------------------------------------- q364
+    // Difference-in-differences on the md5 arms: outcome = events per
+    // (user, day) exposure cell, periods split at the exact integer
+    // calendar midpoint mid = (min_day + max_day + 1) div 2. The 2×2
+    // cell means come from exact integer (n, Σy, Σy²) pivoted into ONE
+    // row, so DiD = (m̄11−m̄10) − (m̄01−m̄00) and the unpooled-variance
+    // Wald SE are single fixed-order double expressions — the causal-
+    // inference companion to q195's CUPED (which adjusts; this
+    // differences). Everything is one linear pass + a 4-group agg.
+    Query(
+      "q364_did",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("y"))
+        val mid = cells.agg(
+          expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val g = cells.crossJoin(broadcast(mid))
+          .withColumn("arm", graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+          .withColumn("post", when(col("day") >= col("mid"), 1).otherwise(0))
+          .groupBy(col("arm"), col("post"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+        def cell(a: Int, p: Int, c: String) =
+          max(when(col("arm") === a && col("post") === p, col(c)))
+        val w = g.agg(
+          cell(0, 0, "n").as("n00"), cell(0, 0, "sy").as("sy00"), cell(0, 0, "syy").as("syy00"),
+          cell(0, 1, "n").as("n01"), cell(0, 1, "sy").as("sy01"), cell(0, 1, "syy").as("syy01"),
+          cell(1, 0, "n").as("n10"), cell(1, 0, "sy").as("sy10"), cell(1, 0, "syy").as("syy10"),
+          cell(1, 1, "n").as("n11"), cell(1, 1, "sy").as("sy11"), cell(1, 1, "syy").as("syy11"))
+        def m(k: String) = col(s"sy$k").cast("double") / col(s"n$k").cast("double")
+        def v(k: String) =
+          (col(s"syy$k").cast("double")
+            - col(s"sy$k").cast("double") * col(s"sy$k").cast("double")
+              / col(s"n$k").cast("double")) /
+            (col(s"n$k") - 1).cast("double") / col(s"n$k").cast("double")
+        w.select(
+          col("n00"), col("n01"), col("n10"), col("n11"),
+          Num.r6(m("00")).as("m00"), Num.r6(m("01")).as("m01"),
+          Num.r6(m("10")).as("m10"), Num.r6(m("11")).as("m11"),
+          Num.r6(m("11") - m("10") - (m("01") - m("00"))).as("did"),
+          Num.r6(sqrt(v("11") + v("10") + v("01") + v("00"))).as("se"),
+          Num.r4((m("11") - m("10") - (m("01") - m("00"))) /
+            sqrt(v("11") + v("10") + v("01") + v("00"))).as("t_stat"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+        mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM cells),
+        g AS (
+          SELECT ${graft.ext.Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")}
+              % 2 AS arm,
+            CASE WHEN day >= mid THEN 1 ELSE 0 END AS post,
+            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM cells CROSS JOIN mid GROUP BY 1, 2),
+        w AS (
+          SELECT
+            MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+            MAX(CASE WHEN arm = 0 AND post = 0 THEN sy END) AS sy00,
+            MAX(CASE WHEN arm = 0 AND post = 0 THEN syy END) AS syy00,
+            MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+            MAX(CASE WHEN arm = 0 AND post = 1 THEN sy END) AS sy01,
+            MAX(CASE WHEN arm = 0 AND post = 1 THEN syy END) AS syy01,
+            MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+            MAX(CASE WHEN arm = 1 AND post = 0 THEN sy END) AS sy10,
+            MAX(CASE WHEN arm = 1 AND post = 0 THEN syy END) AS syy10,
+            MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+            MAX(CASE WHEN arm = 1 AND post = 1 THEN sy END) AS sy11,
+            MAX(CASE WHEN arm = 1 AND post = 1 THEN syy END) AS syy11
+          FROM g),
+        t AS (
+          SELECT n00, n01, n10, n11,
+            CAST(sy00 AS DOUBLE) / n00 AS m00, CAST(sy01 AS DOUBLE) / n01 AS m01,
+            CAST(sy10 AS DOUBLE) / n10 AS m10, CAST(sy11 AS DOUBLE) / n11 AS m11,
+            (CAST(syy00 AS DOUBLE) - CAST(sy00 AS DOUBLE) * CAST(sy00 AS DOUBLE) / n00) / (n00 - 1) / n00 AS v00,
+            (CAST(syy01 AS DOUBLE) - CAST(sy01 AS DOUBLE) * CAST(sy01 AS DOUBLE) / n01) / (n01 - 1) / n01 AS v01,
+            (CAST(syy10 AS DOUBLE) - CAST(sy10 AS DOUBLE) * CAST(sy10 AS DOUBLE) / n10) / (n10 - 1) / n10 AS v10,
+            (CAST(syy11 AS DOUBLE) - CAST(sy11 AS DOUBLE) * CAST(sy11 AS DOUBLE) / n11) / (n11 - 1) / n11 AS v11
+          FROM w)
+        SELECT n00, n01, n10, n11,
+          ${Num.sql("m00", 6)} AS m00, ${Num.sql("m01", 6)} AS m01,
+          ${Num.sql("m10", 6)} AS m10, ${Num.sql("m11", 6)} AS m11,
+          ${Num.sql("m11 - m10 - (m01 - m00)", 6)} AS did,
+          ${Num.sql("SQRT(v11 + v10 + v01 + v00)", 6)} AS se,
+          ${Num.sql("(m11 - m10 - (m01 - m00)) / SQRT(v11 + v10 + v01 + v00)", 4)}
+            AS t_stat
+        FROM t"""),
+      "Difference-in-differences on the md5 arms at the exact calendar midpoint: 2x2 exact moment cells pivoted to one row, fixed-order DiD / Wald SE / t")
   )
 }

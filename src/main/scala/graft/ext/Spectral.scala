@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Query, Tables}
+import graft.{Num, Query, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
@@ -64,24 +64,11 @@ object Spectral {
   private val vCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Array[Long])]()
 
-  /** DuckDB twin of the moment pass + power iteration, through `v$Iters`
-    * (dim, v). MATERIALIZED throughout (the q126 k-core lesson): DuckDB
-    * inlines plain CTEs per reference, and v_t reads w_t twice —
-    * un-materialized, the 40-level chain expands 2^40 ways and exhausts
-    * file handles re-scanning the parquet. */
-  private def vChainCtes: String = {
-    val iters = (1 to Iters).map { t =>
-      s"""w$t AS MATERIALIZED (
-        SELECT i AS dim, SUM(c * v) AS w
-        FROM cov JOIN v${t - 1} ON v${t - 1}.dim = cov.j GROUP BY i),
-      v$t AS MATERIALIZED (
-        SELECT w$t.dim,
-          CASE WHEN (SELECT MAX(ABS(w)) FROM w$t) = 0 THEN vp.v
-               ELSE w$t.w * 1000000
-                    // GREATEST(1, (SELECT MAX(ABS(w)) FROM w$t)) END AS v
-        FROM w$t JOIN v${t - 1} vp ON vp.dim = w$t.dim)"""
-    }.mkString(",\n")
-    s"""e AS (
+  /** DuckDB twin of the moment pass alone, through the `cov` CTE
+    * (i, j, c) of exact scaled-covariance integers C = n·SS − S·Sᵀ —
+    * shared by the power-iteration chain and q359's trace algebra. */
+  private def momentCtes: String =
+    """e AS (
       SELECT vec_id, unnest(embedding) AS xf,
              unnest(range(0, len(embedding))) AS dim
       FROM embeddings),
@@ -99,7 +86,26 @@ object Spectral {
       SELECT i, j, nn.n * cp.ssv - si.sv * sj.sv AS c
       FROM cp CROSS JOIN nn
       JOIN st si ON si.dim = cp.i
-      JOIN st sj ON sj.dim = cp.j),
+      JOIN st sj ON sj.dim = cp.j)"""
+
+  /** DuckDB twin of the moment pass + power iteration, through `v$Iters`
+    * (dim, v). MATERIALIZED throughout (the q126 k-core lesson): DuckDB
+    * inlines plain CTEs per reference, and v_t reads w_t twice —
+    * un-materialized, the 40-level chain expands 2^40 ways and exhausts
+    * file handles re-scanning the parquet. */
+  private def vChainCtes: String = {
+    val iters = (1 to Iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+        SELECT i AS dim, SUM(c * v) AS w
+        FROM cov JOIN v${t - 1} ON v${t - 1}.dim = cov.j GROUP BY i),
+      v$t AS MATERIALIZED (
+        SELECT w$t.dim,
+          CASE WHEN (SELECT MAX(ABS(w)) FROM w$t) = 0 THEN vp.v
+               ELSE w$t.w * 1000000
+                    // GREATEST(1, (SELECT MAX(ABS(w)) FROM w$t)) END AS v
+        FROM w$t JOIN v${t - 1} vp ON vp.dim = w$t.dim)"""
+    }.mkString(",\n")
+    s"""$momentCtes,
     v0 AS (
       SELECT dim, CAST(1000000 AS HUGEINT) AS v
       FROM (SELECT unnest(range(0, $Dims)) AS dim)),
@@ -321,7 +327,62 @@ object Spectral {
                              * CAST(SUM(nn) AS BIGINT))
             AS BIGINT) AS auc_micro
         FROM cum GROUP BY label ORDER BY label"""),
-      "exact integer one-vs-rest Mann-Whitney AUC of the PC1 projection per label — eval metrics without fractional ranks or row replication"))
+      "exact integer one-vs-rest Mann-Whitney AUC of the PC1 projection per label — eval metrics without fractional ranks or row replication"),
+
+    // --------------------------------------------------------------- q359
+    // Participation ratio (effective dimensionality) of the embedding
+    // covariance: PR = tr(C)² / tr(C²) — "how many dimensions does the
+    // cloud actually spread across" (PR = D for isotropic, 1 for rank-1
+    // collapse), the spectrum-flatness summary that q156's per-direction
+    // variance-explained and q349's mean-cosine anisotropy bracket.
+    // NO eigendecomposition: both traces come straight off the exact
+    // integer moment triangle (ONE bounded-buffer Aggregator pass —
+    // 17 KB state regardless of row count), because tr(C²) = Σ_ij C_ij²
+    // needs the matrix, not its spectrum. The ratio is invariant to the
+    // n²·scale² factor in C = n·SS − S·Sᵀ, so the integer matrix is used
+    // as-is after a // 1e6 requantization that keeps Σ cq² inside
+    // HUGEINT at 100× (c ≤ ~2e19 → cq ≤ 2e13 → Σ over 4096 cells
+    // ≤ ~2e30; BigInt and HUGEINT `//` both truncate toward zero,
+    // verified). Driver algebra is width-bounded (64×64), data-free.
+    Query(
+      "q359_effective_rank",
+      (s, d) => {
+        val (n, sv, ssv) = cachedMoments(s, d)
+        val M = BigInt(1000000)
+        var tr = BigInt(0); var tr2 = BigInt(0); var k = 0
+        for (i <- 0 until Dims; j <- i until Dims) {
+          val cq = (n * ssv(k) - sv(i) * sv(j)) / M
+          if (i == j) { tr += cq; tr2 += cq * cq }
+          else tr2 += cq * cq * 2
+          k += 1
+        }
+        val sq = s
+        import sq.implicits._
+        Seq((n.toLong, tr.toLong, tr.toDouble, tr2.toDouble))
+          .toDF("n_vectors", "trace_q", "trd", "tr2d")
+          .select(col("n_vectors"), col("trace_q"),
+            Num.r4(col("trd") * col("trd") / col("tr2d"))
+              .as("participation_ratio"),
+            Num.r6(col("trd") * col("trd") / col("tr2d") / lit(Dims.toDouble))
+              .as("pr_fraction"))
+      },
+      Some(s"""
+        WITH $momentCtes,
+        cq AS (SELECT i, j, c // 1000000 AS cq FROM cov),
+        t AS (
+          SELECT SUM(CASE WHEN i = j THEN cq END) AS trq,
+            SUM(cq * cq) AS tr2
+          FROM cq)
+        SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_vectors,
+          CAST(trq AS BIGINT) AS trace_q,
+          FLOOR((CAST(trq AS DOUBLE) * CAST(trq AS DOUBLE)
+                 / CAST(tr2 AS DOUBLE)) * 10000 + 0.500001) / 10000
+            AS participation_ratio,
+          FLOOR((CAST(trq AS DOUBLE) * CAST(trq AS DOUBLE)
+                 / CAST(tr2 AS DOUBLE) / $Dims) * 1000000 + 0.500001)
+            / 1000000 AS pr_fraction
+        FROM t"""),
+      "participation ratio tr(C)²/tr(C²) of the embedding covariance — effective dimensionality off the exact integer moment triangle, no eigendecomposition"))
 
   /** The (n, Σq, Σqq) triangle, cached per (session, dir) like the
     * eigenvector: q152/q154/q156 together cost ONE aggregation scan. */
