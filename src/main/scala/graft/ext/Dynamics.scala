@@ -237,6 +237,127 @@ object Dynamics {
                        * 10000 + 0.500001) / 10000
           END AS sampen
         FROM counts"""),
-      "Sample entropy SampEn(m=2, r=0.2 sigma) of daily volume (exact Chebyshev template counts, one LN)")
+      "Sample entropy SampEn(m=2, r=0.2 sigma) of daily volume (exact Chebyshev template counts, one LN)"),
+
+    // ---------------------------------------------------------------- q363
+    // Detrended fluctuation analysis of daily volume — Hurst's
+    // long-memory twin to q241's R/S and q312's IACT, on the integrated
+    // profile. The profile is EXACT: z_t = (Σ_{u≤t} N·y_u − (t+1)·S)
+    // div N (integer events units; one div-truncation, same on both
+    // engines). Non-overlapping windows of n ∈ {4,8,16} observed days
+    // are OLS-detrended by the denominator-cleared closed form
+    //   R'_g = 4·Sxx·(n·Σz² − (Σz)²) − n·(2·Σxz − (n−1)·Σz)²
+    //        = 4·n·Sxx·RSS_g   with   Sxx = n(n²−1)/12 (integer),
+    // so every per-window residual power and the cross-window sum are
+    // exact DECIMAL(38)/HUGEINT integers — no double enters before the
+    // final sqrt: F(n) = √(ΣR' / (4·Sxx·n²·nseg)). The scaling
+    // exponent reads off the log-log endpoints (equal ln-spacing makes
+    // the 3-point OLS slope equal the endpoint slope):
+    // α = (ln F(16) − ln F(4)) / (2 ln 2). Constant series → F = 0 →
+    // α NULL (documented). Trailing partial windows drop. The profile
+    // is calendar-bounded; the one unbounded pass is the daily groupBy.
+    Query(
+      "q363_dfa",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum(col("y")).as("sy"))
+        val wOrd = Window.orderBy(col("dy"))
+        val prof = daily.crossJoin(broadcast(tot))
+          .withColumn("t", row_number().over(wOrd).cast("long") - 1L)
+          .withColumn("zn", sum(col("nd") * col("y") - col("sy")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("z", expr("zn div nd"))
+          .localCheckpoint() // calendar-bounded profile
+        val seg = prof.select(col("nd"), col("t"), col("z"),
+            explode(array(lit(4L), lit(8L), lit(16L))).as("n"))
+          .withColumn("g", expr("t div n"))
+          .groupBy(col("n"), col("g"))
+          .agg(max(col("nd")).as("nd"), count(lit(1)).as("cnt"),
+            sum(col("z")).as("sz"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+            sum((col("t") % col("n")).cast("decimal(38,0)") * col("z")).as("sxz"))
+          .filter(col("cnt") === col("n"))
+        val rssp = seg
+          .withColumn("sxx", expr("(n * (n * n - 1)) div 12"))
+          .withColumn("rp", expr("""
+            4 * cast(sxx as decimal(38,0)) *
+              (cast(n as decimal(38,0)) * szz
+               - cast(sz as decimal(38,0)) * sz)
+            - cast(n as decimal(38,0)) *
+              (2 * sxz - cast(n - 1 as decimal(38,0)) * sz)
+              * (2 * sxz - cast(n - 1 as decimal(38,0)) * sz)"""))
+        val f = rssp.groupBy(col("n"))
+          .agg(max(col("nd")).as("nd"), count(lit(1)).as("nseg"),
+            sum(col("rp")).as("srp"), max(col("sxx")).as("sxx"))
+          .select(col("n"), col("nd"), col("nseg"),
+            sqrt(col("srp").cast("double") /
+              (lit(4.0) * col("sxx").cast("double") *
+                (col("n") * col("n")).cast("double") * col("nseg").cast("double")))
+              .as("fn"))
+        f.groupBy().agg(
+            max(col("nd")).as("n_days"),
+            max(when(col("n") === 4, col("nseg"))).as("nseg4"),
+            max(when(col("n") === 4, col("fn"))).as("f4"),
+            max(when(col("n") === 8, col("fn"))).as("f8"),
+            max(when(col("n") === 16, col("fn"))).as("f16"))
+          .select(col("n_days"), col("nseg4"),
+            Num.r4(col("f4")).as("f4"), Num.r4(col("f8")).as("f8"),
+            Num.r4(col("f16")).as("f16"),
+            when(col("f4") > 0 && col("f16") > 0,
+              Num.r4((log(col("f16")) - log(col("f4"))) / (lit(2.0) * log(lit(2.0)))))
+              .as("dfa_alpha"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                  CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+        prof AS MATERIALIZED (
+          SELECT nd, ROW_NUMBER() OVER (ORDER BY dy) - 1 AS t,
+            CAST(SUM(nd * y - sy) OVER (ORDER BY dy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) // nd AS z
+          FROM daily CROSS JOIN tot),
+        seg AS (
+          SELECT n, t // n AS g, MAX(nd) AS nd, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(z) AS BIGINT) AS sz,
+            CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+            CAST(SUM(CAST(t % n AS HUGEINT) * z) AS HUGEINT) AS sxz
+          FROM prof CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS n)
+          GROUP BY n, t // n
+          HAVING COUNT(*) = n),
+        rssp AS (
+          SELECT n, nd, (n * (n * n - 1)) // 12 AS sxx,
+            4 * CAST((n * (n * n - 1)) // 12 AS HUGEINT) *
+              (CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz)
+            - CAST(n AS HUGEINT) *
+              (2 * sxz - CAST(n - 1 AS HUGEINT) * sz)
+              * (2 * sxz - CAST(n - 1 AS HUGEINT) * sz) AS rp
+          FROM seg),
+        f AS (
+          SELECT n, MAX(nd) AS nd, CAST(COUNT(*) AS BIGINT) AS nseg,
+            SQRT(CAST(SUM(rp) AS DOUBLE) /
+              (4.0 * CAST(MAX(sxx) AS DOUBLE)
+               * CAST(n * n AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))) AS fn
+          FROM rssp GROUP BY n)
+        SELECT MAX(nd) AS n_days,
+          MAX(CASE WHEN n = 4 THEN nseg END) AS nseg4,
+          FLOOR(MAX(CASE WHEN n = 4 THEN fn END) * 10000 + 0.500001) / 10000
+            AS f4,
+          FLOOR(MAX(CASE WHEN n = 8 THEN fn END) * 10000 + 0.500001) / 10000
+            AS f8,
+          FLOOR(MAX(CASE WHEN n = 16 THEN fn END) * 10000 + 0.500001) / 10000
+            AS f16,
+          CASE WHEN MAX(CASE WHEN n = 4 THEN fn END) > 0
+                AND MAX(CASE WHEN n = 16 THEN fn END) > 0 THEN
+            FLOOR(((LN(MAX(CASE WHEN n = 16 THEN fn END))
+                    - LN(MAX(CASE WHEN n = 4 THEN fn END))) / (2.0 * LN(2.0)))
+                  * 10000 + 0.500001) / 10000 END AS dfa_alpha
+        FROM f"""),
+      "Detrended fluctuation analysis of daily volume: exact integer profile and denominator-cleared per-window OLS residual powers (no doubles before the final sqrt), alpha from log-log endpoints")
   )
 }

@@ -529,6 +529,135 @@ object Eval {
                - CAST(COALESCE(fp, 0) AS DOUBLE) / n""", 6)} AS youden_j
         FROM cells CROSS JOIN tot
         ORDER BY threshold_micro"""),
-      "ROC operating points for the lexical-diversity is-English classifier: exact confusion cells at 21 thresholds from one (score x label) grid, Youden's J per cut")
+      "ROC operating points for the lexical-diversity is-English classifier: exact confusion cells at 21 thresholds from one (score x label) grid, Youden's J per cut"),
+
+    // ---------------------------------------------------------------- q365
+    // Pinball (quantile) loss of the persistence forecast: predict
+    // tomorrow's daily median and P90 of `value` by today's, score with
+    // the τ-quantile check loss — the metric a quantile forecaster
+    // (q161's bands, q249's Holt-Winters) is graded by. EVERYTHING is
+    // exact integers: values are micro-quantized, the daily order
+    // statistics are rank-selected (lower median = rank (n+1) div 2,
+    // P90 = rank ceil(0.9n)), and 2·L(τ=.5) = |Δ| / 10·L(τ=.9) =
+    // 9Δ⁺ + Δ⁻ are integer identities, so the cross-day means divide
+    // exact int64 sums. Daily ranks partition by day (no global sort);
+    // the day table is calendar-bounded.
+    Query(
+      "q365_pinball",
+      (s, d) => {
+        val vals = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vq"))
+        val wDay = Window.partitionBy(col("day")).orderBy(col("vq"))
+        val ranked = vals
+          .withColumn("rn", row_number().over(wDay).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+        val daily = ranked.groupBy(col("day"))
+          .agg(
+            max(when(col("rn") === expr("(n + 1) div 2"), col("vq"))).as("med"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("vq"))).as("p90"))
+        val wOrd = Window.orderBy(col("day"))
+        val scored = daily
+          .withColumn("pmed", lag(col("med"), 1).over(wOrd))
+          .withColumn("pp90", lag(col("p90"), 1).over(wOrd))
+          .filter(col("pmed").isNotNull)
+          .select(
+            abs(col("med") - col("pmed")).as("l50x2"),
+            when(col("p90") >= col("pp90"), (col("p90") - col("pp90")) * 9)
+              .otherwise(col("pp90") - col("p90")).as("l90x10"))
+        scored.agg(count(lit(1)).as("n_days_scored"),
+            sum(col("l50x2")).as("s50"), sum(col("l90x10")).as("s90"))
+          .select(col("n_days_scored"),
+            Num.r6(col("s50").cast("double") /
+              (lit(2.0) * col("n_days_scored").cast("double")) / lit(1e6))
+              .as("pinball_p50"),
+            Num.r6(col("s90").cast("double") /
+              (lit(10.0) * col("n_days_scored").cast("double")) / lit(1e6))
+              .as("pinball_p90"))
+      },
+      Some("""
+        WITH vals AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vq
+          FROM events),
+        ranked AS (
+          SELECT day, vq,
+            ROW_NUMBER() OVER (PARTITION BY day ORDER BY vq) AS rn,
+            CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n
+          FROM vals),
+        daily AS (
+          SELECT day,
+            MAX(CASE WHEN rn = (n + 1) // 2 THEN vq END) AS med,
+            MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN vq END) AS p90
+          FROM ranked GROUP BY day),
+        scored AS (
+          SELECT ABS(med - pmed) AS l50x2,
+            CASE WHEN p90 >= pp90 THEN (p90 - pp90) * 9
+                 ELSE pp90 - p90 END AS l90x10
+          FROM (
+            SELECT day, med, p90,
+              LAG(med) OVER (ORDER BY day) AS pmed,
+              LAG(p90) OVER (ORDER BY day) AS pp90
+            FROM daily)
+          WHERE pmed IS NOT NULL)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+          FLOOR((CAST(SUM(l50x2) AS DOUBLE) / (2.0 * COUNT(*)) / 1e6)
+                * 1000000 + 0.500001) / 1000000 AS pinball_p50,
+          FLOOR((CAST(SUM(l90x10) AS DOUBLE) / (10.0 * COUNT(*)) / 1e6)
+                * 1000000 + 0.500001) / 1000000 AS pinball_p90
+        FROM scored"""),
+      "Pinball loss of the persistence median/P90 forecast: rank-selected exact daily order stats, integer check-loss identities 2L=|d| and 10L=9d+/d-"),
+
+    // ---------------------------------------------------------------- q371
+    // MASE-style scaled accuracy: persistence (lag-1) vs seasonal-naive
+    // (lag-7) forecasts of daily volume on their common support
+    // (t ≥ 8th day) — the scale-free forecast scorecard (Hyndman &
+    // Koehler) that q220's backtest and q365's pinball report in raw
+    // units. Both MAEs are exact integer |Δ| sums over the SAME days,
+    // so the ratio (< 1 ⇒ yesterday beats last-week) is bit-stable.
+    Query(
+      "q371_seasonal_mase",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("dy"))
+        val scored = daily
+          .withColumn("p1", lag(col("y"), 1).over(w))
+          .withColumn("p7", lag(col("y"), 7).over(w))
+          .filter(col("p7").isNotNull)
+        scored.agg(count(lit(1)).as("n_scored"),
+            sum(abs(col("y") - col("p1"))).as("s1"),
+            sum(abs(col("y") - col("p7"))).as("s7"))
+          .select(col("n_scored"),
+            Num.r6(col("s1").cast("double") / col("n_scored").cast("double"))
+              .as("mae_persistence"),
+            Num.r6(col("s7").cast("double") / col("n_scored").cast("double"))
+              .as("mae_seasonal"),
+            when(col("s7") > 0,
+              Num.r4(col("s1").cast("double") / col("s7").cast("double")))
+              .as("mase"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        scored AS (
+          SELECT y, p1, p7 FROM (
+            SELECT y, LAG(y, 1) OVER (ORDER BY dy) AS p1,
+              LAG(y, 7) OVER (ORDER BY dy) AS p7
+            FROM daily)
+          WHERE p7 IS NOT NULL)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+          FLOOR((CAST(SUM(ABS(y - p1)) AS DOUBLE) / COUNT(*)) * 1000000
+                + 0.500001) / 1000000 AS mae_persistence,
+          FLOOR((CAST(SUM(ABS(y - p7)) AS DOUBLE) / COUNT(*)) * 1000000
+                + 0.500001) / 1000000 AS mae_seasonal,
+          CASE WHEN SUM(ABS(y - p7)) > 0 THEN
+            FLOOR((CAST(SUM(ABS(y - p1)) AS DOUBLE) / SUM(ABS(y - p7)))
+                  * 10000 + 0.500001) / 10000 END AS mase
+        FROM scored"""),
+      "Scaled forecast accuracy on daily volume: persistence vs seasonal-naive MAE (exact integer |delta| sums on common support) and their MASE ratio")
   )
 }

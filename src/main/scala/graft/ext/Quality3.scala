@@ -223,6 +223,77 @@ object Quality3 {
           FLOOR((EXP(CAST(hq AS DOUBLE) / 1e12) / CAST(d0 AS DOUBLE))
                 * 10000 + 0.500001) / 10000 AS evenness
         FROM persrc JOIN hq USING (source) ORDER BY source"""),
-      "Hill diversity profile per source: richness D0, exp-Shannon D1, inverse-Simpson D2, evenness (pico-quantized H terms, 128-bit Simpson sums)")
+      "Hill diversity profile per source: richness D0, exp-Shannon D1, inverse-Simpson D2, evenness (pico-quantized H terms, 128-bit Simpson sums)"),
+
+    // ---------------------------------------------------------------- q366
+    // Syllable-free readability per language: ARI (characters-per-word
+    // + words-per-sentence) and LIX (words-per-sentence + long-word
+    // percentage) — the readability gates that survive languages where
+    // q276's vowel-group syllable heuristic breaks (zh has no [aeiouy]
+    // clusters). Words/sentences follow the q276 conventions; chars =
+    // non-space length; long words are tokens > 6 chars (LIX's
+    // definition). Per-doc scores are exact-input doubles micro-
+    // quantized before the per-lang mean (q276 discipline); hard_share
+    // counts docs at LIX ≥ 50 ("very difficult").
+    Query(
+      "q366_ari_lix",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("w"),
+            greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"),
+              lit(1L)).as("sents"),
+            length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+            expr("size(filter(split(text, ' '), x -> length(x) > 6))")
+              .cast("long").as("lw"))
+          .filter(col("w") > 0)
+          .select(col("lang"),
+            floor((lit(4.71) * (col("chars").cast("double") / col("w").cast("double"))
+              + lit(0.5) * (col("w").cast("double") / col("sents").cast("double"))
+              - lit(21.43)) * lit(1e6) + lit(0.5)).cast("long").as("ariq"),
+            floor((col("w").cast("double") / col("sents").cast("double")
+              + lit(100.0) * (col("lw").cast("double") / col("w").cast("double")))
+              * lit(1e6) + lit(0.5)).cast("long").as("lixq"))
+        scored.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ariq")).as("sari"), sum(col("lixq")).as("slix"),
+            count(when(col("lixq") >= 50000000L, 1)).as("n_hard"))
+          .select(col("lang"), col("n_docs"),
+            Num.r4(col("sari").cast("double") / col("n_docs").cast("double") / lit(1e6))
+              .as("avg_ari"),
+            Num.r4(col("slix").cast("double") / col("n_docs").cast("double") / lit(1e6))
+              .as("avg_lix"),
+            Num.r4(col("n_hard").cast("double") / col("n_docs").cast("double"))
+              .as("hard_share"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+            CAST(FLOOR((4.71 * (CAST(chars AS DOUBLE) / CAST(w AS DOUBLE))
+              + 0.5 * (CAST(w AS DOUBLE) / CAST(sents AS DOUBLE))
+              - 21.43) * 1e6 + 0.5) AS BIGINT) AS ariq,
+            CAST(FLOOR((CAST(w AS DOUBLE) / CAST(sents AS DOUBLE)
+              + 100.0 * (CAST(lw AS DOUBLE) / CAST(w AS DOUBLE)))
+              * 1e6 + 0.5) AS BIGINT) AS lixq
+          FROM (
+            SELECT lang,
+              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS w,
+              GREATEST(CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+                AS sents,
+              CAST(LEN(REPLACE(text, ' ', '')) AS BIGINT) AS chars,
+              CAST(LEN(LIST_FILTER(string_split(text, ' '),
+                x -> LEN(x) > 6)) AS BIGINT) AS lw
+            FROM documents)
+          WHERE w > 0)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          FLOOR((CAST(SUM(ariq) AS DOUBLE) / COUNT(*) / 1e6) * 10000 + 0.500001)
+            / 10000 AS avg_ari,
+          FLOOR((CAST(SUM(lixq) AS DOUBLE) / COUNT(*) / 1e6) * 10000 + 0.500001)
+            / 10000 AS avg_lix,
+          FLOOR((CAST(COUNT(*) FILTER (WHERE lixq >= 50000000) AS DOUBLE)
+                 / COUNT(*)) * 10000 + 0.500001) / 10000 AS hard_share
+        FROM scored GROUP BY lang ORDER BY lang"""),
+      "ARI + LIX syllable-free readability per language (non-space chars, >6-char long words, micro-quantized per-doc scores, LIX>=50 hard share)")
   )
 }
