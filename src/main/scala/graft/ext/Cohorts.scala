@@ -310,6 +310,82 @@ object Cohorts {
           FLOOR((mu - sigma * -4.600149226776579) * 10000 + 0.500001) / 10000
             AS return_level_100
         FROM fit2 ORDER BY event_type"""),
-      "Gumbel method-of-moments fit on hourly block maxima per event type with the 100-block return level (exact integer block maxima, shared transcendental literals)")
+      "Gumbel method-of-moments fit on hourly block maxima per event type with the 100-block return level (exact integer block maxima, shared transcendental literals)"),
+
+    // ---------------------------------------------------------------- q376
+    // Retention half-life: OLS of ln(retention_w) on the week offset
+    // w = 0..8 (the q335 curve), slope → half-life = −ln 2 / slope —
+    // the single number a growth model quotes from the whole decay
+    // curve. Per-offset ln terms are pico-quantized integers BEFORE
+    // the ≤9-term regression sums (q334 discipline), so num/den are
+    // exact int64 and the slope is one double division. Offsets with
+    // zero retained users cannot occur (they'd simply be absent);
+    // non-negative slopes → NULL half-life (documented).
+    Query(
+      "q376_retention_halflife",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+        val nUsers = first.agg(count(lit(1)).as("nu"))
+        val offs = act.join(first, Seq("user_id"))
+          .select(col("user_id"), (col("wk") - col("w0")).as("off"))
+          .filter(col("off") <= 8)
+          .distinct()
+          .groupBy(col("off")).agg(count(lit(1)).as("retained"))
+        val terms = offs.crossJoin(broadcast(nUsers))
+          .select(col("off"),
+            floor(log(col("retained").cast("double") / col("nu").cast("double"))
+              * lit(1e12) + lit(0.5)).cast("long").as("lq"))
+        terms.agg(count(lit(1)).as("n_offsets"),
+            sum(col("off")).as("sw"), sum(col("off") * col("off")).as("sww"),
+            sum(col("lq")).as("sl"), sum(col("off") * col("lq")).as("swl"))
+          .select(col("n_offsets"),
+            Num.r6((col("n_offsets") * col("swl") - col("sw") * col("sl"))
+              .cast("double") /
+              (col("n_offsets") * col("sww") - col("sw") * col("sw")).cast("double")
+              / lit(1e12)).as("decay_slope"),
+            when((col("n_offsets") * col("swl") - col("sw") * col("sl")) < 0,
+              Num.r4(-log(lit(2.0)) /
+                ((col("n_offsets") * col("swl") - col("sw") * col("sl"))
+                  .cast("double") /
+                  (col("n_offsets") * col("sww") - col("sw") * col("sw"))
+                    .cast("double") / lit(1e12))))
+              .as("halflife_weeks"))
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+          FROM events),
+        first AS (SELECT user_id, MIN(wk) AS w0 FROM act GROUP BY user_id),
+        nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM first),
+        offs AS (
+          SELECT off, CAST(COUNT(*) AS BIGINT) AS retained FROM (
+            SELECT DISTINCT act.user_id, wk - w0 AS off
+            FROM act JOIN first ON first.user_id = act.user_id
+            WHERE wk - w0 <= 8)
+          GROUP BY off),
+        terms AS (
+          SELECT off,
+            CAST(FLOOR(LN(CAST(retained AS DOUBLE) / nu) * 1e12 + 0.5)
+              AS BIGINT) AS lq
+          FROM offs CROSS JOIN nu),
+        fit AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_offsets,
+            CAST(SUM(off) AS BIGINT) AS sw, CAST(SUM(off * off) AS BIGINT) AS sww,
+            CAST(SUM(lq) AS BIGINT) AS sl, CAST(SUM(off * lq) AS BIGINT) AS swl
+          FROM terms)
+        SELECT n_offsets,
+          FLOOR((CAST(n_offsets * swl - sw * sl AS DOUBLE)
+                 / CAST(n_offsets * sww - sw * sw AS DOUBLE) / 1e12)
+                * 1000000 + 0.500001) / 1000000 AS decay_slope,
+          CASE WHEN n_offsets * swl - sw * sl < 0 THEN
+            FLOOR((-LN(2.0) / (CAST(n_offsets * swl - sw * sl AS DOUBLE)
+                   / CAST(n_offsets * sww - sw * sw AS DOUBLE) / 1e12))
+                  * 10000 + 0.500001) / 10000 END AS halflife_weeks
+        FROM fit"""),
+      "Retention half-life from OLS of ln retention on week offset 0-8 (pico-quantized ln terms, exact integer regression sums, -ln2/slope)")
   )
 }

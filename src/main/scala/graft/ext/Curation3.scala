@@ -117,6 +117,66 @@ object Curation3 {
                 * 10000 + 0.500001) / 10000 AS boost
         FROM counts CROSS JOIN tot
         ORDER BY cnt DESC, token LIMIT 20"""),
-      "word2vec negative-sampling table: count^0.75 micro-quantized masses over the vocab, exact normalizers, top-20 tokens with raw vs smoothed probabilities")
+      "word2vec negative-sampling table: count^0.75 micro-quantized masses over the vocab, exact normalizers, top-20 tokens with raw vs smoothed probabilities"),
+
+    // ---------------------------------------------------------------- q375
+    // Skyline (Pareto front) of the curation trade-off length × lexical
+    // diversity: the docs no other doc strictly dominates on
+    // (n_chars ↑, distinct-token ratio ↑) — the multi-objective
+    // SELECTION operator (Börzsönyi's SKYLINE) the relational surface
+    // lacked. Works on DISTINCT metric cells: within a length only the
+    // max-TTR cell can survive (same len + higher ttr dominates), then
+    // the classic staircase sweep keeps a cell iff its TTR strictly
+    // exceeds the running max over all LONGER cells — one window over
+    // the bounded distinct-length staircase, no pair join. TTR is
+    // micro-quantized (exact), cells carry their doc counts, output
+    // capped at the 50 longest front cells (documented).
+    Query(
+      "q375_skyline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.documents(s, d)
+          .select(col("n_chars").as("len"),
+            expr("""cast(floor(cast(size(array_distinct(split(text, ' '))) as double)
+              / size(split(text, ' ')) * 1e6 + 0.5) as bigint)""").as("ttr"))
+        val cells = m.groupBy(col("len"), col("ttr")).agg(count(lit(1)).as("n_docs"))
+        val perLen = cells
+          .withColumn("mx", max(col("ttr")).over(Window.partitionBy(col("len"))))
+          .filter(col("ttr") === col("mx"))
+        val w = Window.orderBy(col("len").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perLen
+          .withColumn("runmax", max(col("ttr")).over(w))
+          .filter(col("runmax").isNull || col("ttr") > col("runmax"))
+          .select(col("len"), col("ttr"), col("n_docs"))
+          .orderBy(col("len").desc).limit(50)
+          .orderBy(col("len"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT n_chars AS len,
+            CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+              / LEN(STRING_SPLIT(text, ' ')) * 1e6 + 0.5) AS BIGINT) AS ttr
+          FROM documents),
+        cells AS (
+          SELECT len, ttr, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM m GROUP BY len, ttr),
+        perLen AS (
+          SELECT len, ttr, n_docs FROM (
+            SELECT len, ttr, n_docs,
+              MAX(ttr) OVER (PARTITION BY len) AS mx
+            FROM cells)
+          WHERE ttr = mx),
+        sky AS (
+          SELECT len, ttr, n_docs FROM (
+            SELECT len, ttr, n_docs,
+              MAX(ttr) OVER (ORDER BY len DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+            FROM perLen)
+          WHERE runmax IS NULL OR ttr > runmax)
+        SELECT len, ttr, n_docs FROM
+          (SELECT * FROM sky ORDER BY len DESC LIMIT 50)
+        ORDER BY len"""),
+      "Skyline (Pareto front) of docs on length x distinct-token ratio: staircase sweep over distinct metric cells, no pair join, 50 longest front cells")
   )
 }

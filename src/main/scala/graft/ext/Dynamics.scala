@@ -358,6 +358,73 @@ object Dynamics {
                     - LN(MAX(CASE WHEN n = 4 THEN fn END))) / (2.0 * LN(2.0)))
                   * 10000 + 0.500001) / 10000 END AS dfa_alpha
         FROM f"""),
-      "Detrended fluctuation analysis of daily volume: exact integer profile and denominator-cleared per-window OLS residual powers (no doubles before the final sqrt), alpha from log-log endpoints")
+      "Detrended fluctuation analysis of daily volume: exact integer profile and denominator-cleared per-window OLS residual powers (no doubles before the final sqrt), alpha from log-log endpoints"),
+
+    // ---------------------------------------------------------------- q377
+    // Goh–Barabási burstiness of inter-event gaps per type:
+    // B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B→1 bursty, 0 Poisson, →−1 regular —
+    // the GAP-signature companion to q230's count-based Fano factor and
+    // q277's exponential-fit KS. Gaps are exact integer microseconds
+    // (per-user lead, pooled by type); σ uses the population formula on
+    // DECIMAL second moments (gap² ≈ 7e24 at 100× overflows int64).
+    Query(
+      "q377_gap_burstiness",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tu"))
+          .withColumn("nxt", lead(col("tu"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_type"), (col("nxt") - col("tu")).as("g"))
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+            sum(col("g").cast("decimal(38,0)") * col("g")).as("sgg"))
+          .select(col("event_type"), col("n_gaps"),
+            Num.r4(col("sg").cast("double") / col("n_gaps").cast("double")
+              / lit(1e6)).as("mean_gap_s"),
+            Num.r4(sqrt((col("sgg").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double")
+                / col("n_gaps").cast("double")) / col("n_gaps").cast("double"))
+              / (col("sg").cast("double") / col("n_gaps").cast("double")))
+              .as("cv"),
+            Num.r4((sqrt((col("sgg").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double")
+                / col("n_gaps").cast("double")) / col("n_gaps").cast("double"))
+              - col("sg").cast("double") / col("n_gaps").cast("double")) /
+              (sqrt((col("sgg").cast("double")
+                - col("sg").cast("double") * col("sg").cast("double")
+                  / col("n_gaps").cast("double")) / col("n_gaps").cast("double"))
+                + col("sg").cast("double") / col("n_gaps").cast("double")))
+              .as("burstiness"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT event_type, nxt - tu AS g FROM (
+            SELECT event_type, epoch_us(ts) AS tu,
+              LEAD(epoch_us(ts), 1) OVER (PARTITION BY event_type, user_id
+                ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events)
+          WHERE nxt IS NOT NULL),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+            CAST(SUM(g) AS BIGINT) AS sg,
+            CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+          FROM gaps GROUP BY event_type),
+        t AS (
+          SELECT event_type, n_gaps,
+            CAST(sg AS DOUBLE) / n_gaps AS mu,
+            SQRT((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+              / n_gaps) / n_gaps) AS sd
+          FROM m)
+        SELECT event_type, n_gaps,
+          FLOOR((mu / 1e6) * 10000 + 0.500001) / 10000 AS mean_gap_s,
+          FLOOR((sd / mu) * 10000 + 0.500001) / 10000 AS cv,
+          FLOOR(((sd - mu) / (sd + mu)) * 10000 + 0.500001) / 10000
+            AS burstiness
+        FROM t ORDER BY event_type"""),
+      "Goh-Barabasi burstiness B = (sd-mu)/(sd+mu) of per-user inter-event gaps pooled by type (exact integer microsecond gaps, DECIMAL second moments)")
   )
 }

@@ -822,6 +822,93 @@ object TimeModels2 {
             FLOOR(GREATEST(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vsr AS DOUBLE))
                   * 1000000 + 0.500001) / 1000000 END AS seasonal_strength
         FROM agg ORDER BY event_type"""),
-      "STL strength-of-trend/seasonality (Hyndman tsfeatures): exact integer variances of remainder vs detrended/deseasonalized components")
+      "STL strength-of-trend/seasonality (Hyndman tsfeatures): exact integer variances of remainder vs detrended/deseasonalized components"),
+
+    // ---------------------------------------------------------------- q378
+    // Seasonal Mann–Kendall (Hirsch–Slack) on daily volume: q177's MK
+    // recipe applied WITHIN each weekday stratum (so the weekly cycle
+    // cannot masquerade as trend), then combined: S = Σ_wd S_wd,
+    // Var·18 = Σ_wd [n(n−1)(2n+5) − Σt(t−1)(2t+5)] — all exact
+    // integers into one continuity-corrected z. The pair join is
+    // within-stratum over the calendar-bounded day table (~(T/7)²·7
+    // pairs), never over raw events.
+    Query(
+      "q378_mk_seasonal",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("wd", expr("dy % 7"))
+          .localCheckpoint() // calendar-bounded
+        val a = daily.select(col("wd"), col("dy").as("da"), col("y").as("va"))
+        val b = daily.select(col("wd"), col("dy").as("db"), col("y").as("vb"))
+        val sPer = a.join(b, Seq("wd")).filter(col("db") > col("da"))
+          .groupBy(col("wd"))
+          .agg(sum(when(col("vb") > col("va"), 1L)
+            .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_wd"))
+        val varPer = daily.groupBy(col("wd"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("wd"))
+          .agg(sum(col("t")).as("n"),
+            sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+          .select(col("wd"),
+            (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+              .as("var18_wd"), col("n"))
+        val comb = sPer.join(varPer, Seq("wd"))
+          .agg(sum(col("n")).as("n_days"), sum(col("s_wd")).as("s_stat"),
+            sum(col("var18_wd")).as("var18"))
+        comb.select(col("n_days"), col("s_stat"), col("var18"),
+            Num.r4(when(col("var18") <= 0, lit(0.0))
+              .when(col("s_stat") > 0,
+                (col("s_stat") - 1).cast("double") /
+                  sqrt(col("var18").cast("double") / lit(18.0)))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") /
+                  sqrt(col("var18").cast("double") / lit(18.0)))
+              .otherwise(lit(0.0))).as("z"))
+          .withColumn("trend",
+            when(col("z") > 1.96, lit("increasing"))
+              .when(col("z") < -1.96, lit("decreasing"))
+              .otherwise(lit("none")))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y,
+            epoch_us(ts) // 86400000000 % 7 AS wd
+          FROM events GROUP BY 1, 3),
+        sPer AS (
+          SELECT a.wd,
+            CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                     WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_wd
+          FROM daily a JOIN daily b ON a.wd = b.wd AND b.dy > a.dy
+          GROUP BY a.wd),
+        varPer AS (
+          SELECT wd, CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(t) * (SUM(t) - 1) * (2 * SUM(t) + 5)
+              - SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS var18_wd
+          FROM (SELECT wd, y, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY wd, y)
+          GROUP BY wd),
+        comb AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+            CAST(SUM(s_wd) AS BIGINT) AS s_stat,
+            CAST(SUM(var18_wd) AS BIGINT) AS var18
+          FROM sPer JOIN varPer USING (wd)),
+        zr AS (
+          SELECT n_days, s_stat, var18,
+            FLOOR((CASE WHEN var18 <= 0 THEN 0.0
+                   WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                   WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END) * 10000 + 0.500001) / 10000 AS z
+          FROM comb)
+        SELECT n_days, s_stat, var18, z,
+          CASE WHEN z > 1.96 THEN 'increasing'
+               WHEN z < -1.96 THEN 'decreasing'
+               ELSE 'none' END AS trend
+        FROM zr"""),
+      "Seasonal Mann-Kendall (Hirsch-Slack) on daily volume: exact integer per-weekday S and 18*Var with tie correction, combined continuity-corrected z")
   )
 }
