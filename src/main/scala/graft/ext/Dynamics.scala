@@ -425,6 +425,77 @@ object Dynamics {
           FLOOR(((sd - mu) / (sd + mu)) * 10000 + 0.500001) / 10000
             AS burstiness
         FROM t ORDER BY event_type"""),
-      "Goh-Barabasi burstiness B = (sd-mu)/(sd+mu) of per-user inter-event gaps pooled by type (exact integer microsecond gaps, DECIMAL second moments)")
+      "Goh-Barabasi burstiness B = (sd-mu)/(sd+mu) of per-user inter-event gaps pooled by type (exact integer microsecond gaps, DECIMAL second moments)"),
+
+    // ---------------------------------------------------------------- q381
+    // Allan variance of the daily event rate at averaging times
+    // τ ∈ {1,2,4,8} days — the clock-stability statistic (Allan 1966)
+    // that distinguishes white noise (AVAR ∝ 1/τ) from flicker/random-
+    // walk drift (flat / growing AVAR) in a way the ACF (q267) and DFA
+    // (q363) complement. Non-overlapping bins of τ consecutive days;
+    // AVAR(τ) = Σ(s_{i+1}−s_i)² / (2·m·τ²) with bin sums s_i exact
+    // integers, so the adjacent-difference sum is exact and only the
+    // final division is double. All windows run on the positioned
+    // calendar-bounded day table (one global sort of ~hundreds of
+    // rows), never on raw events.
+    Query(
+      "q381_allan_variance",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val idx = daily
+          .withColumn("t", row_number().over(Window.orderBy(col("dy"))).cast("long") - 1L)
+          .localCheckpoint() // calendar-bounded
+        val taus = idx.sparkSession.range(4)
+          .select(expr("cast(pow(2, id) as long)").as("tau"))
+        val bins = idx.crossJoin(broadcast(taus))
+          .groupBy(col("tau"), (col("t") / col("tau")).cast("long").as("i"))
+          .agg(sum(col("y")).as("bs"), count(lit(1)).as("cnt"))
+          .filter(col("cnt") === col("tau"))
+        val w = Window.partitionBy(col("tau")).orderBy(col("i"))
+        val diffs = bins
+          .withColumn("nbs", lead(col("bs"), 1).over(w))
+          .withColumn("ni", lead(col("i"), 1).over(w))
+          .filter(col("ni") === col("i") + 1)
+          .select(col("tau"),
+            (col("nbs") - col("bs")) * (col("nbs") - col("bs")) as "d2")
+        diffs.groupBy(col("tau"))
+          .agg(count(lit(1)).as("n_diffs"), sum(col("d2")).as("sum_d2"))
+          .select(col("tau"), col("n_diffs"), col("sum_d2"),
+            Num.r6(col("sum_d2").cast("double") /
+              (lit(2.0) * col("n_diffs").cast("double")
+                * col("tau").cast("double") * col("tau").cast("double")))
+              .as("avar"))
+          .orderBy(col("tau"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY dy) - 1 AS t, y FROM daily),
+        bins AS (
+          SELECT tau, t // tau AS i, CAST(SUM(y) AS BIGINT) AS bs
+          FROM idx CROSS JOIN
+            (SELECT CAST(POW(2, UNNEST(RANGE(0, 4))) AS BIGINT) AS tau)
+          GROUP BY tau, t // tau
+          HAVING COUNT(*) = tau),
+        diffs AS (
+          SELECT tau, (nbs - bs) * (nbs - bs) AS d2
+          FROM (
+            SELECT tau, i, bs,
+              LEAD(bs) OVER (PARTITION BY tau ORDER BY i) AS nbs,
+              LEAD(i) OVER (PARTITION BY tau ORDER BY i) AS ni
+            FROM bins)
+          WHERE ni = i + 1)
+        SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+          CAST(SUM(d2) AS BIGINT) AS sum_d2,
+          FLOOR((CAST(SUM(d2) AS DOUBLE)
+                 / (2.0 * COUNT(*) * CAST(tau AS DOUBLE) * tau))
+                * 1000000 + 0.500001) / 1000000 AS avar
+        FROM diffs GROUP BY tau ORDER BY tau"""),
+      "Allan variance of daily volume at tau 1/2/4/8 days: exact integer bin sums and adjacent-difference squares, double only in the final division")
   )
 }

@@ -270,6 +270,108 @@ object EmbedQuality {
                  / (CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) - 1.0)))
                 * 1000000 + 0.500001) / 1000000 AS mean_pairwise_cos
         FROM byDim"""),
-      "Mean pairwise cosine (anisotropy) via the linear-time sum identity — full table, no pair join")
+      "Mean pairwise cosine (anisotropy) via the linear-time sum identity — full table, no pair join"),
+
+    // ---------------------------------------------------------------- q382
+    // Hopkins statistic of clustering TENDENCY (Hopkins & Skellam
+    // 1954): are the embeddings clusterable at all, or
+    // uniform-random in their bounding box? H = Σu/(Σu+Σw) compares
+    // nearest-neighbour distances of m=64 synthetic uniform probes
+    // (u) against those of m real points (w); H → 0.5 for spatial
+    // randomness, → 1 for clustered data. The "should I even run
+    // k-means" gate ahead of silhouette (q187) / Davies–Bouldin
+    // (q348) / Calinski–Harabasz (q264), which all presuppose
+    // clusters exist. Probes are md5-deterministic uniforms in the
+    // per-dimension [min,max] box (q370's h60 discipline), identical
+    // on both engines; per-dimension squared gaps are quantized to
+    // the 1e-8 grid BEFORE the cross-dimension sum (exact integer
+    // distances, association-order-proof); both NN scans are
+    // broadcast-side joins against the 1024-cap sample, so the cost
+    // is capped and scale-constant.
+    Query(
+      "q382_hopkins",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .orderBy(col("vec_id")).limit(1024)
+          .localCheckpoint() // deterministic capped sample, both engines
+        val ex = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        val box = ex.groupBy(col("dim"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val probes = emb.sparkSession.range(64).select(col("id").as("p"))
+          .crossJoin(box)
+          .withColumn("frac",
+            (Dedup.h60(concat(lit("hop|"), col("p").cast("string"), lit("|"),
+              col("dim").cast("string"))) % 1048576L).cast("double")
+              / lit(1048576.0))
+          .select(col("p"), col("dim"),
+            (col("mn") + col("frac") * (col("mx") - col("mn"))).as("c"))
+        val u = ex.join(broadcast(probes), Seq("dim"))
+          .select(col("p"), col("vec_id"),
+            floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e8)
+              + lit(0.5)).cast("long").as("gq"))
+          .groupBy(col("p"), col("vec_id")).agg(sum(col("gq")).as("d2"))
+          .groupBy(col("p")).agg(min(col("d2")).as("u"))
+        val exs = emb.orderBy(col("vec_id")).limit(64)
+          .select(col("vec_id").as("i"), posexplode(col("v")).as(Seq("dim", "xa")))
+        val w = ex.select(col("vec_id").as("j"), col("dim"), col("x").as("xb"))
+          .join(broadcast(exs), Seq("dim"))
+          .filter(col("i") =!= col("j"))
+          .select(col("i"), col("j"),
+            floor((col("xa") - col("xb")) * (col("xa") - col("xb")) * lit(1e8)
+              + lit(0.5)).cast("long").as("gq"))
+          .groupBy(col("i"), col("j")).agg(sum(col("gq")).as("d2"))
+          .groupBy(col("i")).agg(min(col("d2")).as("w"))
+        val us = u.agg(count(lit(1)).as("m_probes"), sum(col("u")).as("sum_u"))
+        val ws = w.agg(sum(col("w")).as("sum_w"))
+        val ns = emb.agg(count(lit(1)).as("n_points"))
+        ns.crossJoin(broadcast(us)).crossJoin(broadcast(ws))
+          .select(col("n_points"), col("m_probes"), col("sum_u"), col("sum_w"),
+            Num.r4(col("sum_u").cast("double") /
+              (col("sum_u").cast("double") + col("sum_w").cast("double")))
+              .as("hopkins"))
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          ORDER BY vec_id LIMIT 1024),
+        ex AS (
+          SELECT vec_id, unnest(range(0, len(v))) AS dim, unnest(v) AS x
+          FROM emb),
+        box AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        probes AS (
+          SELECT p, dim,
+            mn + ((${graft.ext.Dedup.sqlH60(
+              "'hop|' || CAST(p AS VARCHAR) || '|' || CAST(dim AS VARCHAR)")}
+              % 1048576) / 1048576.0) * (mx - mn) AS c
+          FROM (SELECT UNNEST(RANGE(0, 64)) AS p) CROSS JOIN box),
+        ud AS (
+          SELECT p, vec_id,
+            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e8 + 0.5) AS BIGINT))
+              AS BIGINT) AS d2
+          FROM probes JOIN ex USING (dim) GROUP BY p, vec_id),
+        u AS (SELECT p, MIN(d2) AS u FROM ud GROUP BY p),
+        samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 64),
+        exs AS (
+          SELECT vec_id AS i, unnest(range(0, len(v))) AS dim, unnest(v) AS xa
+          FROM samp),
+        wd AS (
+          SELECT i, j,
+            CAST(SUM(CAST(FLOOR((xa - xb) * (xa - xb) * 1e8 + 0.5) AS BIGINT))
+              AS BIGINT) AS d2
+          FROM exs JOIN (SELECT vec_id AS j, dim, x AS xb FROM ex) b USING (dim)
+          WHERE i <> j GROUP BY i, j),
+        w AS (SELECT i, MIN(d2) AS w FROM wd GROUP BY i),
+        tot AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM emb) AS n_points,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS m_probes,
+            (SELECT CAST(SUM(u) AS BIGINT) FROM u) AS sum_u,
+            (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS sum_w)
+        SELECT n_points, m_probes, sum_u, sum_w,
+          FLOOR((CAST(sum_u AS DOUBLE)
+                 / (CAST(sum_u AS DOUBLE) + CAST(sum_w AS DOUBLE)))
+                * 10000 + 0.500001) / 10000 AS hopkins
+        FROM tot"""),
+      "Hopkins clustering-tendency statistic: md5-deterministic uniform probes in the per-dim box vs real-point NN distances (1024-cap, exact integer quantized distances)")
   )
 }

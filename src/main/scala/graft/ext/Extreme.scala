@@ -278,6 +278,56 @@ object Extreme {
                        - CAST(SUM(yw) AS DOUBLE) * SUM(yw) / COUNT(*))))
                 * 1000000 + 0.500001) / 1000000 AS winsorized_r
         FROM w"""),
-      "Winsorized (p5/p95 clamped) Pearson correlation of daily volume vs spend (exact rank clamps)")
+      "Winsorized (p5/p95 clamped) Pearson correlation of daily volume vs spend (exact rank clamps)"),
+
+    // ---------------------------------------------------------------- q379
+    // Grubbs' maximum-studentized-deviation outlier test on daily
+    // volume (Grubbs 1950): G = max|y − ȳ| / s. The single-pass
+    // complement to q103's MAD rule and q339's tail fit — G is the
+    // statistic the classical one-outlier test feeds into the
+    // t-distribution critical curve; here it is reported with its
+    // argmax day so the "most anomalous day ever" is one query away.
+    // Exactness: |y − ȳ| is cleared to the integer |n·y − Σy| before
+    // the max (so the argmax and tie-break are exact); the only double
+    // work is the final G from exact integer moments. The argmax scan
+    // is a broadcast-scalar crossJoin + top-1 sort on the calendar-
+    // bounded day table, never on raw events.
+    Query(
+      "q379_grubbs",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        daily.crossJoin(broadcast(tot))
+          .withColumn("dev", abs(col("n") * col("y") - col("sy")))
+          .orderBy(col("dev").desc, col("dy")).limit(1)
+          .select(col("n").as("n_days"), col("dy").as("peak_day"),
+            col("y").as("peak_y"),
+            Num.r4(col("dev").cast("double") /
+              (col("n").cast("double") *
+                sqrt((col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))
+                  / (col("n").cast("double")
+                    * (col("n") - 1).cast("double"))))).as("g_stat"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS syy FROM daily)
+        SELECT n AS n_days, dy AS peak_day, y AS peak_y,
+          FLOOR((CAST(ABS(n * y - sy) AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * SQRT((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * (n - 1)))))
+                * 10000 + 0.500001) / 10000 AS g_stat
+        FROM daily CROSS JOIN tot
+        ORDER BY ABS(n * y - sy) DESC, dy LIMIT 1"""),
+      "Grubbs max-studentized outlier test on daily volume: exact integer deviation argmax, G from exact moments")
   )
 }

@@ -184,6 +184,67 @@ object Lexical2 {
           FLOOR((CAST(SUM(qc) AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
             AS chi2_stat
         FROM qc"""),
-      "Mood's median test of doc length across sources (lower median, ties excluded, 2xk chi-square)")
+      "Mood's median test of doc length across sources (lower median, ties excluded, 2xk chi-square)"),
+
+    // ---------------------------------------------------------------- q380
+    // Honoré's R and Sichel's S vocabulary-richness statistics per
+    // source — the frequency-spectrum complements to Yule's K (q282)
+    // and the hapax share (q117): R = 100·ln N / (1 − V1/V) diverges
+    // as the hapax share approaches 1 (rich, non-repetitive prose);
+    // S = V2/V is Sichel's dis-legomena proportion, empirically stable
+    // across text sizes. One token pass → per-source frequency
+    // spectrum; ln N is pico-quantized (q376's rule) so the only
+    // doubles crossing engines derive from identical exact integers.
+    // V1 = V (every token a hapax) yields NULL R on both engines.
+    Query(
+      "q380_vocab_richness",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        counts.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+            count(when(col("c") === 1, 1)).as("v1"),
+            count(when(col("c") === 2, 1)).as("v2"))
+          .withColumn("lnq",
+            floor(log(col("n_tokens").cast("double")) * lit(1e12) + lit(0.5))
+              .cast("long"))
+          .select(col("source"), col("n_tokens"), col("vocab"), col("v1"),
+            col("v2"),
+            when(col("v1") === col("vocab"), lit(null).cast("double"))
+              .otherwise(Num.r4(lit(100.0) * (col("lnq").cast("double") / lit(1e12))
+                * col("vocab").cast("double")
+                / (col("vocab") - col("v1")).cast("double")))
+              .as("honore_r"),
+            Num.r6(col("v2").cast("double") / col("vocab").cast("double"))
+              .as("sichel_s"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+                FROM documents)
+          GROUP BY source, t),
+        spec AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS vocab,
+            CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS v1,
+            CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS v2
+          FROM counts GROUP BY source),
+        q AS (
+          SELECT source, n_tokens, vocab, v1, v2,
+            CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+              AS lnq
+          FROM spec)
+        SELECT source, n_tokens, vocab, v1, v2,
+          CASE WHEN v1 = vocab THEN NULL
+               ELSE FLOOR((100.0 * (CAST(lnq AS DOUBLE) / 1e12)
+                           * vocab / CAST(vocab - v1 AS DOUBLE))
+                          * 10000 + 0.500001) / 10000 END AS honore_r,
+          FLOOR((CAST(v2 AS DOUBLE) / vocab) * 1000000 + 0.500001) / 1000000
+            AS sichel_s
+        FROM q ORDER BY source"""),
+      "Honore's R and Sichel's S vocabulary richness per source from the token frequency spectrum (pico-quantized ln N, exact V/V1/V2)")
   )
 }
