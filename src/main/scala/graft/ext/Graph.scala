@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Query, Tables}
+import graft.{Num, Query, Tables}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on relational data: PageRank over the
@@ -1133,5 +1133,74 @@ object Graph {
         FROM reach CROSS JOIN n
         ORDER BY node"""
       },
-      "Wasserman-Faust closeness of the top-20 hubs, 3-hop bounded multi-source BFS"))
+      "Wasserman-Faust closeness of the top-20 hubs, 3-hop bounded multi-source BFS"),
+
+    // --------------------------------------------------------------- q384
+    // Eigenvector centrality on the co-purchase backbone: 5 rounds of
+    // the power iteration x ← A·x with an integer renormalization to
+    // total mass S after every round — "you are central if your
+    // neighbours are central", the recursive-prestige measure that
+    // PageRank (q101) dampens and harmonic centrality (q222)
+    // distance-bounds. All state is exact integers: neighbour sums are
+    // int64 (≤ S·maxdeg ≈ 5e12), the renormalization rides
+    // DECIMAL(38,0)/HUGEINT x·S // Σx (truncating division, identical
+    // both engines), ties in the final ranking break on node id. Per
+    // round: one join on the 5000-edge backbone + one aggregate,
+    // lineage truncated per iteration — identical plan shape to
+    // q101/q126, k-bounded forever.
+    Query(
+      "q384_eigenvector_centrality",
+      (s, d) => {
+        val e = backbone(s, d)
+        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+        val nn = nodes.agg(count(lit(1)).as("n"))
+        var x = nodes.crossJoin(broadcast(nn))
+          .select(col("node"), expr(s"$S div n").as("xq"))
+          .localCheckpoint()
+        for (_ <- 1 to Iters) {
+          val y = sym.join(x.select(col("node").as("u"), col("xq").as("xu")), Seq("u"))
+            .groupBy(col("v").as("node")).agg(sum(col("xu")).as("y"))
+          val ty = y.agg(sum(col("y").cast("decimal(38,0)")).as("ty"))
+          x = nodes.join(y, Seq("node"), "left")
+            .crossJoin(broadcast(ty))
+            .select(col("node"),
+              coalesce(expr(s"cast(cast(y as decimal(38,0)) * $S div ty as bigint)"),
+                lit(0L)).as("xq"))
+            .localCheckpoint()
+        }
+        x.orderBy(col("xq").desc, col("node")).limit(20)
+          .select(col("node"), col("xq").as("score_q"),
+            Num.r6(col("xq").cast("double") / lit(S.toDouble)).as("score"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""y$i AS MATERIALIZED (
+                SELECT e.v AS node, CAST(SUM(x.xq) AS BIGINT) AS y
+                FROM e JOIN x$p x ON x.node = e.u GROUP BY e.v),
+          t$i AS (SELECT CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ty FROM y$i),
+          x$i AS MATERIALIZED (
+                SELECT n.node,
+                  CAST(COALESCE(CAST(y.y AS HUGEINT) * $S // t.ty, 0)
+                    AS BIGINT) AS xq
+                FROM nodes n LEFT JOIN y$i y ON y.node = n.node
+                CROSS JOIN t$i t)"""
+        }
+        s"""
+        WITH ${sqlBackbone.replace("e0 AS (", "eb AS MATERIALIZED (")},
+        e AS MATERIALIZED (
+          SELECT u, v FROM eb UNION ALL SELECT v AS u, u AS v FROM eb),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+        x0 AS MATERIALIZED (
+          SELECT node, $S // (SELECT COUNT(*) FROM nodes) AS xq FROM nodes),
+        ${(1 to Iters).map(round).mkString(",\n        ")}
+        SELECT node, xq AS score_q,
+          FLOOR((CAST(xq AS DOUBLE) / $S) * 1000000 + 0.500001) / 1000000
+            AS score
+        FROM x$Iters
+        ORDER BY score_q DESC, node LIMIT 20"""
+      },
+      "eigenvector centrality on the backbone: 5 integer power-iteration rounds with DECIMAL-exact renormalization to mass S, top-20"))
 }

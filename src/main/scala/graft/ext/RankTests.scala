@@ -395,6 +395,101 @@ object RankTests {
                  EXP(CAST(k AS DOUBLE) * LN(0.9)))
                 * 1000000 + 0.500001) / 1000000 AS rbo_ext
         FROM terms CROSS JOIN k"""),
-      "Rank-biased overlap (p=0.9, extrapolated) between doc-count and char-count source rankings")
+      "Rank-biased overlap (p=0.9, extrapolated) between doc-count and char-count source rankings"),
+
+    // ---------------------------------------------------------------- q385
+    // Ansari–Bradley two-sample SCALE test between the two largest
+    // sources' doc-length distributions — the dispersion counterpart
+    // to Mood's median test (q358, location): rank the pooled lengths
+    // from BOTH ends (a_i = min(r_i, N+1−r_i), midranks for ties), sum
+    // the scores of sample 1, and standardize with the exact
+    // permutation moments E[AB] = n1·Σa/N,
+    // Var[AB] = n1·n2·(N·Σa² − (Σa)²) / (N²(N−1)) — which absorb ties
+    // with no correction table. Everything rides the per-distinct-
+    // length histogram (q368's midrank identity 2r = 2·rank_min+t−1),
+    // so scores are exact integers in doubled units and the only
+    // doubles are the final z. Histogram-sized work, never a pooled
+    // row sort.
+    Query(
+      "q385_ansari_bradley",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("n_chars").as("x"))
+        val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+          .orderBy(col("nd").desc, col("source")).limit(2)
+          .select(col("source"),
+            row_number().over(Window.orderBy(col("nd").desc, col("source")))
+              .as("side"))
+          .localCheckpoint() // 2 rows
+        val pool = docs.join(broadcast(top2), Seq("source"))
+        val hist = pool.groupBy(col("x"))
+          .agg(count(lit(1)).as("t"),
+            count(when(col("side") === 1, 1)).as("t1"))
+        val wc = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = hist
+          .withColumn("cum", sum(col("t")).over(wc))
+          .localCheckpoint() // distinct-length-bounded
+        val nRow = scored.agg(max(col("cum")).as("nn"))
+        val terms = scored.crossJoin(broadcast(nRow))
+          .withColumn("mid2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
+          .withColumn("a2", least(col("mid2"), lit(2) * (col("nn") + 1) - col("mid2")))
+        terms.agg(max(col("nn")).as("nn"),
+            sum(col("t1")).as("n1"),
+            sum(col("t") - col("t1")).as("n2"),
+            sum(col("t1") * col("a2")).as("ab2"),
+            sum(col("t") * col("a2")).as("sa2"),
+            sum(col("t").cast("decimal(38,0)") * col("a2") * col("a2")).as("sa2q"))
+          .select(col("n1"), col("n2"), col("ab2"),
+            Num.r4((col("ab2").cast("double")
+              - col("n1").cast("double") * col("sa2").cast("double")
+                / col("nn").cast("double")) /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("nn").cast("double") * col("sa2q").cast("double")
+                  - col("sa2").cast("double") * col("sa2").cast("double"))
+                / (col("nn").cast("double") * col("nn").cast("double")
+                  * (col("nn") - 1).cast("double")))).as("z_scale"))
+      },
+      Some("""
+        WITH top2 AS (
+          SELECT source,
+            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS side
+          FROM documents GROUP BY source
+          ORDER BY COUNT(*) DESC, source LIMIT 2),
+        pool AS (
+          SELECT d.n_chars AS x, t.side FROM documents d
+          JOIN top2 t ON t.source = d.source),
+        hist AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS t,
+            CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS t1
+          FROM pool GROUP BY x),
+        scored AS (
+          SELECT t, t1,
+            SUM(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        nrow AS (SELECT CAST(MAX(cum) AS BIGINT) AS nn FROM scored),
+        terms AS (
+          SELECT t, t1,
+            LEAST(2 * (cum - t) + t + 1, 2 * (nn + 1) - (2 * (cum - t) + t + 1))
+              AS a2
+          FROM scored CROSS JOIN nrow),
+        agg AS (
+          SELECT (SELECT nn FROM nrow) AS nn,
+            CAST(SUM(t1) AS BIGINT) AS n1,
+            CAST(SUM(t - t1) AS BIGINT) AS n2,
+            CAST(SUM(t1 * a2) AS BIGINT) AS ab2,
+            CAST(SUM(t * a2) AS BIGINT) AS sa2,
+            CAST(SUM(CAST(t AS HUGEINT) * a2 * a2) AS HUGEINT) AS sa2q
+          FROM terms)
+        SELECT n1, n2, ab2,
+          FLOOR(((ab2 - CAST(n1 AS DOUBLE) * sa2 / nn) /
+                 SQRT(CAST(n1 AS DOUBLE) * n2
+                      * (CAST(nn AS DOUBLE) * CAST(sa2q AS DOUBLE)
+                         - CAST(sa2 AS DOUBLE) * sa2)
+                      / (CAST(nn AS DOUBLE) * nn * (nn - 1))))
+                * 10000 + 0.500001) / 10000 AS z_scale
+        FROM agg"""),
+      "Ansari-Bradley two-sample scale test on the two largest sources' doc lengths: both-ends midrank scores on the length histogram, exact tie-robust permutation moments")
   )
 }

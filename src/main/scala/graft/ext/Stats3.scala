@@ -356,6 +356,81 @@ object Stats3 {
                       CAST(nd * (nd - 1) // 2 - n2 AS DOUBLE)))
                 * 1000000 + 0.500001) / 1000000 AS tau_b
         FROM pairs CROSS JOIN n CROSS JOIN tx CROSS JOIN ty"""),
-      "Kendall tau-b between daily event volume and cent-quantized daily spend (exact pair compares, tie-corrected)")
+      "Kendall tau-b between daily event volume and cent-quantized daily spend (exact pair compares, tie-corrected)"),
+
+    // ---------------------------------------------------------------- q386
+    // Log-normal fit of per-source document lengths: μ̂ and σ̂ of
+    // ln(n_chars), the fitted median e^μ̂, and the SKEWNESS of the log
+    // values as the goodness diagnostic (≈0 when the log-normal holds;
+    // heavy right log-skew says Pareto-ish instead, q320's regime).
+    // The distributional companion to Mood (q358, location) and
+    // Ansari–Bradley (q385, scale): this one asks which FAMILY the
+    // lengths come from. ln is micro-quantized per doc (q376's rule),
+    // so all three moment sums are exact integers (cubes ride
+    // DECIMAL/HUGEINT) and both engines standardize identical values;
+    // the quantization scale cancels in the skewness.
+    Query(
+      "q386_lognormal_fit",
+      (s, d) => {
+        val lq = Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("source"),
+            floor(log(col("n_chars").cast("double")) * lit(1e6) + lit(0.5))
+              .cast("long").as("l"))
+        lq.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("s1"),
+            sum(col("l") * col("l")).as("s2"),
+            sum(col("l").cast("decimal(38,0)") * col("l") * col("l")).as("s3"))
+          .select(col("source"), col("n_docs"),
+            Num.r6(col("s1").cast("double") / col("n_docs").cast("double")
+              / lit(1e6)).as("mu_ln"),
+            Num.r6(sqrt((col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("n_docs").cast("double"))
+              / (col("n_docs") - 1).cast("double")) / lit(1e6)).as("sigma_ln"),
+            Num.r4(exp(col("s1").cast("double") / col("n_docs").cast("double")
+              / lit(1e6))).as("median_fit"),
+            Num.r4({
+              val n = col("n_docs").cast("double")
+              val m = col("s1").cast("double") / n
+              val m2 = col("s2").cast("double") / n - m * m
+              val m3 = col("s3").cast("double") / n -
+                lit(3.0) * m * col("s2").cast("double") / n +
+                lit(2.0) * m * m * m
+              m3 / sqrt(m2 * m2 * m2)
+            }).as("skew_ln"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH lq AS (
+          SELECT source,
+            CAST(FLOOR(LN(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS l
+          FROM documents WHERE n_chars > 0),
+        m AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(l) AS BIGINT) AS s1,
+            CAST(SUM(l * l) AS BIGINT) AS s2,
+            CAST(SUM(CAST(l AS HUGEINT) * l * l) AS HUGEINT) AS s3
+          FROM lq GROUP BY source)
+        SELECT source, n_docs,
+          FLOOR((CAST(s1 AS DOUBLE) / n_docs / 1e6) * 1000000 + 0.500001)
+            / 1000000 AS mu_ln,
+          FLOOR((SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n_docs) / (n_docs - 1))
+                 / 1e6) * 1000000 + 0.500001) / 1000000 AS sigma_ln,
+          FLOOR(EXP(CAST(s1 AS DOUBLE) / n_docs / 1e6) * 10000 + 0.500001)
+            / 10000 AS median_fit,
+          FLOOR(((CAST(s3 AS DOUBLE) / n_docs
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n_docs)
+                        * CAST(s2 AS DOUBLE) / n_docs
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n_docs)
+                        * (CAST(s1 AS DOUBLE) / n_docs)
+                        * (CAST(s1 AS DOUBLE) / n_docs))
+                 / SQRT(POW(CAST(s2 AS DOUBLE) / n_docs
+                            - (CAST(s1 AS DOUBLE) / n_docs)
+                              * (CAST(s1 AS DOUBLE) / n_docs), 3)))
+                * 10000 + 0.500001) / 10000 AS skew_ln
+        FROM m ORDER BY source"""),
+      "Log-normal fit of doc lengths per source: micro-quantized ln moments, fitted median, log-skewness as the family diagnostic")
   )
 }
