@@ -245,65 +245,6 @@ object Lexical2 {
           FLOOR((CAST(v2 AS DOUBLE) / vocab) * 1000000 + 0.500001) / 1000000
             AS sichel_s
         FROM q ORDER BY source"""),
-      "Honore's R and Sichel's S vocabulary richness per source from the token frequency spectrum (pico-quantized ln N, exact V/V1/V2)"),
-
-    // ---------------------------------------------------------------- q383
-    // Good–Turing frequency spectrum (Good 1953): for each count class
-    // r = 0..5, the class size N_r, the smoothed count
-    // r* = (r+1)·N_{r+1}/N_r, and the TOTAL probability mass GT
-    // assigns to the class, p_r = (r+1)·N_{r+1}/N — whose r = 0 row
-    // is the celebrated missing-mass estimate P(unseen) = N_1/N. The
-    // smoothing that underlies Katz backoff and every held-out
-    // language-model estimate; the spectrum complement to q380's
-    // richness statistics. One token pass → count histogram → dense
-    // r-grid left join; every numerator/denominator is an exact
-    // integer, empty classes yield NULL r* on both engines.
-    Query(
-      "q383_good_turing",
-      (s, d) => {
-        val counts = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("t"))
-          .groupBy(col("t")).agg(count(lit(1)).as("c"))
-        val spectrum = counts.groupBy(col("c").as("r"))
-          .agg(count(lit(1)).as("nr")).localCheckpoint()
-        val tot = counts.agg(sum(col("c")).as("n"))
-        val grid = counts.sparkSession.range(6).select(col("id").as("r"))
-        grid.join(spectrum, Seq("r"), "left")
-          .join(spectrum.select((col("r") - 1).as("r"), col("nr").as("nnext")),
-            Seq("r"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("r"), coalesce(col("nr"), lit(0L)).as("n_r"),
-            coalesce(col("nnext"), lit(0L)).as("n_next"),
-            when(coalesce(col("nr"), lit(0L)) === 0, lit(null).cast("double"))
-              .otherwise(Num.r6((col("r") + 1).cast("double")
-                * coalesce(col("nnext"), lit(0L)).cast("double")
-                / col("nr").cast("double"))).as("r_star"),
-            Num.r6((col("r") + 1).cast("double")
-              * coalesce(col("nnext"), lit(0L)).cast("double")
-              / col("n").cast("double")).as("p_gt"))
-          .orderBy(col("r"))
-      },
-      Some("""
-        WITH counts AS (
-          SELECT t, CAST(COUNT(*) AS BIGINT) AS c
-          FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
-          GROUP BY t),
-        spectrum AS (
-          SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM counts GROUP BY c),
-        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
-        grid AS (SELECT UNNEST(RANGE(0, 6)) AS r)
-        SELECT g.r, COALESCE(s.nr, 0) AS n_r, COALESCE(s1.nr, 0) AS n_next,
-          CASE WHEN COALESCE(s.nr, 0) = 0 THEN NULL
-               ELSE FLOOR(((g.r + 1) * CAST(COALESCE(s1.nr, 0) AS DOUBLE)
-                           / s.nr) * 1000000 + 0.500001) / 1000000
-          END AS r_star,
-          FLOOR(((g.r + 1) * CAST(COALESCE(s1.nr, 0) AS DOUBLE) / n)
-                * 1000000 + 0.500001) / 1000000 AS p_gt
-        FROM grid g
-        LEFT JOIN spectrum s ON s.r = g.r
-        LEFT JOIN spectrum s1 ON s1.r = g.r + 1
-        CROSS JOIN tot
-        ORDER BY g.r"""),
-      "Good-Turing frequency spectrum r=0..5: class sizes, smoothed r*, and per-class GT mass (r=0 row = missing-mass N1/N), exact integers throughout")
+      "Honore's R and Sichel's S vocabulary richness per source from the token frequency spectrum (pico-quantized ln N, exact V/V1/V2)")
   )
 }

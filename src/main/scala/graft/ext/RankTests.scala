@@ -397,6 +397,102 @@ object RankTests {
         FROM terms CROSS JOIN k"""),
       "Rank-biased overlap (p=0.9, extrapolated) between doc-count and char-count source rankings"),
 
+    // ---------------------------------------------------------------- q383
+    // Wilcoxon signed-rank test of the weekly weekend-vs-weekday
+    // activity gap — the PAIRED nonparametric test the suite lacked
+    // next to Kruskal–Wallis (q284, independent k-sample) and Friedman
+    // (q288, blocked ranks): each complete calendar week is one pair
+    // (mean weekend rate, mean weekday rate). The per-week difference
+    // is cleared to the exact integer D_w = 5·Σweekend − 2·Σweekday
+    // (mean difference × 10); zero differences drop (standard
+    // practice); |D| midranks come from the q368 histogram identity
+    // (2r = 2·rank_min + t − 1) so 2·W⁺ is an exact integer, and the
+    // tie-corrected permutation variance Var(2W⁺) =
+    // (2n(n+1)(2n+1) − Σt(t−1)(t+1)) / 12 uses exact integer sums.
+    // Weekend = epoch-day mod 7 ∈ {2,3} (day 0 = Thu ⇒ Sat/Sun). All
+    // rank work runs on the week-bounded |D| histogram, never raw
+    // events.
+    Query(
+      "q383_wilcoxon_signed",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val diffs = daily
+          .withColumn("w", expr("dy div 7"))
+          .withColumn("we", expr("dy % 7 in (2, 3)"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("nd"),
+            sum(when(col("we"), col("y")).otherwise(0L)).as("swe"),
+            sum(when(!col("we"), col("y")).otherwise(0L)).as("swd"))
+          .filter(col("nd") === 7)
+          .select(col("w"), (lit(5) * col("swe") - lit(2) * col("swd")).as("dd"))
+          .filter(col("dd") =!= 0)
+        val hist = diffs.groupBy(abs(col("dd")).as("ad"))
+          .agg(count(lit(1)).as("t"),
+            count(when(col("dd") > 0, 1)).as("tpos"))
+        val wc = Window.orderBy(col("ad"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = hist.withColumn("cum", sum(col("t")).over(wc))
+          .localCheckpoint() // week-bounded histogram
+        scored
+          .select(col("t"), col("tpos"),
+            (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("mid2"))
+          .agg(sum(col("t")).as("n"),
+            sum(col("tpos")).as("n_pos"),
+            sum(col("t") - col("tpos")).as("n_neg"),
+            sum(col("tpos") * col("mid2")).as("w2"),
+            sum(col("t") * (col("t") - 1) * (col("t") + 1)).as("tie"))
+          .select(col("n").as("n_weeks"), col("n_pos"), col("n_neg"),
+            col("w2").as("w2_plus"),
+            when(lit(2) * col("n") * (col("n") + 1) * (lit(2) * col("n") + 1)
+              - col("tie") <= 0, lit(null).cast("double"))
+              .otherwise(Num.r4((col("w2").cast("double")
+                - col("n").cast("double") * (col("n") + 1).cast("double") / 2.0) /
+                sqrt((lit(2.0) * col("n").cast("double")
+                  * (col("n") + 1).cast("double")
+                  * (lit(2.0) * col("n").cast("double") + 1.0)
+                  - col("tie").cast("double")) / lit(12.0)))).as("z_wilcoxon"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        diffs AS (
+          SELECT w, 5 * swe - 2 * swd AS dd FROM (
+            SELECT dy // 7 AS w, CAST(COUNT(*) AS BIGINT) AS nd,
+              CAST(SUM(CASE WHEN dy % 7 IN (2, 3) THEN y ELSE 0 END)
+                AS BIGINT) AS swe,
+              CAST(SUM(CASE WHEN dy % 7 IN (2, 3) THEN 0 ELSE y END)
+                AS BIGINT) AS swd
+            FROM daily GROUP BY dy // 7)
+          WHERE nd = 7 AND 5 * swe - 2 * swd <> 0),
+        hist AS (
+          SELECT ABS(dd) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+            CAST(COUNT(*) FILTER (WHERE dd > 0) AS BIGINT) AS tpos
+          FROM diffs GROUP BY ABS(dd)),
+        scored AS (
+          SELECT t, tpos,
+            SUM(t) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        agg AS (
+          SELECT CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(tpos) AS BIGINT) AS n_pos,
+            CAST(SUM(t - tpos) AS BIGINT) AS n_neg,
+            CAST(SUM(tpos * (2 * (cum - t) + t + 1)) AS BIGINT) AS w2,
+            CAST(SUM(t * (t - 1) * (t + 1)) AS BIGINT) AS tie
+          FROM scored)
+        SELECT n AS n_weeks, n_pos, n_neg, w2 AS w2_plus,
+          CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie <= 0 THEN NULL
+               ELSE FLOOR(((w2 - CAST(n AS DOUBLE) * (n + 1) / 2.0) /
+                           SQRT((2.0 * n * (n + 1) * (2.0 * n + 1) - tie)
+                                / 12.0))
+                          * 10000 + 0.500001) / 10000 END AS z_wilcoxon
+        FROM agg"""),
+      "Wilcoxon signed-rank test of weekly weekend-vs-weekday volume: exact integer paired differences (x10), histogram midranks, tie-corrected permutation variance"),
+
     // ---------------------------------------------------------------- q385
     // Ansari–Bradley two-sample SCALE test between the two largest
     // sources' doc-length distributions — the dispersion counterpart

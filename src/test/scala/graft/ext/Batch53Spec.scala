@@ -16,23 +16,37 @@ class Batch53Spec extends SparkSpec {
     dir
   }
 
-  test("q383: 'a a a b b c' pins the full r=0..5 spectrum, missing mass 1/6") {
+  private val base = 1704067200000L
+  private val dayMs = 86400000L
+  private var id = 0L
+  private def evAt(u: Long, ms: Long, t: String = "view") = {
+    id += 1; (id, new java.sql.Timestamp(ms), u, t, 1.0, "{}")
+  }
+  private def toEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) = {
     import spark.implicits._
-    val d = Seq((1L, "a a a b b c", "en", "x", 11L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val rows = byName("q383_good_turing").run(spark, plantDir("documents" -> d))
-      .collect().map(r => r.getAs[Long]("r") -> r).toMap
-    assert(rows.keySet == (0L to 5L).toSet)
-    // N=6, N1=N2=N3=1: p_gt(0) = 1/6 is the unseen mass
-    assert(rows(0L).getAs[Long]("n_r") == 0L)
-    assert(rows(0L).isNullAt(rows(0L).fieldIndex("r_star")))
-    assert(math.abs(rows(0L).getAs[Double]("p_gt") - 0.166667) < 1e-9)
-    assert(rows(1L).getAs[Double]("r_star") == 2.0)   // 2*N2/N1
-    assert(math.abs(rows(1L).getAs[Double]("p_gt") - 0.333333) < 1e-9)
-    assert(rows(2L).getAs[Double]("r_star") == 3.0)   // 3*N3/N2
-    assert(rows(3L).getAs[Double]("r_star") == 0.0)   // N4 = 0
-    assert(rows(4L).isNullAt(rows(4L).fieldIndex("r_star")))
-    assert(rows(5L).getAs[Double]("p_gt") == 0.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("q383: +100/-50/0 weekly gaps pin W2+=4, z=0.4472") {
+    // base epoch-day has weekday 4; the first COMPLETE dy-div-7 week
+    // starts at offset 3. Week 1: weekend 20/day (D=+100); week 2:
+    // weekend 5/day (D=-50); week 3: flat 10s (D=0, dropped).
+    val rows = (3 until 24).flatMap { o =>
+      val wd = (base / dayMs + o) % 7
+      val week = (o - 3) / 7
+      val k =
+        if (wd == 2 || wd == 3) (if (week == 0) 20 else if (week == 1) 5 else 10)
+        else 10
+      (1 to k).map(i => evAt(i.toLong, base + o * dayMs))
+    }
+    val r = byName("q383_wilcoxon_signed")
+      .run(spark, plantDir("events" -> toEvents(rows))).head()
+    assert(r.getAs[Long]("n_weeks") == 2L)
+    assert(r.getAs[Long]("n_pos") == 1L)
+    assert(r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("w2_plus") == 4L)
+    // z = (4 - 3)/sqrt(60/12) = 1/sqrt(5)
+    assert(math.abs(r.getAs[Double]("z_wilcoxon") - 0.4472) < 1e-9)
   }
 
   test("q384: a 5-node star pins the exact oscillation state S/2 center, S/8 leaves") {
