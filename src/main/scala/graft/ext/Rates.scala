@@ -374,6 +374,101 @@ object Rates {
           ${Num.sql("(m11 - m10 - (m01 - m00)) / SQRT(v11 + v10 + v01 + v00)", 4)}
             AS t_stat
         FROM t"""),
-      "Difference-in-differences on the md5 arms at the exact calendar midpoint: 2x2 exact moment cells pivoted to one row, fixed-order DiD / Wald SE / t")
+      "Difference-in-differences on the md5 arms at the exact calendar midpoint: 2x2 exact moment cells pivoted to one row, fixed-order DiD / Wald SE / t"),
+
+    // ---------------------------------------------------------------- q389
+    // Odds ratio + relative risk of user-level conversion between the
+    // md5 A/B arms (q361's assignment), with the Woolf log-OR 95% CI —
+    // the epidemiology-style effect-size readout next to the SPRT
+    // (sequential decision, q361) and DiD (time-interacted, q364):
+    // arm 1 vs arm 0, conversion = user ever purchased. The 2×2 cells
+    // are exact integers; a·d and b·c stay below 2^53 so the double
+    // ratio is exact; ln(OR) and the Woolf SE are pico-quantized
+    // (q376's rule) before the CI exponentials. Any empty cell yields
+    // NULL effect estimates on both engines (no continuity fudge —
+    // visible, not hidden).
+    Query(
+      "q389_odds_ratio",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+          .withColumn("arm", graft.ext.Dedup.h60(
+            concat(lit("ab|"), col("user_id").cast("string"))) % 2)
+        val cells = users.agg(
+          count(when(col("arm") === 1 && col("conv") === 1, 1)).as("a"),
+          count(when(col("arm") === 1 && col("conv") === 0, 1)).as("b"),
+          count(when(col("arm") === 0 && col("conv") === 1, 1)).as("c"),
+          count(when(col("arm") === 0 && col("conv") === 0, 1)).as("d"))
+        cells
+          .withColumn("ok",
+            col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
+          .withColumn("lnor_q", when(col("ok"),
+            floor(log(col("a").cast("double") * col("d").cast("double") /
+              (col("b").cast("double") * col("c").cast("double")))
+              * lit(1e12) + lit(0.5)).cast("long")))
+          .withColumn("se_q", when(col("ok"),
+            floor(sqrt(lit(1.0) / col("a").cast("double")
+              + lit(1.0) / col("b").cast("double")
+              + lit(1.0) / col("c").cast("double")
+              + lit(1.0) / col("d").cast("double")) * lit(1e12) + lit(0.5))
+              .cast("long")))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            when(col("ok"), Num.r4(col("a").cast("double") * col("d").cast("double")
+              / (col("b").cast("double") * col("c").cast("double"))))
+              .as("odds_ratio"),
+            when(col("ok"), Num.r4((col("a").cast("double")
+              / (col("a") + col("b")).cast("double")) /
+              (col("c").cast("double") / (col("c") + col("d")).cast("double"))))
+              .as("relative_risk"),
+            when(col("ok"), Num.r4(exp(col("lnor_q").cast("double") / lit(1e12)
+              - lit(1.96) * col("se_q").cast("double") / lit(1e12))))
+              .as("or_ci_lo"),
+            when(col("ok"), Num.r4(exp(col("lnor_q").cast("double") / lit(1e12)
+              + lit(1.96) * col("se_q").cast("double") / lit(1e12))))
+              .as("or_ci_hi"))
+      },
+      Some(s"""
+        WITH users AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+            ${graft.ext.Dedup.sqlH60(
+              "'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+          FROM events GROUP BY user_id),
+        cells AS (
+          SELECT
+            CAST(COUNT(*) FILTER (WHERE arm = 1 AND conv = 1) AS BIGINT) AS a,
+            CAST(COUNT(*) FILTER (WHERE arm = 1 AND conv = 0) AS BIGINT) AS b,
+            CAST(COUNT(*) FILTER (WHERE arm = 0 AND conv = 1) AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE arm = 0 AND conv = 0) AS BIGINT) AS d
+          FROM users),
+        q AS (
+          SELECT a, b, c, d,
+            (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok,
+            CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+              CAST(FLOOR(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                * 1e12 + 0.5) AS BIGINT) END AS lnor_q,
+            CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+              CAST(FLOOR(SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                * 1e12 + 0.5) AS BIGINT) END AS se_q
+          FROM cells)
+        SELECT a, b, c, d,
+          CASE WHEN ok THEN
+            FLOOR((CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+              * 10000 + 0.500001) / 10000 END AS odds_ratio,
+          CASE WHEN ok THEN
+            FLOOR(((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)))
+              * 10000 + 0.500001) / 10000 END AS relative_risk,
+          CASE WHEN ok THEN
+            FLOOR(EXP(CAST(lnor_q AS DOUBLE) / 1e12
+                      - 1.96 * CAST(se_q AS DOUBLE) / 1e12)
+              * 10000 + 0.500001) / 10000 END AS or_ci_lo,
+          CASE WHEN ok THEN
+            FLOOR(EXP(CAST(lnor_q AS DOUBLE) / 1e12
+                      + 1.96 * CAST(se_q AS DOUBLE) / 1e12)
+              * 10000 + 0.500001) / 10000 END AS or_ci_hi
+        FROM q"""),
+      "Odds ratio + relative risk of conversion between md5 A/B arms with Woolf log-OR 95% CI (exact 2x2 cells, pico-quantized ln/SE, NULL on empty cells)")
   )
 }

@@ -249,6 +249,220 @@ object Stationarity {
                           2.0 * CAST(g3 AS DOUBLE) + CAST(g4 AS DOUBLE)))))
                 * 10000 + 0.500001) / 10000) < 0.463 AS level_stationary_5pct
         FROM m"""),
-      "KPSS level-stationarity statistic via n-scaled integer deviations (Bartlett l=4)")
+      "KPSS level-stationarity statistic via n-scaled integer deviations (Bartlett l=4)"),
+
+    // ---------------------------------------------------------------- q387
+    // Bartels' rank von Neumann ratio (Bartels 1982) — the RANK-robust
+    // randomness test the battery lacked between the runs test (q351,
+    // signs only) and Durbin–Watson (q350, raw values): RVN =
+    // Σ(r_i − r_{i+1})² / Σ(r_i − r̄)² on the day-ordered midranks of
+    // daily volume. In doubled-midrank units both sums are exact
+    // integers (2r̄ = n+1 exactly, q368's histogram identity), the
+    // ×4 factors cancel in the ratio, and z uses Bartels' asymptotic
+    // variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). Histogram + one
+    // bounded day-table window, never a raw-event sort.
+    Query(
+      "q387_bartels_rvn",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val hist = daily.groupBy(col("y").as("v")).agg(count(lit(1)).as("t"))
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mids = hist.withColumn("cum", sum(col("t")).over(wc))
+          .select(col("v"), (lit(2) * (col("cum") - col("t")) + col("t") + 1)
+            .as("mid2"))
+        val ranked = daily.join(mids, col("y") === col("v"))
+          .select(col("dy"), col("mid2")).localCheckpoint() // day-bounded
+        val nn = ranked.agg(count(lit(1)).as("nn"))
+        val wd = Window.orderBy(col("dy"))
+        ranked
+          .withColumn("nxt", lead(col("mid2"), 1).over(wd))
+          .crossJoin(broadcast(nn))
+          .agg(max(col("nn")).as("n"),
+            sum(when(col("nxt").isNotNull,
+              (col("mid2") - col("nxt")) * (col("mid2") - col("nxt")))).as("nb2"),
+            sum((col("mid2") - (col("nn") + 1))
+              * (col("mid2") - (col("nn") + 1))).as("d2"))
+          .select(col("n").as("n_days"), col("nb2"), col("d2"),
+            when(col("d2") === 0, lit(null).cast("double"))
+              .otherwise(Num.r6(col("nb2").cast("double")
+                / col("d2").cast("double"))).as("rvn"),
+            when(col("d2") === 0, lit(null).cast("double"))
+              .otherwise(Num.r4((col("nb2").cast("double")
+                / col("d2").cast("double") - lit(2.0)) /
+                sqrt(lit(4.0) * (col("n") - 2).cast("double")
+                  * (lit(5.0) * col("n").cast("double") * col("n").cast("double")
+                    - lit(2.0) * col("n").cast("double") - lit(9.0))
+                  / (lit(5.0) * col("n").cast("double")
+                    * (col("n") + 1).cast("double")
+                    * (col("n") - 1).cast("double")
+                    * (col("n") - 1).cast("double"))))).as("z_rvn"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        hist AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS t
+                 FROM daily GROUP BY y),
+        mids AS (
+          SELECT v, 2 * (cum - t) + t + 1 AS mid2 FROM (
+            SELECT v, t, SUM(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hist)),
+        ranked AS (
+          SELECT dy, mid2 FROM daily JOIN mids ON daily.y = mids.v),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+        nb AS (
+          SELECT CAST(SUM((mid2 - nxt) * (mid2 - nxt)) AS BIGINT) AS nb2
+          FROM (SELECT mid2, LEAD(mid2) OVER (ORDER BY dy) AS nxt FROM ranked)
+          WHERE nxt IS NOT NULL),
+        dd AS (
+          SELECT CAST(SUM((mid2 - (n + 1)) * (mid2 - (n + 1))) AS BIGINT) AS d2
+          FROM ranked CROSS JOIN nn)
+        SELECT n AS n_days, nb2, d2,
+          CASE WHEN d2 = 0 THEN NULL
+               ELSE FLOOR((CAST(nb2 AS DOUBLE) / d2) * 1000000 + 0.500001)
+                    / 1000000 END AS rvn,
+          CASE WHEN d2 = 0 THEN NULL
+               ELSE FLOOR(((CAST(nb2 AS DOUBLE) / d2 - 2.0) /
+                           SQRT(4.0 * (n - 2)
+                                * (5.0 * n * n - 2.0 * n - 9.0)
+                                / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))))
+                          * 10000 + 0.500001) / 10000 END AS z_rvn
+        FROM nn CROSS JOIN nb CROSS JOIN dd"""),
+      "Bartels rank von Neumann randomness ratio on daily volume: doubled-midrank exact integer sums, asymptotic z"),
+
+    // ---------------------------------------------------------------- q388
+    // Turning-point test of serial randomness: count interior days that
+    // are STRICT local maxima or minima of the daily series. Under
+    // randomness E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 (Kendall);
+    // too few turning points means momentum/trend, too many means
+    // oscillation. Tied neighbours are not turning points (strict
+    // inequalities, documented). Pure integer counting on the
+    // day-bounded table; the only doubles are the final z.
+    Query(
+      "q388_turning_points",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val wd = Window.orderBy(col("dy"))
+        val marked = daily
+          .withColumn("prv", lag(col("y"), 1).over(wd))
+          .withColumn("nxt", lead(col("y"), 1).over(wd))
+          .withColumn("tp", col("prv").isNotNull && col("nxt").isNotNull &&
+            ((col("y") > col("prv") && col("y") > col("nxt")) ||
+              (col("y") < col("prv") && col("y") < col("nxt"))))
+        marked.agg(count(lit(1)).as("n"),
+            count(when(col("tp"), 1)).as("t"))
+          .select(col("n").as("n_days"), col("t").as("n_turning"),
+            Num.r4(lit(2.0) * (col("n") - 2).cast("double") / lit(3.0))
+              .as("expected"),
+            Num.r4((col("t").cast("double")
+              - lit(2.0) * (col("n") - 2).cast("double") / lit(3.0)) /
+              sqrt((lit(16.0) * col("n").cast("double") - lit(29.0)) / lit(90.0)))
+              .as("z_tp"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        marked AS (
+          SELECT y,
+            LAG(y) OVER (ORDER BY dy) AS prv,
+            LEAD(y) OVER (ORDER BY dy) AS nxt
+          FROM daily),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE prv IS NOT NULL AND nxt IS NOT NULL
+              AND ((y > prv AND y > nxt) OR (y < prv AND y < nxt)))
+              AS BIGINT) AS t
+          FROM marked)
+        SELECT n AS n_days, t AS n_turning,
+          FLOOR((2.0 * (n - 2) / 3.0) * 10000 + 0.500001) / 10000 AS expected,
+          FLOOR(((t - 2.0 * (n - 2) / 3.0) /
+                 SQRT((16.0 * n - 29.0) / 90.0)) * 10000 + 0.500001) / 10000
+            AS z_tp
+        FROM agg"""),
+      "Turning-point randomness test on daily volume: exact strict-extremum count vs Kendall's 2(n-2)/3 expectation"),
+
+    // ---------------------------------------------------------------- q390
+    // Cox–Stuart trend test: pair day i (by position) with day
+    // i + ⌈n/2⌉, drop the middle element when n is odd and any tied
+    // pairs, and sign-test the second half against the first —
+    // the assumption-free "is the series drifting" gate that
+    // complements Mann–Kendall (q177/q378, all-pairs) at paired-only
+    // cost. Continuity-corrected binomial z; all counting exact on
+    // the positioned day table.
+    Query(
+      "q390_cox_stuart",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val idx = daily
+          .withColumn("t", row_number().over(Window.orderBy(col("dy")))
+            .cast("long") - 1L)
+          .localCheckpoint() // day-bounded
+        val nn = idx.agg(count(lit(1)).as("n"))
+        val pairs = idx.crossJoin(broadcast(nn))
+          .withColumn("c", expr("(n + 1) div 2"))
+          .filter(col("t") < expr("n div 2"))
+          .select(col("t"), col("y").as("y1"), col("c"))
+          .join(idx.select((col("t")).as("t2"), col("y").as("y2")),
+            col("t2") === col("t") + col("c"))
+          .filter(col("y1") =!= col("y2"))
+        pairs.agg(count(lit(1)).as("m"),
+            count(when(col("y2") > col("y1"), 1)).as("sp"))
+          .select(col("m").as("n_pairs"), col("sp").as("n_plus"),
+            Num.r4(when(lit(2) * col("sp") === col("m"), lit(0.0))
+              .when(lit(2) * col("sp") > col("m"),
+                (col("sp").cast("double") - lit(0.5)
+                  - col("m").cast("double") / 2.0) /
+                  sqrt(col("m").cast("double") / 4.0))
+              .otherwise((col("sp").cast("double") + lit(0.5)
+                - col("m").cast("double") / 2.0) /
+                sqrt(col("m").cast("double") / 4.0))).as("z_cs"))
+          .withColumn("trend",
+            when(col("z_cs") > 1.96, lit("increasing"))
+              .when(col("z_cs") < -1.96, lit("decreasing"))
+              .otherwise(lit("none")))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY dy) - 1 AS t, y FROM daily),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+        pairs AS (
+          SELECT a.y AS y1, b.y AS y2
+          FROM idx a CROSS JOIN nn
+          JOIN idx b ON b.t = a.t + (n + 1) // 2
+          WHERE a.t < n // 2 AND a.y <> b.y),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(COUNT(*) FILTER (WHERE y2 > y1) AS BIGINT) AS sp
+          FROM pairs),
+        zr AS (
+          SELECT m, sp,
+            FLOOR((CASE WHEN 2 * sp = m THEN 0.0
+                   WHEN 2 * sp > m THEN (sp - 0.5 - CAST(m AS DOUBLE) / 2.0)
+                        / SQRT(CAST(m AS DOUBLE) / 4.0)
+                   ELSE (sp + 0.5 - CAST(m AS DOUBLE) / 2.0)
+                        / SQRT(CAST(m AS DOUBLE) / 4.0) END)
+                  * 10000 + 0.500001) / 10000 AS z_cs
+          FROM agg)
+        SELECT m AS n_pairs, sp AS n_plus, z_cs,
+          CASE WHEN z_cs > 1.96 THEN 'increasing'
+               WHEN z_cs < -1.96 THEN 'decreasing'
+               ELSE 'none' END AS trend
+        FROM zr"""),
+      "Cox-Stuart paired-halves sign test for trend on daily volume: exact pair counts, continuity-corrected binomial z")
   )
 }
