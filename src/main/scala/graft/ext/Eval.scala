@@ -18,6 +18,74 @@ object Eval {
   private val sparkCut = "mn + ((mx - mn) * 7) div 10"
   private val sqlCut = "mn + ((mx - mn) * 7) // 10"
 
+  /** (pos, phat) for every vector under q214's deterministic centroid
+    * classifier: p̂ = σ(10·(cos(v, c₊) − cos(v, c₋))) with label ≥ 5 as
+    * the positive class. All centroid/dot/norm accumulations are exact
+    * integers on the 1e-6 component grid; the only doubles are the
+    * final cosines (identical operand order both engines). Shared by
+    * q214 (ECE), q391 (Brier decomposition) and q394 (Youden J) so the
+    * scorer exists exactly once. */
+  private def centroidScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), (col("label") >= 5).as("pos"),
+        posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("pos"), col("dim"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+      .localCheckpoint() // one explode feeds centroids AND scoring
+    val cent = ex.groupBy(col("dim"))
+      .agg(sum(when(col("pos"), col("xq")).otherwise(0L)).as("cp"),
+        sum(when(!col("pos"), col("xq")).otherwise(0L)).as("cn"))
+    val cnorm = cent.agg(
+      sum((col("cp").cast("decimal(38,0)") * col("cp"))).as("p2"),
+      sum((col("cn").cast("decimal(38,0)") * col("cn"))).as("n2"))
+    val dots = ex.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("pos"))
+      .agg(sum(col("xq").cast("decimal(38,0)") * col("cp")).as("dp"),
+        sum(col("xq").cast("decimal(38,0)") * col("cn")).as("dn"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq")).as("v2"))
+    val margin =
+      col("dp").cast("double") /
+        (sqrt(col("v2").cast("double")) * sqrt(col("p2").cast("double"))) -
+      col("dn").cast("double") /
+        (sqrt(col("v2").cast("double")) * sqrt(col("n2").cast("double")))
+    dots.crossJoin(broadcast(cnorm))
+      .select(col("pos"),
+        (lit(1.0) / (lit(1.0) + exp(lit(-10.0) * margin))).as("phat"))
+  }
+
+  /** DuckDB twin of [[centroidScored]], ending in `scored(pos, phat)`. */
+  private val sqlCentroidScored: String = """ex AS (
+          SELECT vec_id, label >= 5 AS pos,
+            CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq,
+            dim
+          FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                  unnest(range(0, len(embedding))) AS dim
+                FROM embeddings)),
+        cent AS (
+          SELECT dim,
+            SUM(CASE WHEN pos THEN xq ELSE 0 END) AS cp,
+            SUM(CASE WHEN NOT pos THEN xq ELSE 0 END) AS cn
+          FROM ex GROUP BY dim),
+        cnorm AS (
+          SELECT SUM(CAST(cp AS HUGEINT) * cp) AS p2,
+            SUM(CAST(cn AS HUGEINT) * cn) AS n2
+          FROM cent),
+        dots AS (
+          SELECT vec_id, MAX(pos) AS pos,
+            SUM(CAST(xq AS HUGEINT) * cp) AS dp,
+            SUM(CAST(xq AS HUGEINT) * cn) AS dn,
+            SUM(CAST(xq AS HUGEINT) * xq) AS v2
+          FROM ex JOIN cent USING (dim)
+          GROUP BY vec_id),
+        scored AS (
+          SELECT pos,
+            1.0 / (1.0 + EXP(-10.0 *
+              (CAST(dp AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(p2 AS DOUBLE)))
+               - CAST(dn AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))))))
+              AS phat
+          FROM dots CROSS JOIN cnorm)"""
+
   def queries: Seq[Query] = Seq(
 
     // ---------------------------------------------------------------- q199
@@ -259,35 +327,10 @@ object Eval {
     Query(
       "q214_ece_calibration",
       (s, d) => {
-        val ex = Tables.embeddings(s, d)
-          .select(col("vec_id"), (col("label") >= 5).as("pos"),
-            posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
-          .select(col("vec_id"), col("pos"), col("dim"),
-            floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
-          .localCheckpoint() // one explode feeds centroids AND scoring
-        val cent = ex.groupBy(col("dim"))
-          .agg(sum(when(col("pos"), col("xq")).otherwise(0L)).as("cp"),
-            count(when(col("pos"), 1)).as("np"),
-            sum(when(!col("pos"), col("xq")).otherwise(0L)).as("cn"),
-            count(when(!col("pos"), 1)).as("nn"))
-        val cnorm = cent.agg(
-          sum((col("cp").cast("decimal(38,0)") * col("cp"))).as("p2"),
-          sum((col("cn").cast("decimal(38,0)") * col("cn"))).as("n2"))
-        val dots = ex.join(broadcast(cent), Seq("dim"))
-          .groupBy(col("vec_id"), col("pos"))
-          .agg(sum(col("xq").cast("decimal(38,0)") * col("cp")).as("dp"),
-            sum(col("xq").cast("decimal(38,0)") * col("cn")).as("dn"),
-            sum(col("xq").cast("decimal(38,0)") * col("xq")).as("v2"))
-        val margin =
-          col("dp").cast("double") /
-            (sqrt(col("v2").cast("double")) * sqrt(col("p2").cast("double"))) -
-          col("dn").cast("double") /
-            (sqrt(col("v2").cast("double")) * sqrt(col("n2").cast("double")))
-        val phat = lit(1.0) / (lit(1.0) + exp(lit(-10.0) * margin))
-        val binned = dots.crossJoin(broadcast(cnorm))
+        val binned = centroidScored(s, d)
           .select(col("pos"),
-            least(lit(9), floor(phat * lit(10.0)).cast("int")).as("bin"),
-            floor(phat * lit(1e6) + lit(0.5)).cast("long").as("pq"))
+            least(lit(9), floor(col("phat") * lit(10.0)).cast("int")).as("bin"),
+            floor(col("phat") * lit(1e6) + lit(0.5)).cast("long").as("pq"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"), count(when(col("pos"), 1)).as("k"),
             sum(col("pq")).as("sp"))
@@ -303,37 +346,8 @@ object Eval {
               (col("nt").cast("double") * lit(1e6))).as("ece"))
           .orderBy(col("bin"))
       },
-      Some("""
-        WITH ex AS (
-          SELECT vec_id, label >= 5 AS pos,
-            CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq,
-            dim
-          FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
-                  unnest(range(0, len(embedding))) AS dim
-                FROM embeddings)),
-        cent AS (
-          SELECT dim,
-            SUM(CASE WHEN pos THEN xq ELSE 0 END) AS cp,
-            SUM(CASE WHEN NOT pos THEN xq ELSE 0 END) AS cn
-          FROM ex GROUP BY dim),
-        cnorm AS (
-          SELECT SUM(CAST(cp AS HUGEINT) * cp) AS p2,
-            SUM(CAST(cn AS HUGEINT) * cn) AS n2
-          FROM cent),
-        dots AS (
-          SELECT vec_id, MAX(pos) AS pos,
-            SUM(CAST(xq AS HUGEINT) * cp) AS dp,
-            SUM(CAST(xq AS HUGEINT) * cn) AS dn,
-            SUM(CAST(xq AS HUGEINT) * xq) AS v2
-          FROM ex JOIN cent USING (dim)
-          GROUP BY vec_id),
-        scored AS (
-          SELECT pos,
-            1.0 / (1.0 + EXP(-10.0 *
-              (CAST(dp AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(p2 AS DOUBLE)))
-               - CAST(dn AS DOUBLE) / (SQRT(CAST(v2 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))))))
-              AS phat
-          FROM dots CROSS JOIN cnorm),
+      Some(s"""
+        WITH $sqlCentroidScored,
         binned AS (
           SELECT LEAST(9, CAST(FLOOR(phat * 10.0) AS INT)) AS bin,
             CAST(COUNT(*) AS BIGINT) AS n,
@@ -658,6 +672,163 @@ object Eval {
             FLOOR((CAST(SUM(ABS(y - p1)) AS DOUBLE) / SUM(ABS(y - p7)))
                   * 10000 + 0.500001) / 10000 END AS mase
         FROM scored"""),
-      "Scaled forecast accuracy on daily volume: persistence vs seasonal-naive MAE (exact integer |delta| sums on common support) and their MASE ratio")
+      "Scaled forecast accuracy on daily volume: persistence vs seasonal-naive MAE (exact integer |delta| sums on common support) and their MASE ratio"),
+
+    // ---------------------------------------------------------------- q391
+    // Murphy (1973) decomposition of the Brier score for q214's
+    // centroid classifier: Brier = REL − RES + UNC over the same 10
+    // confidence bins — the proper-scoring-rule companion to ECE
+    // (which only sees REL). REL penalizes bins whose confidence
+    // p̄_k strays from their hit rate ō_k; RES rewards bins that
+    // separate outcomes from the base rate; UNC = ō(1−ō) is the
+    // irreducible outcome variance. p̂ is micro-quantized per point
+    // (so the raw Brier sum is an exact integer sum of (pq − o·1e6)²
+    // on DECIMAL), and each bin's REL/RES contribution is quantized
+    // to the 1e-12 grid BEFORE the ≤10-term cross-bin sum. The raw
+    // Brier uses binned-constant p̂ only inside REL/RES, so the
+    // identity holds up to binning — both sides of it are printed.
+    Query(
+      "q391_brier_decomposition",
+      (s, d) => {
+        val binned = centroidScored(s, d)
+          .select(col("pos"),
+            least(lit(9), floor(col("phat") * lit(10.0)).cast("int")).as("bin"),
+            floor(col("phat") * lit(1e6) + lit(0.5)).cast("long").as("pq"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), count(when(col("pos"), 1)).as("k"),
+            sum(col("pq")).as("sp"),
+            sum((col("pq") - when(col("pos"), 1000000L).otherwise(0L))
+              .cast("decimal(38,0)")
+              * (col("pq") - when(col("pos"), 1000000L).otherwise(0L)))
+              .as("sq2"))
+          .localCheckpoint() // ≤10 bounded rows
+        val tot = binned.agg(sum(col("n")).as("nt"), sum(col("k")).as("kt"),
+          sum(col("sq2")).as("sq2t"))
+        val terms = binned.crossJoin(broadcast(tot))
+          .select(col("n"), col("k"), col("nt"), col("kt"), col("sq2t"),
+            // bin REL contribution n_k(p̄_k−ō_k)²/nt = dk²/(n_k·nt·1e12)
+            floor((col("sp") - col("k") * lit(1000000L)).cast("double")
+              * (col("sp") - col("k") * lit(1000000L)).cast("double")
+              / (col("n").cast("double") * col("nt").cast("double") * lit(1e12))
+              * lit(1e12) + lit(0.5)).cast("long").as("relq"),
+            // bin RES contribution n_k(ō_k−ō)²/nt = dk2²/(n_k·nt³)
+            floor((col("k") * col("nt") - col("kt") * col("n")).cast("double")
+              * (col("k") * col("nt") - col("kt") * col("n")).cast("double")
+              / (col("n").cast("double") * col("nt").cast("double")
+                * col("nt").cast("double") * col("nt").cast("double"))
+              * lit(1e12) + lit(0.5)).cast("long").as("resq"))
+        terms.groupBy(col("nt"), col("kt"), col("sq2t"))
+          .agg(sum(col("relq")).as("srel"), sum(col("resq")).as("sres"))
+          .select(col("nt").as("n_points"),
+            Num.r6(col("sq2t").cast("double")
+              / (col("nt").cast("double") * lit(1e12))).as("brier"),
+            Num.r6(col("srel").cast("double") / lit(1e12)).as("reliability"),
+            Num.r6(col("sres").cast("double") / lit(1e12)).as("resolution"),
+            Num.r6(col("kt").cast("double") * (col("nt") - col("kt")).cast("double")
+              / (col("nt").cast("double") * col("nt").cast("double")))
+              .as("uncertainty"))
+      },
+      Some(s"""
+        WITH $sqlCentroidScored,
+        binned AS (
+          SELECT LEAST(9, CAST(FLOOR(phat * 10.0) AS INT)) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS k,
+            CAST(SUM(CAST(FLOOR(phat * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+            SUM(CAST(CAST(FLOOR(phat * 1e6 + 0.5) AS BIGINT)
+                - CASE WHEN pos THEN 1000000 ELSE 0 END AS HUGEINT)
+              * (CAST(FLOOR(phat * 1e6 + 0.5) AS BIGINT)
+                - CASE WHEN pos THEN 1000000 ELSE 0 END)) AS sq2
+          FROM scored GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt,
+            SUM(sq2) AS sq2t
+          FROM binned),
+        terms AS (
+          SELECT n, k, nt, kt, sq2t,
+            CAST(FLOOR(CAST(sp - k * 1000000 AS DOUBLE)
+              * CAST(sp - k * 1000000 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * nt * 1e12) * 1e12 + 0.5) AS BIGINT)
+              AS relq,
+            CAST(FLOOR(CAST(k * nt - kt * n AS DOUBLE)
+              * CAST(k * nt - kt * n AS DOUBLE)
+              / (CAST(n AS DOUBLE) * nt * nt * CAST(nt AS DOUBLE)) * 1e12 + 0.5)
+              AS BIGINT) AS resq
+          FROM binned CROSS JOIN tot)
+        SELECT nt AS n_points,
+          FLOOR((CAST(sq2t AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e12))
+                * 1000000 + 0.500001) / 1000000 AS brier,
+          FLOOR((CAST(SUM(relq) AS DOUBLE) / 1e12) * 1000000 + 0.500001)
+            / 1000000 AS reliability,
+          FLOOR((CAST(SUM(resq) AS DOUBLE) / 1e12) * 1000000 + 0.500001)
+            / 1000000 AS resolution,
+          FLOOR((CAST(kt AS DOUBLE) * (nt - kt) / (CAST(nt AS DOUBLE) * nt))
+                * 1000000 + 0.500001) / 1000000 AS uncertainty
+        FROM terms GROUP BY nt, kt, sq2t"""),
+      "Murphy decomposition of the centroid classifier's Brier score: exact integer binned moments, per-bin REL/RES quantized before the 10-term sum"),
+
+    // ---------------------------------------------------------------- q394
+    // Youden's J operating point of the same classifier: sweep
+    // thresholds on the 1e-3 p̂ grid and maximize J = TPR − FPR —
+    // the standard threshold-selection readout next to the AUC
+    // (q159) and the reliability diagram (q214). The argmax is
+    // decided on the EXACT integer cross-product J·P·N =
+    // cp·N − cn·P (no double compare), ties break toward the
+    // smallest threshold. The sweep is a cumulative window over the
+    // ≤1001-row threshold histogram, never over raw points.
+    Query(
+      "q394_youden_j",
+      (s, d) => {
+        val hist = centroidScored(s, d)
+          .select(col("pos"),
+            least(lit(1000), floor(col("phat") * lit(1000.0)).cast("long"))
+              .as("g"))
+          .groupBy(col("g"))
+          .agg(count(when(col("pos"), 1)).as("p"),
+            count(when(!col("pos"), 1)).as("q"))
+          .localCheckpoint() // ≤1001 bounded rows
+        val tot = hist.agg(sum(col("p")).as("pp"), sum(col("q")).as("qq"))
+        val wdesc = Window.orderBy(col("g").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cp", sum(col("p")).over(wdesc))
+          .withColumn("cn", sum(col("q")).over(wdesc))
+          .crossJoin(broadcast(tot))
+          .withColumn("jx", col("cp") * col("qq") - col("cn") * col("pp"))
+          .orderBy(col("jx").desc, col("g"))
+          .limit(1)
+          .select(Num.r4(col("g").cast("double") / lit(1000.0)).as("threshold"),
+            Num.r4(col("cp").cast("double") / col("pp").cast("double")).as("tpr"),
+            Num.r4(col("cn").cast("double") / col("qq").cast("double")).as("fpr"),
+            Num.r4(col("cp").cast("double") / col("pp").cast("double")
+              - col("cn").cast("double") / col("qq").cast("double"))
+              .as("youden_j"))
+      },
+      Some(s"""
+        WITH $sqlCentroidScored,
+        hist AS (
+          SELECT LEAST(1000, CAST(FLOOR(phat * 1000.0) AS BIGINT)) AS g,
+            CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p,
+            CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS q
+          FROM scored GROUP BY 1),
+        tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pp,
+                  CAST(SUM(q) AS BIGINT) AS qq FROM hist),
+        sweep AS (
+          SELECT g,
+            SUM(p) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+            SUM(q) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+          FROM hist)
+        SELECT
+          FLOOR((CAST(g AS DOUBLE) / 1000.0) * 10000 + 0.500001) / 10000
+            AS threshold,
+          FLOOR((CAST(cp AS DOUBLE) / pp) * 10000 + 0.500001) / 10000 AS tpr,
+          FLOOR((CAST(cn AS DOUBLE) / qq) * 10000 + 0.500001) / 10000 AS fpr,
+          FLOOR((CAST(cp AS DOUBLE) / pp - CAST(cn AS DOUBLE) / qq)
+                * 10000 + 0.500001) / 10000 AS youden_j
+        FROM sweep CROSS JOIN tot
+        ORDER BY cp * qq - cn * pp DESC, g LIMIT 1"""),
+      "Youden's J optimal threshold of the centroid classifier: exact integer argmax of J*P*N over the 1e-3 threshold grid")
   )
 }

@@ -106,6 +106,65 @@ object Inequality {
                  / (CAST(t AS DOUBLE) / n)) * 1000000 + 0.500001) / 1000000
             AS atkinson_one
         FROM agg"""),
-      "Atkinson inequality of per-user activity at eps 0.5 and 1 (nano/pico-quantized sqrt and ln terms, exact integer sums)")
+      "Atkinson inequality of per-user activity at eps 0.5 and 1 (nano/pico-quantized sqrt and ln terms, exact integer sums)"),
+
+    // ---------------------------------------------------------------- q392
+    // Herfindahl–Hirschman concentration of the corpus across SOURCES
+    // — the market-concentration number (HHI = Σ share², effective
+    // source count = 1/HHI) a training-mix owner reads before q360's
+    // temperature reweighting: it says how captured the corpus is by
+    // its biggest feeds, on both the doc and the token grain. Distinct
+    // from q278 (Hill diversity of TOKENS within a source) and q346
+    // (top-share of USERS): here the units are the sources themselves.
+    // HHI is a ratio of exact integers (Σn², (Σn)² on DECIMAL), so
+    // both engines divide identical values.
+    Query(
+      "q392_hhi_sources",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("nd"), sum(col("nt")).as("tk"))
+        per.agg(count(lit(1)).as("k"),
+            sum(col("nd")).as("sd"),
+            sum(col("nd").cast("decimal(38,0)") * col("nd")).as("sd2"),
+            sum(col("tk")).as("st"),
+            sum(col("tk").cast("decimal(38,0)") * col("tk")).as("st2"))
+          .select(col("k").as("n_sources"),
+            Num.r6(col("sd2").cast("double")
+              / (col("sd").cast("double") * col("sd").cast("double")))
+              .as("hhi_docs"),
+            Num.r4(col("sd").cast("double") * col("sd").cast("double")
+              / col("sd2").cast("double")).as("eff_sources_docs"),
+            Num.r6(col("st2").cast("double")
+              / (col("st").cast("double") * col("st").cast("double")))
+              .as("hhi_tokens"),
+            Num.r4(col("st").cast("double") * col("st").cast("double")
+              / col("st2").cast("double")).as("eff_sources_tokens"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+            CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS tk
+          FROM documents GROUP BY source),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(nd) AS BIGINT) AS sd,
+            SUM(CAST(nd AS HUGEINT) * nd) AS sd2,
+            CAST(SUM(tk) AS BIGINT) AS st,
+            SUM(CAST(tk AS HUGEINT) * tk) AS st2
+          FROM per)
+        SELECT k AS n_sources,
+          FLOOR((CAST(sd2 AS DOUBLE) / (CAST(sd AS DOUBLE) * sd))
+                * 1000000 + 0.500001) / 1000000 AS hhi_docs,
+          FLOOR((CAST(sd AS DOUBLE) * sd / CAST(sd2 AS DOUBLE))
+                * 10000 + 0.500001) / 10000 AS eff_sources_docs,
+          FLOOR((CAST(st2 AS DOUBLE) / (CAST(st AS DOUBLE) * st))
+                * 1000000 + 0.500001) / 1000000 AS hhi_tokens,
+          FLOOR((CAST(st AS DOUBLE) * st / CAST(st2 AS DOUBLE))
+                * 10000 + 0.500001) / 10000 AS eff_sources_tokens
+        FROM agg"""),
+      "Herfindahl-Hirschman source concentration of the corpus (doc and token grains) with effective source counts, exact integer share moments")
   )
 }

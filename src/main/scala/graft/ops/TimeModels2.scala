@@ -909,6 +909,86 @@ object TimeModels2 {
                WHEN z < -1.96 THEN 'decreasing'
                ELSE 'none' END AS trend
         FROM zr"""),
-      "Seasonal Mann-Kendall (Hirsch-Slack) on daily volume: exact integer per-weekday S and 18*Var with tie correction, combined continuity-corrected z")
+      "Seasonal Mann-Kendall (Hirsch-Slack) on daily volume: exact integer per-weekday S and 18*Var with tie correction, combined continuity-corrected z"),
+
+    // ---------------------------------------------------------------- q393
+    // Forecast scorecard of the seasonal-naive (lag-7) predictor on
+    // daily volume: SMAPE, WAPE, RMSE, and Theil's U₂ against the
+    // persistence (lag-1) benchmark — the squared-error/percentage
+    // companions to q371's MASE (MAE family) and q365's pinball
+    // (quantile family), together the full classical accuracy
+    // battery. Scored on the common support (position ≥ 7 so both
+    // lags exist); |e| and e² sums are exact integers (squares on
+    // DECIMAL), per-day SMAPE terms are nano-quantized before the
+    // cross-day sum, Theil's U₂ is a ratio of exact integer sums
+    // (NULL when the persistence error is zero).
+    Query(
+      "q393_forecast_scorecard",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("dy"))
+        val scored = daily
+          .withColumn("l1", lag(col("y"), 1).over(w))
+          .withColumn("l7", lag(col("y"), 7).over(w))
+          .filter(col("l7").isNotNull)
+          .select(col("y"), col("l1"), col("l7"),
+            abs(col("y") - col("l7")).as("a7"),
+            abs(col("y") - col("l1")).as("a1"))
+          .withColumn("sq",
+            floor(lit(2.0) * col("a7").cast("double") * lit(1e9)
+              / (col("y") + col("l7")).cast("double") + lit(0.5)).cast("long"))
+        scored.agg(count(lit(1)).as("m"),
+            sum(col("sq")).as("ssq"),
+            sum(col("a7")).as("sa7"),
+            sum(col("y")).as("sy"),
+            sum(col("a7").cast("decimal(38,0)") * col("a7")).as("s7q"),
+            sum(col("a1").cast("decimal(38,0)") * col("a1")).as("s1q"))
+          .select(col("m").as("n_scored"),
+            Num.r4(col("ssq").cast("double")
+              / (col("m").cast("double") * lit(1e9))).as("smape"),
+            Num.r4(col("sa7").cast("double") / col("sy").cast("double"))
+              .as("wape"),
+            Num.r4(sqrt(col("s7q").cast("double") / col("m").cast("double")))
+              .as("rmse_seasonal"),
+            when(col("s1q") === 0, lit(null).cast("double"))
+              .otherwise(Num.r4(sqrt(col("s7q").cast("double")
+                / col("s1q").cast("double")))).as("theil_u2"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        lagged AS (
+          SELECT y,
+            LAG(y, 1) OVER (ORDER BY dy) AS l1,
+            LAG(y, 7) OVER (ORDER BY dy) AS l7
+          FROM daily),
+        scored AS (
+          SELECT y, ABS(y - l7) AS a7, ABS(y - l1) AS a1,
+            CAST(FLOOR(2.0 * ABS(y - l7) * 1e9 / (y + l7) + 0.5) AS BIGINT)
+              AS sq
+          FROM lagged WHERE l7 IS NOT NULL),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(SUM(sq) AS BIGINT) AS ssq,
+            CAST(SUM(a7) AS BIGINT) AS sa7,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            SUM(CAST(a7 AS HUGEINT) * a7) AS s7q,
+            SUM(CAST(a1 AS HUGEINT) * a1) AS s1q
+          FROM scored)
+        SELECT m AS n_scored,
+          FLOOR((CAST(ssq AS DOUBLE) / (CAST(m AS DOUBLE) * 1e9))
+                * 10000 + 0.500001) / 10000 AS smape,
+          FLOOR((CAST(sa7 AS DOUBLE) / sy) * 10000 + 0.500001) / 10000 AS wape,
+          FLOOR(SQRT(CAST(s7q AS DOUBLE) / m) * 10000 + 0.500001) / 10000
+            AS rmse_seasonal,
+          CASE WHEN s1q = 0 THEN NULL
+               ELSE FLOOR(SQRT(CAST(s7q AS DOUBLE) / CAST(s1q AS DOUBLE))
+                          * 10000 + 0.500001) / 10000 END AS theil_u2
+        FROM agg"""),
+      "Seasonal-naive forecast scorecard on daily volume: SMAPE/WAPE/RMSE and Theil U2 vs persistence, exact integer error sums")
   )
 }
