@@ -291,6 +291,74 @@ object Agree {
                  (2.0 * exy - exx - eyy)) * 10000 + 0.500001) / 10000
             AS energy_stat
         FROM e"""),
-      "Energy distance between en and other doc-length distributions (exact prefix-sum pairwise |diff| sums)")
+      "Energy distance between en and other doc-length distributions (exact prefix-sum pairwise |diff| sums)"),
+
+    // ---------------------------------------------------------------- q396
+    // Cronbach's α of the weekly activity profile: complete calendar
+    // weeks are the subjects, the 7 weekdays are the items — "do the
+    // weekdays move together across weeks" as an internal-consistency
+    // number (α near 1 ⇒ weeks differ mostly in overall level, the
+    // one-factor story; α near 0 ⇒ weekdays fluctuate independently).
+    // The reliability complement to Kendall's W (q302, rank
+    // concordance) and the weekday ANOVA (q342, mean differences).
+    // α = k/(k−1)·(1 − Σσ²ⱼ/σ²_T) where every variance rides the
+    // SAME cleared denominator m·Σx²−(Σx)², so α is a ratio of exact
+    // DECIMAL/HUGEINT integers; NULL when the total variance is 0.
+    Query(
+      "q396_cronbach_alpha",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .groupBy(expr("dy div 7").as("w"), expr("dy % 7").as("wd"))
+          .agg(count(lit(1)).as("y"))
+        val full = cells.groupBy(col("w")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") === 7).select(col("w")).localCheckpoint()
+        val kept = cells.join(full, Seq("w"))
+        val item = kept.groupBy(col("wd"))
+          .agg(count(lit(1)).as("m"), sum(col("y")).as("s1"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("s2"))
+          .select(col("m"),
+            (col("m") * col("s2") - col("s1").cast("decimal(38,0)") * col("s1"))
+              .as("aj"))
+        val totals = kept.groupBy(col("w")).agg(sum(col("y")).as("t"))
+          .agg(count(lit(1)).as("m2"), sum(col("t")).as("st"),
+            sum(col("t").cast("decimal(38,0)") * col("t")).as("st2"))
+          .select(col("m2"),
+            (col("m2") * col("st2") - col("st").cast("decimal(38,0)") * col("st"))
+              .as("at"))
+        item.agg(max(col("m")).as("n_weeks"), sum(col("aj")).as("saj"))
+          .crossJoin(broadcast(totals))
+          .select(col("n_weeks"),
+            when(col("at") === 0, lit(null).cast("double"))
+              .otherwise(Num.r4(lit(7.0) / lit(6.0)
+                * (lit(1.0) - col("saj").cast("double")
+                  / col("at").cast("double")))).as("cronbach_alpha"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT dy // 7 AS w, dy % 7 AS wd, CAST(COUNT(*) AS BIGINT) AS y
+          FROM (SELECT epoch_us(ts) // 86400000000 AS dy FROM events)
+          GROUP BY dy // 7, dy % 7),
+        full_w AS (
+          SELECT w FROM cells GROUP BY w HAVING COUNT(*) = 7),
+        kept AS (SELECT c.* FROM cells c JOIN full_w USING (w)),
+        item AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+              - CAST(SUM(y) AS HUGEINT) * SUM(y) AS aj
+          FROM kept GROUP BY wd),
+        totals AS (
+          SELECT COUNT(*) * SUM(CAST(t AS HUGEINT) * t)
+              - CAST(SUM(t) AS HUGEINT) * SUM(t) AS at
+          FROM (SELECT w, CAST(SUM(y) AS BIGINT) AS t FROM kept GROUP BY w)),
+        agg AS (
+          SELECT CAST(MAX(m) AS BIGINT) AS n_weeks, SUM(aj) AS saj FROM item)
+        SELECT n_weeks,
+          CASE WHEN at = 0 THEN NULL
+               ELSE FLOOR((7.0 / 6.0 * (1.0 - CAST(saj AS DOUBLE)
+                           / CAST(at AS DOUBLE))) * 10000 + 0.500001) / 10000
+          END AS cronbach_alpha
+        FROM agg CROSS JOIN totals"""),
+      "Cronbach's alpha of the weeks x weekdays activity matrix: cleared-denominator exact integer item/total variances, NULL on zero total variance")
   )
 }

@@ -328,6 +328,90 @@ object Extreme {
                 * 10000 + 0.500001) / 10000 AS g_stat
         FROM daily CROSS JOIN tot
         ORDER BY ABS(n * y - sy) DESC, dy LIMIT 1"""),
-      "Grubbs max-studentized outlier test on daily volume: exact integer deviation argmax, G from exact moments")
+      "Grubbs max-studentized outlier test on daily volume: exact integer deviation argmax, G from exact moments"),
+
+    // ---------------------------------------------------------------- q397
+    // Mahalanobis outlier scan of the daily (volume, spend) pairs —
+    // the BIVARIATE outlier view Grubbs (q379, one axis) cannot see:
+    // a day whose volume and spend are each unremarkable but jointly
+    // inconsistent (high traffic, no revenue) scores high. d²_t =
+    // (n−1)·Q_t/(n·det) with Q_t = Syy·dx² − 2Sxy·dx·dy + Sxx·dy²
+    // over the cleared deviations dx = n·x−Σx, dy = n·y−Σy and the
+    // cleared covariance entries S·· = nΣ·· − Σ·Σ· — so the top-5
+    // ranking happens on the EXACT DECIMAL/HUGEINT integer Q_t (no
+    // double compare), ties on day. Spend is cent-quantized per event
+    // then the daily total is truncated to whole DOLLARS: Q is
+    // degree-6 in the inputs, and dollar grain keeps it under the
+    // DECIMAL(38)/HUGEINT ceiling with ~1e3 headroom at 100×.
+    // Degenerate det ≤ 0 yields no rows on both engines.
+    Query(
+      "q397_mahalanobis_days",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("x"),
+            (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+              / lit(100)).cast("long").as("y"))
+          .localCheckpoint() // calendar-bounded
+        val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        val scored = daily.crossJoin(broadcast(m))
+          .withColumn("cxx", expr("n * sxx - cast(sx as decimal(38,0)) * sx"))
+          .withColumn("cyy", expr("n * syy - cast(sy as decimal(38,0)) * sy"))
+          .withColumn("cxy", expr("n * sxy - cast(sx as decimal(38,0)) * sy"))
+          .filter(expr("cxx * cyy - cxy * cxy > 0"))
+          .withColumn("dx", expr("n * x - sx"))
+          .withColumn("dyv", expr("n * y - sy"))
+          .withColumn("q", expr("""cyy * (cast(dx as decimal(38,0)) * dx)
+            - 2 * cxy * (cast(dx as decimal(38,0)) * dyv)
+            + cxx * (cast(dyv as decimal(38,0)) * dyv)"""))
+        scored.orderBy(col("q").desc, col("dy")).limit(5)
+          .select(col("dy").as("day"), col("x").as("volume"),
+            col("y").as("spend_dollars"),
+            Num.r4((col("n") - 1).cast("double") * col("q").cast("double")
+              / (col("n").cast("double")
+                * expr("cast(cxx * cyy - cxy * cxy as double)")))
+              .as("mahalanobis_d2"))
+          .orderBy(col("mahalanobis_d2").desc, col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS x,
+            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) // 100
+              AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(y AS HUGEINT) * y) AS syy,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM daily),
+        c AS (
+          SELECT n, sx, sy,
+            n * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+            n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+            n * sxy - CAST(sx AS HUGEINT) * sy AS cxy
+          FROM m),
+        scored AS (
+          SELECT dy, x, y, n,
+            cxx * cyy - cxy * cxy AS det,
+            cyy * (CAST(n * x - sx AS HUGEINT) * (n * x - sx))
+              - 2 * cxy * (CAST(n * x - sx AS HUGEINT) * (n * y - sy))
+              + cxx * (CAST(n * y - sy AS HUGEINT) * (n * y - sy)) AS q
+          FROM daily CROSS JOIN c
+          WHERE cxx * cyy - cxy * cxy > 0)
+        SELECT day, volume, spend_dollars, mahalanobis_d2 FROM (
+          SELECT dy AS day, x AS volume, y AS spend_dollars,
+            FLOOR(((n - 1.0) * CAST(q AS DOUBLE) / (n * CAST(det AS DOUBLE)))
+                  * 10000 + 0.500001) / 10000 AS mahalanobis_d2,
+            q
+          FROM scored ORDER BY q DESC, dy LIMIT 5)
+        ORDER BY mahalanobis_d2 DESC, day"""),
+      "Mahalanobis bivariate outlier scan of daily (volume, dollar spend): exact integer quadratic-form ranking, top-5 days")
   )
 }

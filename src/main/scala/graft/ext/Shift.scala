@@ -345,5 +345,104 @@ object Shift {
               / tt) / (tt - 1) / tt)""", 4)} AS se_ratio
         FROM boot CROSS JOIN tot"""),
       "Moving-block bootstrap (L=7, B=200, md5 block starts) SE of mean daily volume vs the iid SE: exact integer replicate sums, micro-quantized replicate means")
+    ,
+    // ---------------------------------------------------------------- q395
+    // Newey–West (HAC) standard error of the mean daily volume with
+    // Bartlett weights at lags 1..4 — the CLOSED-FORM
+    // autocorrelation-robust companion to q370's block bootstrap (and
+    // the SE the Ljung–Box q338 result says you need): S = γ₀ +
+    // 2Σ_{l≤4}(1−l/5)γ_l, SE = √(S/n). Deviations are cleared to the
+    // exact integers dev_t = n·y_t − Σy, so every autocovariance
+    // numerator Γ_l = Σ dev_t·dev_{t+l} is an exact DECIMAL/HUGEINT
+    // sum; Bartlett weights are exact rationals folded in as
+    // (5−l)·2/5 over a common denominator. One day-table window, 4
+    // lead columns, never a raw-event pass.
+    Query(
+      "q395_newey_west",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        val w = Window.orderBy(col("dy"))
+        val dev = daily.crossJoin(broadcast(tot))
+          .select(col("dy"), col("n"), (col("n") * col("y") - col("sy")).as("dv"))
+          .withColumn("d1", lead(col("dv"), 1).over(w))
+          .withColumn("d2", lead(col("dv"), 2).over(w))
+          .withColumn("d3", lead(col("dv"), 3).over(w))
+          .withColumn("d4", lead(col("dv"), 4).over(w))
+        val g = dev.agg(max(col("n")).as("n"),
+          sum(col("dv").cast("decimal(38,0)") * col("dv")).as("g0"),
+          sum(col("dv").cast("decimal(38,0)") * col("d1")).as("g1"),
+          sum(col("dv").cast("decimal(38,0)") * col("d2")).as("g2"),
+          sum(col("dv").cast("decimal(38,0)") * col("d3")).as("g3"),
+          sum(col("dv").cast("decimal(38,0)") * col("d4")).as("g4"))
+        // 5·S·n³ = 5·g0 + 8·g1 + 6·g2 + 4·g3 + 2·g4 (Bartlett ×2,
+        // common denominator 5); SE = sqrt(S/n) = sqrt(num/(5n⁴))
+        g.select(col("n").as("n_days"),
+            // Γ0 = n³·γ0 and SE² = γ0/n ⇒ SE_iid = √(Γ0/n⁴)
+            Num.r6(sqrt(col("g0").cast("double")
+              / (col("n").cast("double") * col("n").cast("double")
+                * col("n").cast("double") * col("n").cast("double"))))
+              .as("se_iid"),
+            Num.r6(sqrt(greatest(lit(0.0),
+              (lit(5.0) * col("g0").cast("double")
+                + lit(8.0) * col("g1").cast("double")
+                + lit(6.0) * col("g2").cast("double")
+                + lit(4.0) * col("g3").cast("double")
+                + lit(2.0) * col("g4").cast("double")) / lit(5.0))
+              / (col("n").cast("double") * col("n").cast("double")
+                * col("n").cast("double") * col("n").cast("double"))))
+              .as("se_nw"),
+            when(col("g0") === 0, lit(null).cast("double"))
+              .otherwise(Num.r4(sqrt(greatest(lit(0.0),
+                (lit(5.0) * col("g0").cast("double")
+                  + lit(8.0) * col("g1").cast("double")
+                  + lit(6.0) * col("g2").cast("double")
+                  + lit(4.0) * col("g3").cast("double")
+                  + lit(2.0) * col("g4").cast("double")) / lit(5.0))
+                / col("g0").cast("double")))).as("se_ratio"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+        dev AS (
+          SELECT n, n * y - sy AS dv,
+            LEAD(n * y - sy, 1) OVER (ORDER BY dy) AS d1,
+            LEAD(n * y - sy, 2) OVER (ORDER BY dy) AS d2,
+            LEAD(n * y - sy, 3) OVER (ORDER BY dy) AS d3,
+            LEAD(n * y - sy, 4) OVER (ORDER BY dy) AS d4
+          FROM daily CROSS JOIN tot),
+        g AS (
+          SELECT MAX(n) AS n,
+            SUM(CAST(dv AS HUGEINT) * dv) AS g0,
+            SUM(CAST(dv AS HUGEINT) * d1) AS g1,
+            SUM(CAST(dv AS HUGEINT) * d2) AS g2,
+            SUM(CAST(dv AS HUGEINT) * d3) AS g3,
+            SUM(CAST(dv AS HUGEINT) * d4) AS g4
+          FROM dev)
+        SELECT n AS n_days,
+          FLOOR(SQRT(CAST(g0 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n * n))
+                * 1000000 + 0.500001) / 1000000 AS se_iid,
+          FLOOR(SQRT(GREATEST(0.0,
+                  (5.0 * CAST(g0 AS DOUBLE) + 8.0 * CAST(g1 AS DOUBLE)
+                   + 6.0 * CAST(g2 AS DOUBLE) + 4.0 * CAST(g3 AS DOUBLE)
+                   + 2.0 * CAST(g4 AS DOUBLE)) / 5.0)
+                / (CAST(n AS DOUBLE) * n * n * n))
+                * 1000000 + 0.500001) / 1000000 AS se_nw,
+          CASE WHEN g0 = 0 THEN NULL
+               ELSE FLOOR(SQRT(GREATEST(0.0,
+                      (5.0 * CAST(g0 AS DOUBLE) + 8.0 * CAST(g1 AS DOUBLE)
+                       + 6.0 * CAST(g2 AS DOUBLE) + 4.0 * CAST(g3 AS DOUBLE)
+                       + 2.0 * CAST(g4 AS DOUBLE)) / 5.0)
+                    / CAST(g0 AS DOUBLE))
+                    * 10000 + 0.500001) / 10000 END AS se_ratio
+        FROM g"""),
+      "Newey-West HAC standard error of mean daily volume (Bartlett lags 1-4): exact integer deviation products, closed-form robust/iid SE ratio")
   )
 }

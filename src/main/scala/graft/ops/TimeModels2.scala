@@ -989,6 +989,65 @@ object TimeModels2 {
                ELSE FLOOR(SQRT(CAST(s7q AS DOUBLE) / CAST(s1q AS DOUBLE))
                           * 10000 + 0.500001) / 10000 END AS theil_u2
         FROM agg"""),
-      "Seasonal-naive forecast scorecard on daily volume: SMAPE/WAPE/RMSE and Theil U2 vs persistence, exact integer error sums")
+      "Seasonal-naive forecast scorecard on daily volume: SMAPE/WAPE/RMSE and Theil U2 vs persistence, exact integer error sums"),
+
+    // ---------------------------------------------------------------- q398
+    // Sen's slope of the GLOBAL daily-volume trend — the magnitude
+    // companion to the Mann–Kendall tests (q177 per key, q378
+    // seasonal): the median of all pairwise slopes (y_j−y_i)/(j−i)
+    // over the positioned day table, reported per day and per week.
+    // Each slope is micro-quantized ((y_j−y_i)·1e6 stays exact in a
+    // double, the division is deterministic IEEE), and the median is
+    // the LOWER median selected by exact rank (no interpolation, no
+    // cross-engine percentile semantics). The pair join is over the
+    // calendar-bounded day table ((T²)/2 pairs, q378's cost shape),
+    // never over raw events.
+    Query(
+      "q398_sen_slope",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val idx = daily
+          .withColumn("t", row_number().over(Window.orderBy(col("dy")))
+            .cast("long") - 1L)
+          .localCheckpoint() // calendar-bounded
+        val a = idx.select(col("t").as("ta"), col("y").as("ya"))
+        val b = idx.select(col("t").as("tb"), col("y").as("yb"))
+        val slopes = a.join(b, col("tb") > col("ta"))
+          .select(floor((col("yb") - col("ya")).cast("double") * lit(1e6)
+            / (col("tb") - col("ta")).cast("double") + lit(0.5)).cast("long")
+            .as("sq"))
+        val ranked = slopes
+          .withColumn("rn", row_number().over(Window.orderBy(col("sq"))))
+        ranked.crossJoin(broadcast(slopes.agg(count(lit(1)).as("m"))))
+          .filter(col("rn") === expr("(m + 1) div 2"))
+          .select(col("m").as("n_pairs"),
+            Num.r4(col("sq").cast("double") / lit(1e6)).as("slope_per_day"),
+            Num.r4(col("sq").cast("double") * lit(7.0) / lit(1e6))
+              .as("slope_per_week"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY dy) - 1 AS t, y FROM daily),
+        slopes AS (
+          SELECT CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) * 1e6 / (b.t - a.t)
+            + 0.5) AS BIGINT) AS sq
+          FROM idx a JOIN idx b ON b.t > a.t),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM slopes),
+        ranked AS (
+          SELECT sq, ROW_NUMBER() OVER (ORDER BY sq) AS rn FROM slopes)
+        SELECT m AS n_pairs,
+          FLOOR((CAST(sq AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS slope_per_day,
+          FLOOR((CAST(sq AS DOUBLE) * 7.0 / 1e6) * 10000 + 0.500001) / 10000
+            AS slope_per_week
+        FROM ranked CROSS JOIN m
+        WHERE rn = (m + 1) // 2"""),
+      "Sen's slope of the global daily-volume trend: lower-median of micro-quantized pairwise slopes over the calendar-bounded pair table")
   )
 }
