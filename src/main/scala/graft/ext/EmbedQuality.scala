@@ -372,6 +372,73 @@ object EmbedQuality {
                  / (CAST(sum_u AS DOUBLE) + CAST(sum_w AS DOUBLE)))
                 * 10000 + 0.500001) / 10000 AS hopkins
         FROM tot"""),
-      "Hopkins clustering-tendency statistic: md5-deterministic uniform probes in the per-dim box vs real-point NN distances (1024-cap, exact integer quantized distances)")
+      "Hopkins clustering-tendency statistic: md5-deterministic uniform probes in the per-dim box vs real-point NN distances (1024-cap, exact integer quantized distances)"),
+
+    // ---------------------------------------------------------------- q401
+    // kNN label-noise audit: for each vector in the 1024-cap sample,
+    // what fraction of its 10 nearest neighbours carries the SAME
+    // label? Per label: the mean agreement (an exact /10 rational —
+    // the sum of same-label counts is an integer) and the count of
+    // SUSPECTS (agreement ≤ 3/10) — the points most likely mislabeled
+    // or lying across a cluster boundary. The per-point actionable
+    // complement to the aggregate geometry audits (q187 silhouette,
+    // q348 Davies–Bouldin, q347 hubness); same r6-cosine-grid NN
+    // machinery as q347, cost capped and scale-constant.
+    Query(
+      "q401_knn_label_audit",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.toDouble(col("embedding")).as("v"))
+          .orderBy(col("vec_id")).limit(1024)
+          .localCheckpoint() // deterministic capped sample, both engines
+        val a = emb.select(col("vec_id").as("i"), col("label").as("la"),
+          col("v").as("vi"))
+        val b = emb.select(col("vec_id").as("j"), col("label").as("lb"),
+          col("v").as("vj"))
+        val w = Window.partitionBy(col("i")).orderBy(col("dq"), col("j"))
+        val agree = a.join(b, col("i") =!= col("j"))
+          .select(col("i"), col("la"), col("j"),
+            (col("la") === col("lb")).as("same"),
+            floor((lit(1.0) - Similarity.cosine(col("vi"), col("vj")))
+              * lit(1e6) + lit(0.5)).cast("long").as("dq"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy(col("i"), col("la"))
+          .agg(count(when(col("same"), 1)).as("agree10"))
+        agree.groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("agree10")).as("sa"),
+            count(when(col("agree10") <= 3, 1)).as("n_suspect"))
+          .select(col("label"), col("n_points"),
+            Num.r4(col("sa").cast("double")
+              / (col("n_points").cast("double") * lit(10.0)))
+              .as("mean_agreement"),
+            col("n_suspect"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH emb AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 1024),
+        nn AS (
+          SELECT i, la, same FROM (
+            SELECT a.vec_id AS i, a.label AS la,
+              a.label = b.label AS same,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(FLOOR((1.0 - LIST_COSINE_SIMILARITY(
+                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * 1e6 + 0.5) AS BIGINT), b.vec_id) AS rn
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id)
+          WHERE rn <= 10),
+        agree AS (
+          SELECT i, la, CAST(COUNT(*) FILTER (WHERE same) AS BIGINT) AS agree10
+          FROM nn GROUP BY i, la)
+        SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+          FLOOR((CAST(SUM(agree10) AS DOUBLE) / (COUNT(*) * 10.0))
+                * 10000 + 0.500001) / 10000 AS mean_agreement,
+          CAST(COUNT(*) FILTER (WHERE agree10 <= 3) AS BIGINT) AS n_suspect
+        FROM agree GROUP BY la ORDER BY la"""),
+      "kNN label-noise audit on the 1024-cap: per-label mean 10-NN label agreement and suspect counts (agreement <= 3/10)")
   )
 }

@@ -586,6 +586,69 @@ object RankTests {
                       / (CAST(nn AS DOUBLE) * nn * (nn - 1))))
                 * 10000 + 0.500001) / 10000 AS z_scale
         FROM agg"""),
-      "Ansari-Bradley two-sample scale test on the two largest sources' doc lengths: both-ends midrank scores on the length histogram, exact tie-robust permutation moments")
+      "Ansari-Bradley two-sample scale test on the two largest sources' doc lengths: both-ends midrank scores on the length histogram, exact tie-robust permutation moments"),
+
+    // ---------------------------------------------------------------- q399
+    // Jonckheere–Terpstra test for an ORDERED trend across complete
+    // calendar weeks: JT = Σ_{weeks i<j} U_ij where U_ij counts
+    // cross-week day pairs with the later week's volume higher (ties
+    // half-weight). More powerful than Kruskal–Wallis (q284) when the
+    // alternative is monotone, and the group-ordered complement to
+    // Mann–Kendall (q378). Doubled counts (2·gt + eq) keep JT exact;
+    // the z uses the classical no-tie moments E = (N²−Σn²)/4,
+    // Var = (N²(2N+3) − Σn²(2n+3))/72 (documented approximation —
+    // daily volumes rarely tie). The pair join is over the
+    // calendar-bounded day table, never raw events.
+    Query(
+      "q399_jonckheere",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .groupBy(col("dy")).agg(count(lit(1)).as("y"))
+          .withColumn("w", expr("dy div 7"))
+        val full = daily.groupBy(col("w")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") === 7).select(col("w"))
+        val kept = daily.join(full, Seq("w")).localCheckpoint()
+        val a = kept.select(col("w").as("wa"), col("y").as("ya"))
+        val b = kept.select(col("w").as("wb"), col("y").as("yb"))
+        val jt = a.join(b, col("wb") > col("wa"))
+          .agg(sum(when(col("yb") > col("ya"), 2L)
+            .when(col("yb") === col("ya"), 1L).otherwise(0L)).as("jt2"))
+        val m = kept.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+            sum(col("n") * col("n")).as("sn2"),
+            sum(col("n") * col("n") * (lit(2) * col("n") + 3)).as("sn23"))
+        jt.crossJoin(broadcast(m))
+          .select(col("k").as("n_weeks"), col("nn").as("n_days"), col("jt2"),
+            Num.r4((col("jt2").cast("double") / 2.0
+              - (col("nn").cast("double") * col("nn").cast("double")
+                - col("sn2").cast("double")) / 4.0) /
+              sqrt((col("nn").cast("double") * col("nn").cast("double")
+                * (lit(2.0) * col("nn").cast("double") + 3.0)
+                - col("sn23").cast("double")) / 72.0)).as("z_jt"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT dy, CAST(COUNT(*) AS BIGINT) AS y, dy // 7 AS w
+          FROM (SELECT epoch_us(ts) // 86400000000 AS dy FROM events)
+          GROUP BY dy),
+        full_w AS (SELECT w FROM daily GROUP BY w HAVING COUNT(*) = 7),
+        kept AS (SELECT d.* FROM daily d JOIN full_w USING (w)),
+        jt AS (
+          SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 2
+                          WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS jt2
+          FROM kept a JOIN kept b ON b.w > a.w),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(SUM(n * n) AS BIGINT) AS sn2,
+            CAST(SUM(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+          FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY w))
+        SELECT k AS n_weeks, nn AS n_days, jt2,
+          FLOOR(((CAST(jt2 AS DOUBLE) / 2.0
+                  - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0) /
+                 SQRT((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0) - sn23)
+                      / 72.0)) * 10000 + 0.500001) / 10000 AS z_jt
+        FROM jt CROSS JOIN m"""),
+      "Jonckheere-Terpstra ordered-trend test across complete weeks: exact doubled cross-week pair counts, classical moments z")
   )
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Num, Query, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators a training pipeline runs constantly:
@@ -271,5 +272,62 @@ object Sampling {
                       - CAST(n_pop AS DOUBLE) / t_pop)
                   * 1000000 + 0.500001) / 1000000 END AS abs_bias
         FROM per CROSS JOIN tot ORDER BY source"""),
-      "sampler-bias audit: per-source population vs 10% hash-sample shares, realized rate, and absolute mix bias"))
+      "sampler-bias audit: per-source population vs 10% hash-sample shares, realized rate, and absolute mix bias"),
+
+    // ---------------------------------------------------------------- q402
+    // Hash-uniformity audit: KS distance of the md5 A/B assignment
+    // hash h60("ab|user_id")/2⁶⁰ from U(0,1) over distinct users —
+    // the validity check under every hash-based sampler, salting key
+    // and A/B arm in this engine (q75, q97, q107, q361, q389): a
+    // biased hash silently biases them all. Sup over the 1024-bucket
+    // grid (a documented lower bound of the exact D whose resolution
+    // error ≤ 1/1024); the argmax is decided on the exact integer
+    // |1024·cum − (g+1)·n|, and √n·D is reported for the Kolmogorov
+    // scale. Bucket counts are one hash + one groupBy over users.
+    Query(
+      "q402_hash_uniformity",
+      (s, d) => {
+        val users = Tables.events(s, d).select(col("user_id")).distinct()
+          .select((Dedup.h60(concat(lit("ab|"), col("user_id").cast("string")))
+            % 1152921504606846976L).as("h")) // 2^60
+          .select(expr("h div 1125899906842624").cast("long").as("g")) // 2^50 → 1024 buckets
+        val hist = users.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+          .localCheckpoint() // ≤1024 bounded rows
+        val tot = cum.agg(max(col("cum")).as("n"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("g"), col("n"),
+            abs(lit(1024) * col("cum") - (col("g") + 1) * col("n")).as("dev"))
+          .orderBy(col("dev").desc, col("g")).limit(1)
+          .select(col("n").as("n_users"),
+            col("g").as("argmax_bucket"),
+            Num.r6(col("dev").cast("double")
+              / (col("n").cast("double") * lit(1024.0))).as("d_stat"),
+            Num.r4(sqrt(col("n").cast("double")) * col("dev").cast("double")
+              / (col("n").cast("double") * lit(1024.0))).as("sqrt_n_d"))
+      },
+      Some(s"""
+        WITH users AS (
+          SELECT (${Dedup.sqlH60("'ab|' || CAST(user_id AS VARCHAR)")}
+            % 1152921504606846976) // 1125899906842624 AS g
+          FROM (SELECT DISTINCT user_id FROM events)),
+        hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM users GROUP BY g),
+        cum AS (
+          SELECT g, SUM(c) OVER (ORDER BY g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum)
+        SELECT n AS n_users, g AS argmax_bucket,
+          FLOOR((CAST(ABS(1024 * cum - (g + 1) * n) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1024.0)) * 1000000 + 0.500001)
+            / 1000000 AS d_stat,
+          FLOOR((SQRT(CAST(n AS DOUBLE)) * ABS(1024 * cum - (g + 1) * n)
+                 / (CAST(n AS DOUBLE) * 1024.0)) * 10000 + 0.500001) / 10000
+            AS sqrt_n_d
+        FROM cum CROSS JOIN tot
+        ORDER BY ABS(1024 * cum - (g + 1) * n) DESC, g LIMIT 1"""),
+      "KS uniformity audit of the md5 sampling/arm hash over distinct users: exact integer 1024-bucket sup, sqrt(n)*D Kolmogorov scale"))
 }

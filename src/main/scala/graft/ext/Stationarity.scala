@@ -463,6 +463,68 @@ object Stationarity {
                WHEN z_cs < -1.96 THEN 'decreasing'
                ELSE 'none' END AS trend
         FROM zr"""),
-      "Cox-Stuart paired-halves sign test for trend on daily volume: exact pair counts, continuity-corrected binomial z")
+      "Cox-Stuart paired-halves sign test for trend on daily volume: exact pair counts, continuity-corrected binomial z"),
+
+    // ---------------------------------------------------------------- q400
+    // Records test: how many daily volumes set a new all-time high?
+    // Under exchangeability the t-th observation is a record with
+    // probability 1/t, so E[R] = H_n and Var[R] = H_n − H_n⁽²⁾
+    // (records theory) — trends inflate the count, which makes this
+    // the zero-parameter trend check next to Cox–Stuart (q390).
+    // Strict records only (ties are not records, documented); the
+    // harmonic terms are pico-quantized per position and summed as
+    // exact integers; the record count itself is a pure integer from
+    // one running-max window over the day table.
+    Query(
+      "q400_records_test",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("dy"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val idx = daily
+          .withColumn("rec", col("y") > coalesce(max(col("y")).over(w), lit(-1L)))
+          .withColumn("t", row_number().over(Window.orderBy(col("dy"))).cast("long"))
+        idx.agg(count(lit(1)).as("n"),
+            count(when(col("rec"), 1)).as("r"),
+            sum(floor(lit(1e12) / col("t").cast("double") + lit(0.5))
+              .cast("long")).as("hq"),
+            sum(floor(lit(1e12) / (col("t") * col("t")).cast("double") + lit(0.5))
+              .cast("long")).as("h2q"))
+          .select(col("n").as("n_days"), col("r").as("n_records"),
+            Num.r6(col("hq").cast("double") / lit(1e12)).as("expected"),
+            when(col("hq") <= col("h2q"), lit(null).cast("double"))
+              .otherwise(Num.r4((col("r").cast("double")
+                - col("hq").cast("double") / lit(1e12)) /
+                sqrt((col("hq") - col("h2q")).cast("double") / lit(1e12))))
+              .as("z_records"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS dy,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT y > COALESCE(MAX(y) OVER (ORDER BY dy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS rec,
+            ROW_NUMBER() OVER (ORDER BY dy) AS t
+          FROM daily),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE rec) AS BIGINT) AS r,
+            CAST(SUM(CAST(FLOOR(1e12 / t + 0.5) AS BIGINT)) AS BIGINT) AS hq,
+            CAST(SUM(CAST(FLOOR(1e12 / (t * CAST(t AS DOUBLE)) + 0.5)
+              AS BIGINT)) AS BIGINT) AS h2q
+          FROM idx)
+        SELECT n AS n_days, r AS n_records,
+          FLOOR((CAST(hq AS DOUBLE) / 1e12) * 1000000 + 0.500001) / 1000000
+            AS expected,
+          CASE WHEN hq <= h2q THEN NULL
+               ELSE FLOOR(((r - CAST(hq AS DOUBLE) / 1e12) /
+                           SQRT(CAST(hq - h2q AS DOUBLE) / 1e12))
+                          * 10000 + 0.500001) / 10000 END AS z_records
+        FROM agg"""),
+      "Records test on daily volume: exact running-max record count vs harmonic-number expectation, pico-quantized H_n terms")
   )
 }
