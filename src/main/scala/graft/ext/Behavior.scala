@@ -219,5 +219,84 @@ object Behavior {
           ${Num.sql("SUM(freq) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_frequency,
           ${Num.sql("CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_monetary
         FROM seg GROUP BY segment ORDER BY segment"""),
-      "RFM customer segmentation with broadcast tertile boundaries (no global ntile sort): per-segment counts and averages, DECIMAL-exact money"))
+      "RFM customer segmentation with broadcast tertile boundaries (no global ntile sort): per-segment counts and averages, DECIMAL-exact money"),
+
+    // ---------------------------------------------------------------- q409
+    // Time-to-convert: latency from each user's FIRST event to their
+    // FIRST purchase — conversion share plus exact mean and ceil-rank
+    // P25/P50/P75/P90 on the hour grid. The latency view the funnel
+    // (q95, within-horizon counts) and the return-time curves
+    // (q255/q406, any second event) don't give: how long the
+    // purchase decision takes when it happens. Durations are exact
+    // integer µs truncated to hours; percentiles come from the
+    // bounded hour-grid histogram (no global row sort).
+    Query(
+      "q409_time_to_convert",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("t0"),
+            min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+        val conv = per.filter(col("tp").isNotNull)
+          .select(expr("(tp - t0) div 3600000000").as("hr"))
+        val hist = conv.groupBy(col("hr")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded hour grid
+        val wc = Window.orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wc)).localCheckpoint()
+        val nt = per.agg(count(lit(1)).as("nu"))
+        val nc = cum.agg(max(col("cum")).as("k"),
+          sum(col("hr") * col("c")).as("sh"))
+        def pct(p: Int) = cum.crossJoin(broadcast(nc.select(col("k"))))
+          .filter(col("cum") >= expr(s"($p * k + 99) div 100"))
+          .agg(min(col("hr")).as(s"p$p"))
+        nt.crossJoin(broadcast(nc)).crossJoin(broadcast(pct(25)))
+          .crossJoin(broadcast(pct(50))).crossJoin(broadcast(pct(75)))
+          .crossJoin(broadcast(pct(90)))
+          .select(col("nu").as("n_users"), col("k").as("n_converted"),
+            Num.r4(col("k").cast("double") / col("nu").cast("double"))
+              .as("conversion_share"),
+            Num.r4(col("sh").cast("double") / col("k").cast("double"))
+              .as("mean_hours"),
+            col("p25").as("p25_hours"), col("p50").as("p50_hours"),
+            col("p75").as("p75_hours"), col("p90").as("p90_hours"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+            CAST(MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+              AS BIGINT) AS tp
+          FROM events GROUP BY user_id),
+        conv AS (
+          SELECT (tp - t0) // 3600000000 AS hr FROM per WHERE tp IS NOT NULL),
+        hist AS (SELECT hr, CAST(COUNT(*) AS BIGINT) AS c FROM conv GROUP BY hr),
+        cum AS (
+          SELECT hr, SUM(c) OVER (ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM per),
+        nc AS (SELECT CAST(MAX(cum) AS BIGINT) AS k,
+                 CAST(SUM(hr * c) AS BIGINT) AS sh FROM cum JOIN hist USING (hr)
+               ),
+        p25 AS (SELECT CAST(MIN(hr) AS BIGINT) AS p25 FROM cum CROSS JOIN nc
+                WHERE cum >= (25 * k + 99) // 100),
+        p50 AS (SELECT CAST(MIN(hr) AS BIGINT) AS p50 FROM cum CROSS JOIN nc
+                WHERE cum >= (50 * k + 99) // 100),
+        p75 AS (SELECT CAST(MIN(hr) AS BIGINT) AS p75 FROM cum CROSS JOIN nc
+                WHERE cum >= (75 * k + 99) // 100),
+        p90 AS (SELECT CAST(MIN(hr) AS BIGINT) AS p90 FROM cum CROSS JOIN nc
+                WHERE cum >= (90 * k + 99) // 100)
+        SELECT nu AS n_users, k AS n_converted,
+          FLOOR((CAST(k AS DOUBLE) / nu) * 10000 + 0.500001) / 10000
+            AS conversion_share,
+          FLOOR((CAST(sh AS DOUBLE) / k) * 10000 + 0.500001) / 10000
+            AS mean_hours,
+          p25 AS p25_hours, p50 AS p50_hours, p75 AS p75_hours,
+          p90 AS p90_hours
+        FROM nt CROSS JOIN nc CROSS JOIN p25 CROSS JOIN p50 CROSS JOIN p75
+        CROSS JOIN p90"""),
+      "Time-to-convert from first event to first purchase: conversion share, exact hour-grid mean and ceil-rank P25/P50/P75/P90"))
 }

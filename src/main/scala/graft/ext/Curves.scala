@@ -505,5 +505,90 @@ object Curves {
             ELSE ${Num.sql("EXP(cl / 1e6) * SQRT(cg / 1e12)", 6)} END
             AS greenwood_se
         FROM c ORDER BY dur_min"""),
-      "Kaplan-Meier product-limit survival curve with Greenwood SEs: log-space fold with micro-quantized per-step terms, minute-bucketed risk sets"))
+      "Kaplan-Meier product-limit survival curve with Greenwood SEs: log-space fold with micro-quantized per-step terms, minute-bucketed risk sets"),
+
+    // ---------------------------------------------------------------- q406
+    // Nelson–Aalen cumulative hazard over q255's exact return-time
+    // setup (time from a user's first event to the second, censored
+    // at the horizon, minute grid): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
+    // Fleming–Harrington survival exp(−H) — the estimator that beats
+    // Kaplan–Meier in small risk sets and whose increments ARE the
+    // hazard a rate model (q327/q328) would fit. Per-step dᵢ/nᵢ is
+    // pico-quantized (exact integer cumsum); identical event/censor
+    // definitions to q255 so the two curves are directly comparable.
+    Query(
+      "q406_nelson_aalen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us")).distinct()
+        val horizon = ev.agg(max(col("us")).as("tmax"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val per = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("k"), min(col("us")).as("t1"),
+            max(col("us")).as("t2"))
+          .crossJoin(broadcast(horizon))
+          .select((col("k") === 2).as("observed"),
+            when(col("k") === 2, (col("t2") - col("t1")) / lit(60000000L))
+              .otherwise((col("tmax") - col("t1")) / lit(60000000L))
+              .cast("long").as("dur_min"))
+        val g = per.groupBy(col("dur_min"))
+          .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("c"))
+          .localCheckpoint() // bounded minute-grid histogram, one scan
+        val wd = Window.orderBy(col("dur_min").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val death = g.withColumn("n", sum(col("c")).over(wd))
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d"), col("n"),
+            floor(lit(1e12) * col("d").cast("double") / col("n").cast("double")
+              + lit(0.5)).cast("long").as("dq"))
+        val wa = Window.orderBy(col("dur_min"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        death.withColumn("ch", sum(col("dq")).over(wa))
+          .select(col("dur_min"), col("n").as("n_risk"), col("d").as("n_events"),
+            Num.r6(col("ch").cast("double") / lit(1e12)).as("cum_hazard"),
+            Num.r6(exp(-col("ch").cast("double") / lit(1e12))).as("surv_fh"))
+          .orderBy(col("dur_min"))
+      },
+      Some("""
+        WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
+        horizon AS (SELECT CAST(MAX(us) AS BIGINT) AS tmax FROM ev),
+        per AS (
+          SELECT CAST(COUNT(*) AS BIGINT) = 2 AS observed,
+            CASE WHEN COUNT(*) = 2
+              THEN (MAX(us) - MIN(us)) // 60000000
+              ELSE (MAX(tmax) - MIN(us)) // 60000000 END AS dur_min
+          FROM (
+            SELECT user_id, us, tmax,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us) AS rn
+            FROM ev CROSS JOIN horizon) t
+          WHERE rn <= 2 GROUP BY user_id),
+        g AS (
+          SELECT dur_min,
+            CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM per GROUP BY dur_min),
+        death AS (
+          SELECT dur_min, d, n,
+            CAST(FLOOR(1e12 * d / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS dq
+          FROM (
+            SELECT dur_min, d, SUM(c) OVER (ORDER BY dur_min DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+            FROM g) t
+          WHERE d > 0),
+        c AS (
+          SELECT dur_min, n, d,
+            SUM(dq) OVER (ORDER BY dur_min
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+          FROM death)
+        SELECT dur_min, CAST(n AS BIGINT) AS n_risk, d AS n_events,
+          FLOOR((CAST(ch AS DOUBLE) / 1e12) * 1000000 + 0.500001) / 1000000
+            AS cum_hazard,
+          FLOOR(EXP(-CAST(ch AS DOUBLE) / 1e12) * 1000000 + 0.500001)
+            / 1000000 AS surv_fh
+        FROM c ORDER BY dur_min"""),
+      "Nelson-Aalen cumulative hazard + Fleming-Harrington survival on q255's return-time setup: pico-quantized per-step d/n, exact integer cumsum"))
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Query, Tables}
+import graft.{Num, Query, Tables}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline operators (BASELINE.json mandate; not in
@@ -191,5 +191,62 @@ object Extensions {
         FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20"""),
-      "corpus-wide top-20 bigram frequencies (n-gram text analysis)"))
+      "corpus-wide top-20 bigram frequencies (n-gram text analysis)"),
+
+    // ---------------------------------------------------------------- q410
+    // Per-source duplication scorecard: within-source exact-dup share
+    // (on q30b's normalized fingerprint) and the share of the
+    // source's docs whose normalized text ALSO appears in another
+    // source — the per-feed accountability view behind the corpus-
+    // wide dedup (q30/q30b) and rep-collapse (q80): which feeds are
+    // self-repetitive, and which mirror others. One normalize+hash
+    // pass; cross-source presence via the distinct (fingerprint →
+    // #sources) frame, all exact integer counts.
+    Query(
+      "q410_dup_by_source",
+      (s, d) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")
+        val fp = Tables.documents(s, d)
+          .select(col("source"), sha2(trim(norm), 256).as("f"))
+          .localCheckpoint() // one normalize+hash pass feeds everything
+        val per = fp.groupBy(col("source"), col("f")).agg(count(lit(1)).as("c"))
+        val spread = per.groupBy(col("f"))
+          .agg(count(lit(1)).as("n_sources"))
+        per.join(spread, Seq("f"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("n_sources") > 1, col("c")).otherwise(0L))
+              .as("n_shared"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            Num.r4(lit(1.0) - col("n_distinct").cast("double")
+              / col("n_docs").cast("double")).as("within_dup_share"),
+            Num.r4(col("n_shared").cast("double")
+              / col("n_docs").cast("double")).as("cross_source_share"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT source,
+            SHA256(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
+          FROM documents),
+        per AS (
+          SELECT source, f, CAST(COUNT(*) AS BIGINT) AS c
+          FROM fp GROUP BY source, f),
+        spread AS (
+          SELECT f, CAST(COUNT(*) AS BIGINT) AS n_sources
+          FROM per GROUP BY f)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 10000 + 0.500001)
+            / 10000 AS within_dup_share,
+          FLOOR((CAST(SUM(CASE WHEN n_sources > 1 THEN c ELSE 0 END)
+                 AS DOUBLE) / SUM(c)) * 10000 + 0.500001) / 10000
+            AS cross_source_share
+        FROM per JOIN spread USING (f)
+        GROUP BY source ORDER BY source"""),
+      "Per-source duplication scorecard on the normalized fingerprint: within-source dup share and cross-source mirror share, exact counts"))
 }

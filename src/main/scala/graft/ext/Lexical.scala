@@ -286,6 +286,148 @@ object Lexical {
         JOIN sizes na ON na.source = inter.sa
         JOIN sizes nb ON nb.source = inter.sb
         ORDER BY sa, sb"""),
-      "Pairwise source vocabulary overlap coefficient / Dice / Jaccard over distinct token sets (vocab-bounded token join, zero-overlap pairs omitted)")
+      "Pairwise source vocabulary overlap coefficient / Dice / Jaccard over distinct token sets (vocab-bounded token join, zero-overlap pairs omitted)"),
+
+    // ---------------------------------------------------------------- q404
+    // Gries' DP (deviation of proportions, Gries 2008) for the top-20
+    // corpus tokens: how evenly is each token SPREAD across sources,
+    // relative to the sources' sizes? DP = Σ_i |v_i − s_i| / 2 over
+    // the DENSIFIED source grid (an absent source contributes its
+    // full size share — dropping zero cells understates dispersion,
+    // q334's lesson). DP→0 = perfectly proportional, DP→1 = confined
+    // to one tiny source; the dispersion axis the frequency-only
+    // views (q373 sampling table, q282 Yule) cannot see. Each |v−s|
+    // clears to the exact integer |c_is·C − n_i·c_t| over the common
+    // denominator c_t·C, so DP is a ratio of exact integer sums.
+    Query(
+      "q404_token_dispersion",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cis"))
+          .localCheckpoint() // one token pass feeds every aggregate below
+        val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cis")).as("ni"))
+        val top = bySrc.groupBy(col("t")).agg(sum(col("cis")).as("ct"))
+          .orderBy(col("ct").desc, col("t")).limit(20)
+          .localCheckpoint()
+        val corpus = srcTot.agg(sum(col("ni")).as("cc"))
+        val grid = top.crossJoin(srcTot).crossJoin(broadcast(corpus))
+          .join(bySrc, Seq("source", "t"), "left")
+          .select(col("t"), col("ct"), col("cc"),
+            abs(coalesce(col("cis"), lit(0L)).cast("decimal(38,0)") * col("cc")
+              - col("ni").cast("decimal(38,0)") * col("ct")).as("num"))
+        grid.groupBy(col("t"), col("ct"), col("cc"))
+          .agg(sum(col("num")).as("snum"))
+          .select(col("t").as("token"), col("ct").as("cnt"),
+            Num.r4(col("snum").cast("double")
+              / (lit(2.0) * col("ct").cast("double") * col("cc").cast("double")))
+              .as("dp"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        by_src AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cis
+          FROM tok GROUP BY source, t),
+        src_tot AS (SELECT source, CAST(SUM(cis) AS BIGINT) AS ni
+                    FROM by_src GROUP BY source),
+        top AS (
+          SELECT t, CAST(SUM(cis) AS BIGINT) AS ct FROM by_src
+          GROUP BY t ORDER BY ct DESC, t LIMIT 20),
+        corpus AS (SELECT CAST(SUM(ni) AS BIGINT) AS cc FROM src_tot),
+        grid AS (
+          SELECT top.t, top.ct, cc,
+            ABS(CAST(COALESCE(b.cis, 0) AS HUGEINT) * cc
+                - CAST(s.ni AS HUGEINT) * top.ct) AS num
+          FROM top CROSS JOIN src_tot s CROSS JOIN corpus
+          LEFT JOIN by_src b ON b.source = s.source AND b.t = top.t)
+        SELECT t AS token, ct AS cnt,
+          FLOOR((CAST(SUM(num) AS DOUBLE) / (2.0 * ct * CAST(cc AS DOUBLE)))
+                * 10000 + 0.500001) / 10000 AS dp
+        FROM grid GROUP BY t, ct, cc
+        ORDER BY cnt DESC, token"""),
+      "Gries DP dispersion of the top-20 tokens across sources: densified grid, exact integer |v-s| numerators over a common denominator"),
+
+    // ---------------------------------------------------------------- q405
+    // Dunning log-likelihood (G²) keyness: each source's top-3
+    // keywords — the tokens most OVER-represented vs the rest of the
+    // corpus by the 2×2 G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) test
+    // (Dunning 1993), the corpus-linguistics standard that PMI (q102)
+    // approximates badly at low counts. Positive keyness only
+    // (a/n₁ > b/n₂); x·ln(x/E) terms are nano-quantized per side
+    // before the 2-term sum, the b = 0 side contributes 0 exactly on
+    // both engines; ranking is per-source (G² desc, token asc) over
+    // the vocab-bounded keyness frame.
+    Query(
+      "q405_keyness_g2",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("a"))
+          .localCheckpoint()
+        val srcTot = bySrc.groupBy(col("source")).agg(sum(col("a")).as("n1"))
+        val tokTot = bySrc.groupBy(col("t")).agg(sum(col("a")).as("ab"))
+        val corpus = srcTot.agg(sum(col("n1")).as("nn"))
+        def term(x: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          when(x === 0, lit(0L))
+            .otherwise(floor(x.cast("double")
+              * log(x.cast("double") / e) * lit(1e9) + lit(0.5)).cast("long"))
+        val scored = bySrc
+          .join(broadcast(srcTot), Seq("source"))
+          .join(tokTot, Seq("t"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("b", col("ab") - col("a"))
+          .withColumn("n2", col("nn") - col("n1"))
+          // positive keyness: a/n1 > b/n2 ⇔ a·n2 > b·n1 (exact)
+          .filter(col("a").cast("decimal(38,0)") * col("n2")
+            > col("b").cast("decimal(38,0)") * col("n1"))
+          .withColumn("g2q",
+            term(col("a"), col("n1").cast("double") * col("ab").cast("double")
+              / col("nn").cast("double"))
+              + term(col("b"), col("n2").cast("double") * col("ab").cast("double")
+                / col("nn").cast("double")))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("g2q").desc, col("t"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("t").as("keyword"),
+            col("a").as("cnt_in"), col("b").as("cnt_out"),
+            Num.r4(lit(2.0) * col("g2q").cast("double") / lit(1e9)).as("g2"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        by_src AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS a
+          FROM tok GROUP BY source, t),
+        src_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n1
+                    FROM by_src GROUP BY source),
+        tok_tot AS (SELECT t, CAST(SUM(a) AS BIGINT) AS ab
+                    FROM by_src GROUP BY t),
+        corpus AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM src_tot),
+        scored AS (
+          SELECT source, t, a, ab - a AS b, n1, nn - n1 AS n2,
+            (CASE WHEN a = 0 THEN 0
+              ELSE CAST(FLOOR(a * LN(CAST(a AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * ab / nn)) * 1e9 + 0.5) AS BIGINT) END)
+            + (CASE WHEN ab - a = 0 THEN 0
+              ELSE CAST(FLOOR((ab - a) * LN(CAST(ab - a AS DOUBLE)
+                / (CAST(nn - n1 AS DOUBLE) * ab / nn)) * 1e9 + 0.5) AS BIGINT)
+              END) AS g2q
+          FROM by_src JOIN src_tot USING (source)
+          JOIN tok_tot USING (t) CROSS JOIN corpus
+          WHERE CAST(a AS HUGEINT) * (nn - n1) > CAST(ab - a AS HUGEINT) * n1),
+        ranked AS (
+          SELECT source, t, a, b, g2q,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY g2q DESC, t) AS rank
+          FROM scored)
+        SELECT source, rank, t AS keyword, a AS cnt_in, b AS cnt_out,
+          FLOOR((2.0 * g2q / 1e9) * 10000 + 0.500001) / 10000 AS g2
+        FROM ranked WHERE rank <= 3
+        ORDER BY source, rank"""),
+      "Dunning G2 keyness: top-3 over-represented keywords per source, nano-quantized x*ln(x/E) terms, exact positive-keyness filter")
   )
 }

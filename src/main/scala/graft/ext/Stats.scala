@@ -432,5 +432,114 @@ object Stats {
           GROUP BY z.user_id)
         SELECT user_id, ${Num.sql("dist_sum / 1000000.0", 4)} AS sq_dist
         FROM dist ORDER BY sq_dist, user_id LIMIT 10"""),
-      "time-series similarity search: z-normalized 8-bucket resampled event-value shapes ranked by squared distance to a probe user (integer-quantized throughout)"))
+      "time-series similarity search: z-normalized 8-bucket resampled event-value shapes ranked by squared distance to a probe user (integer-quantized throughout)"),
+
+    // ---------------------------------------------------------------- q403
+    // Stationary distribution π and entropy rate of the q111 Markov
+    // chain: 8 integer power-iteration rounds of π ← πP over the
+    // event-type transition matrix (the long-run share of each event
+    // type if the per-user dynamics ran forever), and the chain's
+    // entropy rate Σ_b π(b)·H(row b) — the bits-per-step number that
+    // upper-bounds how predictable q199's next-event model can ever
+    // be. The matrix is type-bounded (k² cells); contributions divide
+    // BEFORE the sum ((π_a·n_ab) div tot_a — q101's discipline), mass
+    // renormalizes to S each round by truncating division, and row
+    // entropies are pico-quantized per CELL before the row sum.
+    Query(
+      "q403_markov_stationary",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val cnt = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // type-bounded matrix
+        val tot = cnt.groupBy(col("a")).agg(sum(col("n")).as("ta"))
+        val trans = cnt.join(broadcast(tot), Seq("a")).localCheckpoint()
+        val types = trans.select(col("a").as("t")).distinct().localCheckpoint()
+        val k = types.agg(count(lit(1)).as("k"))
+        val S = 1000000000L
+        var pi = types.crossJoin(broadcast(k))
+          .select(col("t"), expr(s"$S div k").as("pq")).localCheckpoint()
+        for (_ <- 1 to 8) {
+          val x = trans.join(pi.select(col("t").as("a"), col("pq")), Seq("a"))
+            .groupBy(col("b").as("t"))
+            .agg(sum(expr("(pq * n) div ta")).as("x"))
+          val tx = x.agg(sum(col("x")).as("tx"))
+          pi = types.join(x, Seq("t"), "left")
+            .crossJoin(broadcast(tx))
+            .select(col("t"),
+              coalesce(expr(s"(x * $S) div tx"), lit(0L)).as("pq"))
+            .localCheckpoint()
+        }
+        val rowH = trans
+          .select(col("a"),
+            floor((-(col("n").cast("double") / col("ta").cast("double"))
+              * log(col("n").cast("double") / col("ta").cast("double")))
+              * lit(1e12) + lit(0.5)).cast("long").as("hc"))
+          .groupBy(col("a")).agg(sum(col("hc")).as("hq"))
+        pi.join(rowH, pi("t") === rowH("a"), "left")
+          .select(col("t").as("event_type"),
+            Num.r6(col("pq").cast("double") / lit(S.toDouble)).as("pi"),
+            Num.r6(coalesce(col("hq"), lit(0L)).cast("double") / lit(1e12))
+              .as("h_row"),
+            Num.r6(col("pq").cast("double") / lit(S.toDouble)
+              * coalesce(col("hq"), lit(0L)).cast("double") / lit(1e12))
+              .as("h_contrib"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        // every CTE in the chain is MATERIALIZED: DuckDB would otherwise
+        // inline p_i into each of its references and re-evaluate the
+        // whole event-sequence window 2^8 times (q126's lesson)
+        def round(i: Int): String = {
+          val p = i - 1
+          s"""x$i AS MATERIALIZED (
+                SELECT t.b AS t, CAST(SUM((p.pq * t.n) // t.ta) AS BIGINT) AS x
+                FROM trans t JOIN p$p p ON p.t = t.a GROUP BY t.b),
+          tx$i AS MATERIALIZED (SELECT SUM(x) AS tx FROM x$i),
+          p$i AS MATERIALIZED (
+                SELECT ty.t,
+                  CAST(COALESCE((x.x * 1000000000) // t.tx, 0) AS BIGINT) AS pq
+                FROM types ty LEFT JOIN x$i x ON x.t = ty.t
+                CROSS JOIN tx$i t)"""
+        }
+        s"""
+        WITH seq AS (
+          SELECT event_type AS a,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS b
+          FROM events),
+        cnt AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+          WHERE b IS NOT NULL GROUP BY a, b),
+        tot AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ta FROM cnt GROUP BY a),
+        trans AS MATERIALIZED (SELECT c.a, c.b, c.n, t.ta
+                               FROM cnt c JOIN tot t USING (a)),
+        types AS MATERIALIZED (SELECT DISTINCT a AS t FROM trans),
+        p0 AS MATERIALIZED (
+          SELECT t, 1000000000 // (SELECT COUNT(*) FROM types) AS pq
+          FROM types),
+        ${(1 to 8).map(round).mkString(",\n        ")},
+        rowh AS (
+          SELECT a, CAST(SUM(CAST(FLOOR((-(CAST(n AS DOUBLE) / ta)
+            * LN(CAST(n AS DOUBLE) / ta)) * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+            AS hq
+          FROM trans GROUP BY a)
+        SELECT p.t AS event_type,
+          FLOOR((CAST(p.pq AS DOUBLE) / 1000000000) * 1000000 + 0.500001)
+            / 1000000 AS pi,
+          FLOOR((CAST(COALESCE(r.hq, 0) AS DOUBLE) / 1e12) * 1000000 + 0.500001)
+            / 1000000 AS h_row,
+          FLOOR((CAST(p.pq AS DOUBLE) / 1000000000
+                 * CAST(COALESCE(r.hq, 0) AS DOUBLE) / 1e12)
+                * 1000000 + 0.500001) / 1000000 AS h_contrib
+        FROM p8 p LEFT JOIN rowh r ON r.a = p.t
+        ORDER BY event_type"""
+      },
+      "Stationary distribution and entropy rate of the event-type Markov chain: 8 integer power-iteration rounds, divide-before-sum contributions, pico-quantized row entropies"))
 }

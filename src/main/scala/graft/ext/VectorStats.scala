@@ -155,5 +155,97 @@ object VectorStats {
                / (CAST(sswq AS DOUBLE) / (n_vectors - k_labels))""", 6)}
           END AS ch_index
         FROM agg CROSS JOIN kk CROSS JOIN nt"""),
-      "Calinski-Harabasz label-clustering index from exact per-(label,dim) integer moments: the uncapped linear companion to the capped silhouette (Calinski & Harabasz 1974)"))
+      "Calinski-Harabasz label-clustering index from exact per-(label,dim) integer moments: the uncapped linear companion to the capped silhouette (Calinski & Harabasz 1974)"),
+
+    // ---------------------------------------------------------------- q408
+    // Vector-norm profile of the embedding table: mean ‖v‖, exact
+    // ceil-rank P05/P50/P95 on the 1e-3 norm grid, and the share of
+    // near-zero vectors (‖v‖ < 0.1 — dead embeddings that poison
+    // cosine ANN). The norm-distribution companion to the per-dim
+    // stats (q151) and anisotropy (q349): scale pathologies the
+    // component view can't see. ‖v‖² is an exact integer on the 1e-6
+    // component grid (so the near-zero test is an exact integer
+    // compare); percentiles come from the bounded norm-grid histogram
+    // cum — no global row sort at any scale.
+    Query(
+      "q408_norm_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n2 = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+          .select(col("vec_id"),
+            (floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("xq"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("xq") * col("xq")).as("nq"))
+        val scored = n2.select(col("nq"),
+          floor(sqrt(col("nq").cast("double")) / lit(1e6) * lit(1000.0)
+            + lit(0.5)).cast("long").as("g"))
+        val hist = scored.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded norm grid
+        val wc = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wc)).localCheckpoint()
+        val tot = cum.agg(max(col("cum")).as("n"))
+        def pct(p: Int) = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+          .agg(min(col("g")).as(s"g$p"))
+        val extras = scored.agg(
+          sum(floor(sqrt(col("nq").cast("double")) + lit(0.5)).cast("long"))
+            .as("smq"),
+          count(when(col("nq") < 10000000000L, 1)).as("nz")) // (0.1e6)²
+        tot.crossJoin(broadcast(pct(5))).crossJoin(broadcast(pct(50)))
+          .crossJoin(broadcast(pct(95))).crossJoin(broadcast(extras))
+          .select(col("n").as("n_vectors"),
+            Num.r6(col("smq").cast("double")
+              / (col("n").cast("double") * lit(1e6))).as("mean_norm"),
+            Num.r4(col("g5").cast("double") / lit(1000.0)).as("p05_norm"),
+            Num.r4(col("g50").cast("double") / lit(1000.0)).as("p50_norm"),
+            Num.r4(col("g95").cast("double") / lit(1000.0)).as("p95_norm"),
+            Num.r6(col("nz").cast("double") / col("n").cast("double"))
+              .as("near_zero_share"))
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM (
+            SELECT vec_id,
+              CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+            FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+                  FROM embeddings))
+          GROUP BY vec_id),
+        scored AS (
+          SELECT nq, CAST(FLOOR(SQRT(CAST(nq AS DOUBLE)) / 1e6 * 1000.0 + 0.5)
+            AS BIGINT) AS g
+          FROM n2),
+        hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM scored GROUP BY g),
+        cum AS (
+          SELECT g, SUM(c) OVER (ORDER BY g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum),
+        p5 AS (SELECT CAST(MIN(g) AS BIGINT) AS g5 FROM cum CROSS JOIN tot
+               WHERE cum >= (5 * n + 99) // 100),
+        p50 AS (SELECT CAST(MIN(g) AS BIGINT) AS g50 FROM cum CROSS JOIN tot
+               WHERE cum >= (50 * n + 99) // 100),
+        p95 AS (SELECT CAST(MIN(g) AS BIGINT) AS g95 FROM cum CROSS JOIN tot
+               WHERE cum >= (95 * n + 99) // 100),
+        extras AS (
+          SELECT CAST(SUM(CAST(FLOOR(SQRT(CAST(nq AS DOUBLE)) + 0.5)
+              AS BIGINT)) AS BIGINT) AS smq,
+            CAST(COUNT(*) FILTER (WHERE nq < 10000000000) AS BIGINT) AS nz
+          FROM scored)
+        SELECT n AS n_vectors,
+          FLOOR((CAST(smq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+                * 1000000 + 0.500001) / 1000000 AS mean_norm,
+          FLOOR((CAST(g5 AS DOUBLE) / 1000.0) * 10000 + 0.500001) / 10000
+            AS p05_norm,
+          FLOOR((CAST(g50 AS DOUBLE) / 1000.0) * 10000 + 0.500001) / 10000
+            AS p50_norm,
+          FLOOR((CAST(g95 AS DOUBLE) / 1000.0) * 10000 + 0.500001) / 10000
+            AS p95_norm,
+          FLOOR((CAST(nz AS DOUBLE) / n) * 1000000 + 0.500001) / 1000000
+            AS near_zero_share
+        FROM tot CROSS JOIN p5 CROSS JOIN p50 CROSS JOIN p95 CROSS JOIN extras"""),
+      "Embedding norm profile: exact integer squared norms, ceil-rank grid percentiles, near-zero share — no global row sort"))
 }

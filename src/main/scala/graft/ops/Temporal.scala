@@ -110,6 +110,113 @@ object Temporal {
         ORDER BY e.user_id, e.event_id"""),
       "as-of join: latest purchase at-or-before each event, via union + last(ignoreNulls) carry-forward (linear, one shuffle)"),
 
+    // ---------------------------------------------------------------- q407
+    // Concurrency profile + Little's-law audit of the 1-day-gap user
+    // sessions (q19's sessionization): arrival rate λ, mean session
+    // duration W, the busy-time average concurrency L = Σdur/span,
+    // the hourly-sampled PEAK concurrency (not derivable from λ·W),
+    // and the λ·W product — Little's identity L = λW, verified
+    // end-to-end through two independent computation paths. The
+    // hourly sweep is two bounded histograms + one cumulative window
+    // over the calendar-hour grid; durations are exact integer µs.
+    Query(
+      "q407_littles_law",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull ||
+              col("us") - col("prev") > 86400000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("s0"), max(col("us")).as("s1"))
+          .localCheckpoint()
+        val tot = sess.agg(count(lit(1)).as("ns"),
+          sum(col("s1") - col("s0")).as("busy"),
+          min(expr("s0 div 3600000000")).as("h0"),
+          max(expr("s1 div 3600000000")).as("h1"))
+        val sh = sess.groupBy(expr("s0 div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cs"))
+        val eh = sess.groupBy(expr("s1 div 3600000000").as("h"))
+          .agg(count(lit(1)).as("ce"))
+        val grid = tot.select(explode(expr("sequence(h0, h1)")).as("h"))
+        val wc = Window.orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val conc = grid.join(sh, Seq("h"), "left").join(eh, Seq("h"), "left")
+          .withColumn("cums", sum(coalesce(col("cs"), lit(0L))).over(wc))
+          .withColumn("cume", sum(coalesce(col("ce"), lit(0L))).over(
+            Window.orderBy(col("h")).rowsBetween(Window.unboundedPreceding, -1)))
+          .select((col("cums") - coalesce(col("cume"), lit(0L))).as("conc"))
+          .agg(max(col("conc")).as("peak"))
+        tot.crossJoin(broadcast(conc))
+          .select(col("ns").as("n_sessions"),
+            ((col("h1") - col("h0")) + 1).as("span_hours"),
+            Num.r4(col("ns").cast("double")
+              / ((col("h1") - col("h0")) + 1).cast("double")).as("lambda_per_hr"),
+            Num.r4(col("busy").cast("double")
+              / (col("ns").cast("double") * lit(60000000.0))).as("mean_dur_min"),
+            Num.r6(col("busy").cast("double")
+              / (((col("h1") - col("h0")) + 1).cast("double") * lit(3.6e9)))
+              .as("time_avg_concurrent"),
+            col("peak").as("peak_hourly_concurrent"),
+            Num.r6((col("ns").cast("double")
+              / ((col("h1") - col("h0")) + 1).cast("double"))
+              * (col("busy").cast("double")
+                / (col("ns").cast("double") * lit(3.6e9)))).as("little_lw"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events),
+        marked AS (
+          SELECT user_id, us,
+            CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 86400000000 OR LAG(us) OVER (PARTITION BY user_id
+                   ORDER BY us) IS NULL THEN 1 ELSE 0 END AS brk
+          FROM ev),
+        sess AS (
+          SELECT user_id, sid, CAST(MIN(us) AS BIGINT) AS s0,
+            CAST(MAX(us) AS BIGINT) AS s1
+          FROM (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+                FROM marked)
+          GROUP BY user_id, sid),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+            CAST(SUM(s1 - s0) AS BIGINT) AS busy,
+            CAST(MIN(s0 // 3600000000) AS BIGINT) AS h0,
+            CAST(MAX(s1 // 3600000000) AS BIGINT) AS h1
+          FROM sess),
+        sh AS (SELECT s0 // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS cs
+               FROM sess GROUP BY 1),
+        eh AS (SELECT s1 // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS ce
+               FROM sess GROUP BY 1),
+        grid AS (SELECT UNNEST(GENERATE_SERIES(h0, h1)) AS h FROM tot),
+        conc AS (
+          SELECT MAX(cums - COALESCE(cume, 0)) AS peak FROM (
+            SELECT SUM(COALESCE(cs, 0)) OVER (ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+              SUM(COALESCE(ce, 0)) OVER (ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cume
+            FROM grid LEFT JOIN sh USING (h) LEFT JOIN eh USING (h)))
+        SELECT ns AS n_sessions, h1 - h0 + 1 AS span_hours,
+          FLOOR((CAST(ns AS DOUBLE) / (h1 - h0 + 1)) * 10000 + 0.500001)
+            / 10000 AS lambda_per_hr,
+          FLOOR((CAST(busy AS DOUBLE) / (CAST(ns AS DOUBLE) * 60000000.0))
+                * 10000 + 0.500001) / 10000 AS mean_dur_min,
+          FLOOR((CAST(busy AS DOUBLE) / ((h1 - h0 + 1) * 3.6e9))
+                * 1000000 + 0.500001) / 1000000 AS time_avg_concurrent,
+          CAST(peak AS BIGINT) AS peak_hourly_concurrent,
+          FLOOR(((CAST(ns AS DOUBLE) / (h1 - h0 + 1))
+                 * (CAST(busy AS DOUBLE) / (CAST(ns AS DOUBLE) * 3.6e9)))
+                * 1000000 + 0.500001) / 1000000 AS little_lw
+        FROM tot CROSS JOIN conc"""),
+      "Concurrency profile of 1-day-gap sessions: arrival rate, mean duration, busy-time average, hourly-sampled peak, and the Little's-law product as a two-path identity audit"),
+
     // ---------------------------------------------------------------- q19
     Query(
       "q19_session_windows",
