@@ -141,5 +141,285 @@ object Relational3 {
         WHERE l_orderkey < 300
         ORDER BY l_orderkey, l_linenumber, max_rate, min_rate,
           disc_or_null NULLS FIRST, effective_rate, returned_qty NULLS FIRST"""),
-      "conditional scalars: greatest/least/nullif/coalesce/partial CASE"))
+      "conditional scalars: greatest/least/nullif/coalesce/partial CASE"),
+
+    // ---------------------------------------------------------------- q411
+    // Pooled log-log price elasticity of demand over lineitem: the
+    // OLS slope of ln(quantity) on ln(unit price), with its SE and
+    // R² — the canonical demand-curve read on the TPC-H side of the
+    // house (the retail twin of q145's OLS trend on events). Unit
+    // price clears to exact integer cents BEFORE the log (extended
+    // price is line-total, so cents = extprice·100/qty truncated);
+    // both lns are micro-quantized per row and the five regression
+    // sums are exact integers on DECIMAL/HUGEINT.
+    Query(
+      "q411_price_elasticity",
+      (s, d) => {
+        val rows = Tables.lineitem(s, d)
+          .select(col("l_quantity").cast("long").as("q"),
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents_total"))
+          .filter(col("q") > 0)
+          .select(
+            floor(log(expr("cast(cents_total div q as double)")) * lit(1e6)
+              + lit(0.5)).cast("long").as("x"),
+            floor(log(col("q").cast("double")) * lit(1e6) + lit(0.5))
+              .cast("long").as("y"))
+        val m = rows.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        m.select(col("n").as("n_lines"),
+            Num.r4((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+              .as("elasticity"),
+            Num.r4({
+              val n = col("n").cast("double")
+              val cxx = n * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")
+              val cyy = n * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")
+              val cxy = n * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")
+              cxy * cxy / (cxx * cyy)
+            }).as("r2"),
+            Num.r6({
+              val n = col("n").cast("double")
+              val cxx = n * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")
+              val cyy = n * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")
+              val cxy = n * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")
+              sqrt((cyy - cxy * cxy / cxx) / ((n - 2.0) * cxx))
+            }).as("se_elasticity"))
+      },
+      Some("""
+        WITH rows_ AS (
+          SELECT
+            CAST(FLOOR(LN(CAST((CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * 100 AS BIGINT)) // CAST(l_quantity AS BIGINT) AS DOUBLE))
+              * 1e6 + 0.5) AS BIGINT) AS x,
+            CAST(FLOOR(LN(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))
+              * 1e6 + 0.5) AS BIGINT) AS y
+          FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy,
+            SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM rows_)
+        SELECT n AS n_lines,
+          FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy) /
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx)) * 10000 + 0.500001) / 10000
+            AS elasticity,
+          FLOOR((POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sy, 2) /
+                 ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * sy)))
+                * 10000 + 0.500001) / 10000 AS r2,
+          FLOOR(SQRT(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)
+                      - POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sy, 2)
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx))
+                     / ((CAST(n AS DOUBLE) - 2.0)
+                        * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx)))
+                * 1000000 + 0.500001) / 1000000 AS se_elasticity
+        FROM m"""),
+      "Pooled log-log price elasticity over lineitem: exact cent unit prices, micro-quantized lns, exact integer OLS moments with SE and R2"),
+
+    // ---------------------------------------------------------------- q412
+    // Market-basket lift between part BRANDS co-ordered: for brand
+    // pairs sharing ≥ 5 orders, lift = n_ab·N / (n_a·n_b) — the
+    // TPC-H twin of q118's event-type association, with the pair
+    // space bounded by |brands|² and ranked on the EXACT integer
+    // cross product n_ab·N·10⁶ // (n_a·n_b) before any double math.
+    Query(
+      "q412_brand_lift",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d)
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct().localCheckpoint()
+        val tot = ob.select(col("ok")).distinct().agg(count(lit(1)).as("nn"))
+        val per = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+        val pairs = ob.as("x").join(ob.as("y"),
+            col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+          .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
+          .agg(count(lit(1)).as("nab"))
+          .filter(col("nab") >= 5)
+        pairs
+          .join(per.select(col("b").as("ba"), col("nb").as("na")), Seq("ba"))
+          .join(per.select(col("b").as("bb"), col("nb").as("nbb")), Seq("bb"))
+          .crossJoin(broadcast(tot))
+          .withColumn("liftq",
+            expr("cast(cast(nab as decimal(38,0)) * nn * 1000000 div "
+              + "(cast(na as decimal(38,0)) * nbb) as bigint)"))
+          .orderBy(col("liftq").desc, col("ba"), col("bb")).limit(10)
+          .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+            col("nab").as("n_both"),
+            Num.r4(col("liftq").cast("double") / lit(1e6)).as("lift"))
+      },
+      Some("""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS nn FROM ob),
+        per AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY b),
+        pairs AS (
+          SELECT x.b AS ba, y.b AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+          FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+          GROUP BY x.b, y.b HAVING COUNT(*) >= 5),
+        scored AS (
+          SELECT ba, bb, nab,
+            CAST(CAST(nab AS HUGEINT) * nn * 1000000
+              // (CAST(na.nb AS HUGEINT) * nbb.nb) AS BIGINT) AS liftq
+          FROM pairs
+          JOIN per na ON na.b = ba
+          JOIN per nbb ON nbb.b = bb
+          CROSS JOIN tot)
+        SELECT ba AS brand_a, bb AS brand_b, nab AS n_both,
+          FLOOR((CAST(liftq AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS lift
+        FROM scored ORDER BY liftq DESC, ba, bb LIMIT 10"""),
+      "Brand co-order market-basket lift: top-10 pairs with support >= 5, exact integer lift ranking, brand-bounded pair space"),
+
+    // ---------------------------------------------------------------- q413
+    // Shipping-delay profile by order priority: days from order date
+    // to line ship date — exact integer day arithmetic, per-priority
+    // mean, ceil-rank P50/P90 on the bounded day-grid histogram, and
+    // the >90-day long-tail share. The fulfilment-SLA view of the
+    // lineitem/orders join (one broadcast-side dim join + bounded
+    // per-priority grids, no global sort).
+    Query(
+      "q413_ship_delay",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val del = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("prio"),
+            expr("datediff(l_shipdate, o_orderdate)").cast("long").as("dd"))
+        val hist = del.groupBy(col("prio"), col("dd")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded priority × day grid
+        val wc = Window.partitionBy(col("prio")).orderBy(col("dd"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+        val tot = hist.groupBy(col("prio"))
+          .agg(sum(col("c")).as("n"), sum(col("dd") * col("c")).as("sd"),
+            sum(when(col("dd") > 90, col("c")).otherwise(0L)).as("late"))
+        val p50 = cum.join(tot, Seq("prio"))
+          .filter(col("cum") >= expr("(50 * n + 99) div 100"))
+          .groupBy(col("prio")).agg(min(col("dd")).as("p50"))
+        val p90 = cum.join(tot, Seq("prio"))
+          .filter(col("cum") >= expr("(90 * n + 99) div 100"))
+          .groupBy(col("prio")).agg(min(col("dd")).as("p90"))
+        tot.join(p50, Seq("prio")).join(p90, Seq("prio"))
+          .select(col("prio").as("priority"), col("n").as("n_lines"),
+            Num.r4(col("sd").cast("double") / col("n").cast("double"))
+              .as("mean_days"),
+            col("p50").as("p50_days"), col("p90").as("p90_days"),
+            Num.r4(col("late").cast("double") / col("n").cast("double"))
+              .as("over_90d_share"))
+          .orderBy(col("priority"))
+      },
+      Some("""
+        WITH del AS (
+          SELECT o_orderpriority AS prio,
+            CAST(DATEDIFF('day', CAST(o_orderdate AS DATE),
+              CAST(l_shipdate AS DATE)) AS BIGINT) AS dd
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hist AS (SELECT prio, dd, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM del GROUP BY prio, dd),
+        cum AS (
+          SELECT prio, dd, c, SUM(c) OVER (PARTITION BY prio ORDER BY dd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        tot AS (
+          SELECT prio, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(dd * c) AS BIGINT) AS sd,
+            CAST(SUM(CASE WHEN dd > 90 THEN c ELSE 0 END) AS BIGINT) AS late
+          FROM hist GROUP BY prio),
+        p50 AS (
+          SELECT prio, CAST(MIN(dd) AS BIGINT) AS p50
+          FROM cum JOIN tot USING (prio)
+          WHERE cum >= (50 * n + 99) // 100 GROUP BY prio),
+        p90 AS (
+          SELECT prio, CAST(MIN(dd) AS BIGINT) AS p90
+          FROM cum JOIN tot USING (prio)
+          WHERE cum >= (90 * n + 99) // 100 GROUP BY prio)
+        SELECT prio AS priority, n AS n_lines,
+          FLOOR((CAST(sd AS DOUBLE) / n) * 10000 + 0.500001) / 10000
+            AS mean_days,
+          p50 AS p50_days, p90 AS p90_days,
+          FLOOR((CAST(late AS DOUBLE) / n) * 10000 + 0.500001) / 10000
+            AS over_90d_share
+        FROM tot JOIN p50 USING (prio) JOIN p90 USING (prio)
+        ORDER BY priority"""),
+      "Shipping-delay profile by order priority: exact day arithmetic, ceil-rank P50/P90 on bounded grids, long-tail share"),
+
+    // ---------------------------------------------------------------- q414
+    // Discount-response table: per discount level (l_discount is a
+    // discrete grid), line count, mean quantity, DECIMAL-exact gross
+    // revenue, and the quantity LIFT vs the zero-discount baseline —
+    // the categorical companion to q411's pooled elasticity: does a
+    // deeper discount actually move volume? Quantity sums and cent
+    // revenues are exact integers; the baseline join is a broadcast
+    // 1-row scalar.
+    Query(
+      "q414_discount_response",
+      (s, d) => {
+        val per = Tables.lineitem(s, d)
+          .select(floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long")
+            .as("disc_pct"),
+            col("l_quantity").cast("long").as("q"),
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .groupBy(col("disc_pct"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(col("cents")).as("sc"))
+          .localCheckpoint() // discount-grid bounded
+        val base = per.filter(col("disc_pct") === 0)
+          .select(col("n").as("n0"), col("sq").as("sq0"))
+        per.crossJoin(broadcast(base))
+          .select(col("disc_pct"), col("n").as("n_lines"),
+            Num.r4(col("sq").cast("double") / col("n").cast("double"))
+              .as("avg_qty"),
+            expr("cast(cast(sc as decimal(38,0)) as double) / 100")
+              .as("gross_revenue"),
+            Num.r4((col("sq").cast("double") / col("n").cast("double")) /
+              (col("sq0").cast("double") / col("n0").cast("double")))
+              .as("qty_lift_vs_0"))
+          .orderBy(col("disc_pct"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS sc
+          FROM lineitem GROUP BY 1),
+        base AS (SELECT n AS n0, sq AS sq0 FROM per WHERE disc_pct = 0)
+        SELECT disc_pct, n AS n_lines,
+          FLOOR((CAST(sq AS DOUBLE) / n) * 10000 + 0.500001) / 10000 AS avg_qty,
+          CAST(sc AS DOUBLE) / 100 AS gross_revenue,
+          FLOOR(((CAST(sq AS DOUBLE) / n) / (CAST(sq0 AS DOUBLE) / n0))
+                * 10000 + 0.500001) / 10000 AS qty_lift_vs_0
+        FROM per CROSS JOIN base ORDER BY disc_pct"""),
+      "Discount-response table per discount level: exact quantity/cent-revenue sums, quantity lift vs the zero-discount baseline"))
 }
