@@ -386,6 +386,98 @@ object Cohorts {
                    / CAST(n_offsets * sww - sw * sw AS DOUBLE) / 1e12))
                   * 10000 + 0.500001) / 10000 END AS halflife_weeks
         FROM fit"""),
-      "Retention half-life from OLS of ln retention on week offset 0-8 (pico-quantized ln terms, exact integer regression sums, -ln2/slope)")
+      "Retention half-life from OLS of ln retention on week offset 0-8 (pico-quantized ln terms, exact integer regression sums, -ln2/slope)"),
+
+    // ---------------------------------------------------------------- q416
+    // Customer-migration matrix: classify every user active in the
+    // FIRST half of the span into activity terciles (low/mid/high by
+    // ceil-rank bounds on the half-1 count histogram), then cross-tab
+    // against their second-half segment under the SAME bounds — plus
+    // 'churn' for users with no H2 events. The segment-transition
+    // view (who upgraded, who left) that q104's cohort retention and
+    // q346's static concentration can't show. Halves split at the
+    // exact integer µs midpoint (q364's convention); tercile bounds
+    // come from a bounded count histogram, never a global user sort;
+    // H2-only users are excluded (documented — no H1 segment exists
+    // for them).
+    Query(
+      "q416_segment_migration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val span = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        val per = ev.crossJoin(broadcast(span))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("us") <= expr("mn + (mx - mn) div 2"), 1L)
+            .otherwise(0L)).as("c1"),
+            sum(when(col("us") > expr("mn + (mx - mn) div 2"), 1L)
+              .otherwise(0L)).as("c2"))
+          .filter(col("c1") > 0)
+          .localCheckpoint() // feeds the histogram AND the cross-tab
+        val hist = per.groupBy(col("c1").as("v")).agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+        val nu = cum.agg(max(col("cum")).as("n"))
+        val t1 = cum.crossJoin(broadcast(nu))
+          .filter(col("cum") >= expr("(n + 2) div 3")).agg(min(col("v")).as("t1"))
+        val t2 = cum.crossJoin(broadcast(nu))
+          .filter(col("cum") >= expr("(2 * n + 2) div 3")).agg(min(col("v")).as("t2"))
+        def seg(c: org.apache.spark.sql.Column,
+                lo: org.apache.spark.sql.Column,
+                hi: org.apache.spark.sql.Column) =
+          when(c === 0, lit("churn")).when(c <= lo, lit("low"))
+            .when(c <= hi, lit("mid")).otherwise(lit("high"))
+        val tab = per.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .select(seg(col("c1"), col("t1"), col("t2")).as("seg_h1"),
+            seg(col("c2"), col("t1"), col("t2")).as("seg_h2"))
+          .groupBy(col("seg_h1"), col("seg_h2")).agg(count(lit(1)).as("n_users"))
+        val rows = tab.groupBy(col("seg_h1")).agg(sum(col("n_users")).as("rt"))
+        tab.join(rows, Seq("seg_h1"))
+          .select(col("seg_h1"), col("seg_h2"), col("n_users"),
+            Num.r4(col("n_users").cast("double") / col("rt").cast("double"))
+              .as("row_share"))
+          .orderBy(col("seg_h1"), col("seg_h2"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        span AS (SELECT CAST(MIN(us) AS BIGINT) AS mn,
+                   CAST(MAX(us) AS BIGINT) AS mx FROM ev),
+        per AS (
+          SELECT user_id,
+            CAST(SUM(CASE WHEN us <= mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN us > mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM ev CROSS JOIN span GROUP BY user_id
+          HAVING SUM(CASE WHEN us <= mn + (mx - mn) // 2 THEN 1 ELSE 0 END) > 0),
+        hist AS (SELECT c1 AS v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM per GROUP BY c1),
+        cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM hist),
+        nu AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum),
+        t1 AS (SELECT CAST(MIN(v) AS BIGINT) AS t1 FROM cum CROSS JOIN nu
+               WHERE cum >= (n + 2) // 3),
+        t2 AS (SELECT CAST(MIN(v) AS BIGINT) AS t2 FROM cum CROSS JOIN nu
+               WHERE cum >= (2 * n + 2) // 3),
+        tab AS (
+          SELECT
+            CASE WHEN c1 = 0 THEN 'churn' WHEN c1 <= t1 THEN 'low'
+                 WHEN c1 <= t2 THEN 'mid' ELSE 'high' END AS seg_h1,
+            CASE WHEN c2 = 0 THEN 'churn' WHEN c2 <= t1 THEN 'low'
+                 WHEN c2 <= t2 THEN 'mid' ELSE 'high' END AS seg_h2,
+            CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM per CROSS JOIN t1 CROSS JOIN t2
+          GROUP BY 1, 2),
+        rows_ AS (SELECT seg_h1, CAST(SUM(n_users) AS BIGINT) AS rt
+                  FROM tab GROUP BY seg_h1)
+        SELECT seg_h1, seg_h2, n_users,
+          FLOOR((CAST(n_users AS DOUBLE) / rt) * 10000 + 0.500001) / 10000
+            AS row_share
+        FROM tab JOIN rows_ USING (seg_h1)
+        ORDER BY seg_h1, seg_h2"""),
+      "Activity-tercile migration matrix across the exact midpoint: ceil-rank tercile bounds from the H1 count histogram, churn column, row shares")
   )
 }

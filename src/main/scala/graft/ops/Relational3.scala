@@ -421,5 +421,189 @@ object Relational3 {
           FLOOR(((CAST(sq AS DOUBLE) / n) / (CAST(sq0 AS DOUBLE) / n0))
                 * 10000 + 0.500001) / 10000 AS qty_lift_vs_0
         FROM per CROSS JOIN base ORDER BY disc_pct"""),
-      "Discount-response table per discount level: exact quantity/cent-revenue sums, quantity lift vs the zero-discount baseline"))
+      "Discount-response table per discount level: exact quantity/cent-revenue sums, quantity lift vs the zero-discount baseline"),
+
+    // ---------------------------------------------------------------- q415
+    // Revenue-mix drift by region: each region's revenue share in the
+    // first vs second half of the order-date span (exact integer µs
+    // midpoint, q364's convention) and the share delta — the market-
+    // share-shift view of the static q05 rollup. Revenue rides exact
+    // cents; shares divide exact integers; the region dimension chain
+    // (customer→nation→region) is broadcast.
+    Query(
+      "q415_revenue_mix_drift",
+      (s, d) => {
+        val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            // o_orderdate arrives as TIMESTAMP_NTZ; exact under the
+            // pinned UTC session timezone (the Tables.events rule)
+            unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+        val span = ord.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        val rev = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .crossJoin(broadcast(span))
+          .select(col("r_name"),
+            when(col("us") <= expr("mn + (mx - mn) div 2"), 1).otherwise(2)
+              .as("half"), col("cents"))
+        val per = rev.groupBy(col("r_name"))
+          .agg(sum(when(col("half") === 1, col("cents")).otherwise(0L)).as("c1"),
+            sum(when(col("half") === 2, col("cents")).otherwise(0L)).as("c2"))
+          .localCheckpoint() // region-bounded
+        val tot = per.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+        per.crossJoin(broadcast(tot))
+          .select(col("r_name").as("region"),
+            expr("cast(c1 as double) / 100").as("rev_h1"),
+            expr("cast(c2 as double) / 100").as("rev_h2"),
+            Num.r6(col("c1").cast("double") / col("t1").cast("double"))
+              .as("share_h1"),
+            Num.r6(col("c2").cast("double") / col("t2").cast("double"))
+              .as("share_h2"),
+            Num.r6(col("c2").cast("double") / col("t2").cast("double")
+              - col("c1").cast("double") / col("t1").cast("double"))
+              .as("share_delta"))
+          .orderBy(col("region"))
+      },
+      Some("""
+        WITH dim AS (
+          SELECT c_custkey, r_name
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        ord AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us
+                FROM orders),
+        span AS (SELECT CAST(MIN(us) AS BIGINT) AS mn,
+                   CAST(MAX(us) AS BIGINT) AS mx FROM ord),
+        rev AS (
+          SELECT r_name,
+            CASE WHEN us <= mn + (mx - mn) // 2 THEN 1 ELSE 2 END AS half,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS cents
+          FROM lineitem
+          JOIN ord ON l_orderkey = o_orderkey
+          JOIN dim ON o_custkey = c_custkey
+          CROSS JOIN span),
+        per AS (
+          SELECT r_name,
+            CAST(SUM(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN half = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2
+          FROM rev GROUP BY r_name),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+                  CAST(SUM(c2) AS BIGINT) AS t2 FROM per)
+        SELECT r_name AS region,
+          CAST(c1 AS DOUBLE) / 100 AS rev_h1,
+          CAST(c2 AS DOUBLE) / 100 AS rev_h2,
+          FLOOR((CAST(c1 AS DOUBLE) / t1) * 1000000 + 0.500001) / 1000000
+            AS share_h1,
+          FLOOR((CAST(c2 AS DOUBLE) / t2) * 1000000 + 0.500001) / 1000000
+            AS share_h2,
+          FLOOR((CAST(c2 AS DOUBLE) / t2 - CAST(c1 AS DOUBLE) / t1)
+                * 1000000 + 0.500001) / 1000000 AS share_delta
+        FROM per CROSS JOIN tot ORDER BY region"""),
+      "Revenue-mix drift by region across the exact order-date midpoint: cent-exact half revenues, share deltas, broadcast dimension chain"),
+
+    // ---------------------------------------------------------------- q417
+    // Single-source risk: how many parts depend on exactly one
+    // supplier? The distinct (part, supplier) frame from lineitem
+    // gives each part's supplier count; the distribution (n_suppliers
+    // → n_parts, share) is the procurement-risk histogram a supply-
+    // chain owner reads next to q107's salted supplier join. Exact
+    // integer counts, supplier-count-bounded output.
+    Query(
+      "q417_single_source_risk",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val per = ps.groupBy(col("l_partkey")).agg(count(lit(1)).as("ns"))
+        val hist = per.groupBy(col("ns").as("n_suppliers"))
+          .agg(count(lit(1)).as("n_parts"))
+        val tot = hist.agg(sum(col("n_parts")).as("np"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("n_suppliers"), col("n_parts"),
+            Num.r6(col("n_parts").cast("double") / col("np").cast("double"))
+              .as("share"))
+          .orderBy(col("n_suppliers"))
+      },
+      Some("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        per AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS ns
+                FROM ps GROUP BY l_partkey),
+        hist AS (SELECT ns AS n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+                 FROM per GROUP BY ns),
+        tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS np FROM hist)
+        SELECT n_suppliers, n_parts,
+          FLOOR((CAST(n_parts AS DOUBLE) / np) * 1000000 + 0.500001) / 1000000
+            AS share
+        FROM hist CROSS JOIN tot ORDER BY n_suppliers"""),
+      "Single-source procurement risk: per-part supplier-count distribution from the distinct (part,supplier) frame, exact counts"),
+
+    // ---------------------------------------------------------------- q418
+    // Law-of-one-price audit: the 10 parts whose unit price varies
+    // most across their lines (CV of exact cent unit prices, parts
+    // with ≥ 5 lines), ranked on the micro-quantized CV so both
+    // engines agree on the cut — plus each part's exact line count
+    // and mean price. Per-part moments are exact integers
+    // (DECIMAL/HUGEINT squares); one groupBy, no window over raw
+    // lines.
+    Query(
+      "q418_price_dispersion",
+      (s, d) => {
+        val up = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            expr("""cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+              div cast(l_quantity as bigint)""").as("uc"))
+        val m = up.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), sum(col("uc")).as("su"),
+            sum(col("uc").cast("decimal(38,0)") * col("uc")).as("su2"))
+          .filter(col("n") >= 5)
+        val scored = m.withColumn("cvq",
+          floor(sqrt(greatest(lit(0.0),
+            (col("n").cast("double") * col("su2").cast("double")
+              - col("su").cast("double") * col("su").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1).cast("double"))))
+            / (col("su").cast("double") / col("n").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long"))
+        scored.orderBy(col("cvq").desc, col("l_partkey")).limit(10)
+          .select(col("l_partkey").as("part"), col("n").as("n_lines"),
+            Num.r4(col("su").cast("double")
+              / (col("n").cast("double") * lit(100.0))).as("mean_price"),
+            Num.r4(col("cvq").cast("double") / lit(1e6)).as("price_cv"))
+      },
+      Some("""
+        WITH up AS (
+          SELECT l_partkey,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // CAST(l_quantity AS BIGINT) AS uc
+          FROM lineitem),
+        m AS (
+          SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(uc) AS BIGINT) AS su,
+            SUM(CAST(uc AS HUGEINT) * uc) AS su2
+          FROM up GROUP BY l_partkey HAVING COUNT(*) >= 5),
+        scored AS (
+          SELECT l_partkey, n, su,
+            CAST(FLOOR(SQRT(GREATEST(0.0,
+                (CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+                 - CAST(su AS DOUBLE) * su)
+                / (CAST(n AS DOUBLE) * (n - 1))))
+              / (CAST(su AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS cvq
+          FROM m)
+        SELECT l_partkey AS part, n AS n_lines,
+          FLOOR((CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
+                * 10000 + 0.500001) / 10000 AS mean_price,
+          FLOOR((CAST(cvq AS DOUBLE) / 1e6) * 10000 + 0.500001) / 10000
+            AS price_cv
+        FROM scored ORDER BY cvq DESC, l_partkey LIMIT 10"""),
+      "Law-of-one-price audit: top-10 parts by exact-cent unit-price CV (>= 5 lines), micro-quantized ranking"))
 }
