@@ -829,6 +829,182 @@ object Eval {
                 * 10000 + 0.500001) / 10000 AS youden_j
         FROM sweep CROSS JOIN tot
         ORDER BY cp * qq - cn * pp DESC, g LIMIT 1"""),
-      "Youden's J optimal threshold of the centroid classifier: exact integer argmax of J*P*N over the 1e-3 threshold grid")
+      "Youden's J optimal threshold of the centroid classifier: exact integer argmax of J*P*N over the 1e-3 threshold grid"),
+
+    // ---------------------------------------------------------------- q424
+    // Gains/lift table of the centroid classifier: score-ranked
+    // deciles (grid-grain — each 1e-3 score bucket is assigned whole
+    // to the decile its cumulative END position lands in, documented)
+    // with per-decile capture of positives and cumulative lift vs
+    // the base rate. The targeting readout next to AUC (q159) and
+    // Youden (q394): "call the top 20%, get what share of buyers?".
+    // All counts exact integers on the ≤1001-row histogram.
+    Query(
+      "q424_gains_table",
+      (s, d) => {
+        val hist = centroidScored(s, d)
+          .select(col("pos"),
+            least(lit(1000), floor(col("phat") * lit(1000.0)).cast("long"))
+              .as("g"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("c"), count(when(col("pos"), 1)).as("p"))
+          .localCheckpoint() // ≤1001 bounded rows
+        val wdesc = Window.orderBy(col("g").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cc", sum(col("c")).over(wdesc))
+          .withColumn("cp", sum(col("p")).over(wdesc))
+        val tot = hist.agg(sum(col("c")).as("n"), sum(col("p")).as("np"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("dec", expr("((cc - 1) * 10) div n + 1"))
+          .groupBy(col("dec").as("decile"))
+          .agg(sum(col("c")).as("n_cases"), sum(col("p")).as("n_pos"),
+            max(col("cc")).as("cum_cases"), max(col("cp")).as("cum_pos"),
+            max(col("n")).as("n"), max(col("np")).as("np"))
+          .select(col("decile"), col("n_cases"), col("n_pos"),
+            Num.r4(col("cum_pos").cast("double") / col("np").cast("double"))
+              .as("cum_capture"),
+            Num.r4((col("cum_pos").cast("double") / col("cum_cases").cast("double"))
+              / (col("np").cast("double") / col("n").cast("double")))
+              .as("cum_lift"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH $sqlCentroidScored,
+        hist AS (
+          SELECT LEAST(1000, CAST(FLOOR(phat * 1000.0) AS BIGINT)) AS g,
+            CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p
+          FROM scored GROUP BY 1),
+        cum AS (
+          SELECT g, c, p,
+            SUM(c) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+            SUM(p) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM hist),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(p) AS BIGINT) AS np FROM hist)
+        SELECT CAST(((cc - 1) * 10) // n + 1 AS BIGINT) AS decile,
+          CAST(SUM(c) AS BIGINT) AS n_cases,
+          CAST(SUM(p) AS BIGINT) AS n_pos,
+          FLOOR((CAST(MAX(cp) AS DOUBLE) / MAX(np)) * 10000 + 0.500001)
+            / 10000 AS cum_capture,
+          FLOOR(((CAST(MAX(cp) AS DOUBLE) / MAX(cc))
+                 / (CAST(MAX(np) AS DOUBLE) / MAX(n))) * 10000 + 0.500001)
+            / 10000 AS cum_lift
+        FROM cum CROSS JOIN tot
+        GROUP BY ((cc - 1) * 10) // n + 1
+        ORDER BY decile"""),
+      "Gains/lift table of the centroid classifier: grid-grain score deciles, exact cumulative capture and lift"),
+
+    // ---------------------------------------------------------------- q425
+    // Average precision (the PR-AUC summary) of the same classifier:
+    // AP = Σ_blocks ΔR·P over the descending 1e-3 score grid, each
+    // tie-block contributing its recall mass at the block-end
+    // precision (documented block convention). The precision-side
+    // complement to the ROC-side AUC (q159); per-block terms are
+    // exact rationals quantized at 1e-12 before the ≤1001-term sum.
+    Query(
+      "q425_average_precision",
+      (s, d) => {
+        val hist = centroidScored(s, d)
+          .select(col("pos"),
+            least(lit(1000), floor(col("phat") * lit(1000.0)).cast("long"))
+              .as("g"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("c"), count(when(col("pos"), 1)).as("p"))
+          .localCheckpoint()
+        val wdesc = Window.orderBy(col("g").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cc", sum(col("c")).over(wdesc))
+          .withColumn("cp", sum(col("p")).over(wdesc))
+        val tot = hist.agg(sum(col("p")).as("np"), sum(col("c")).as("n"))
+        val terms = cum.crossJoin(broadcast(tot))
+          .filter(col("p") > 0)
+          .select(floor(col("p").cast("double") / col("np").cast("double")
+            * (col("cp").cast("double") / col("cc").cast("double"))
+            * lit(1e12) + lit(0.5)).cast("long").as("tq"))
+        terms.agg(sum(col("tq")).as("sq"))
+          .crossJoin(broadcast(tot))
+          .select(col("n").as("n_points"), col("np").as("n_pos"),
+            Num.r6(col("np").cast("double") / col("n").cast("double"))
+              .as("base_rate"),
+            Num.r6(col("sq").cast("double") / lit(1e12)).as("avg_precision"))
+      },
+      Some(s"""
+        WITH $sqlCentroidScored,
+        hist AS (
+          SELECT LEAST(1000, CAST(FLOOR(phat * 1000.0) AS BIGINT)) AS g,
+            CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p
+          FROM scored GROUP BY 1),
+        cum AS (
+          SELECT g, c, p,
+            SUM(c) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+            SUM(p) OVER (ORDER BY g DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM hist),
+        tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+                  CAST(SUM(c) AS BIGINT) AS n FROM hist),
+        terms AS (
+          SELECT CAST(FLOOR(CAST(p AS DOUBLE) / np
+            * (CAST(cp AS DOUBLE) / cc) * 1e12 + 0.5) AS BIGINT) AS tq
+          FROM cum CROSS JOIN tot WHERE p > 0)
+        SELECT n AS n_points, np AS n_pos,
+          FLOOR((CAST(np AS DOUBLE) / n) * 1000000 + 0.500001) / 1000000
+            AS base_rate,
+          FLOOR((CAST(SUM(tq) AS DOUBLE) / 1e12) * 1000000 + 0.500001)
+            / 1000000 AS avg_precision
+        FROM terms CROSS JOIN tot
+        GROUP BY n, np"""),
+      "Average precision (PR-AUC) of the centroid classifier: block-convention AP over the descending score grid, 1e-12-quantized terms"),
+
+    // ---------------------------------------------------------------- q426
+    // Spiegelhalter's Z calibration test: Z = Σ(o−p)(1−2p) /
+    // √(Σ(1−2p)²p(1−p)) — the single-number sharpness-adjusted
+    // calibration check that complements the binned ECE (q214) and
+    // the Brier decomposition (q391): it detects miscalibration the
+    // 10-bin view averages away. With p̂ on the exact 1e-6 grid, the
+    // numerator Σ(o·10⁶−pq)(10⁶−2pq) and the variance
+    // Σ(10⁶−2pq)²·pq·(10⁶−pq) are EXACT integer sums on
+    // DECIMAL/HUGEINT; only the final ratio is a double.
+    Query(
+      "q426_spiegelhalter_z",
+      (s, d) => {
+        val t = centroidScored(s, d)
+          .select(when(col("pos"), 1000000L).otherwise(0L).as("o"),
+            floor(col("phat") * lit(1e6) + lit(0.5)).cast("long").as("pq"))
+        val m = t.agg(count(lit(1)).as("n"),
+          sum(((col("o") - col("pq")) * (lit(1000000L) - lit(2) * col("pq")))
+            .cast("decimal(38,0)")).as("num"),
+          sum((lit(1000000L) - lit(2) * col("pq")).cast("decimal(38,0)")
+            * (lit(1000000L) - lit(2) * col("pq")) * col("pq")
+            * (lit(1000000L) - col("pq"))).as("den2"))
+        m.select(col("n").as("n_points"),
+            when(col("den2") <= 0, lit(null).cast("double"))
+              .otherwise(Num.r4(col("num").cast("double")
+                / sqrt(col("den2").cast("double")))).as("z_calibration"))
+      },
+      Some(s"""
+        WITH $sqlCentroidScored,
+        t AS (
+          SELECT CASE WHEN pos THEN 1000000 ELSE 0 END AS o,
+            CAST(FLOOR(phat * 1e6 + 0.5) AS BIGINT) AS pq
+          FROM scored),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST((o - pq) AS HUGEINT) * (1000000 - 2 * pq)) AS num,
+            SUM(CAST((1000000 - 2 * pq) AS HUGEINT) * (1000000 - 2 * pq)
+                * pq * (1000000 - pq)) AS den2
+          FROM t)
+        SELECT n AS n_points,
+          CASE WHEN den2 <= 0 THEN NULL
+               ELSE FLOOR((CAST(num AS DOUBLE) / SQRT(CAST(den2 AS DOUBLE)))
+                          * 10000 + 0.500001) / 10000 END AS z_calibration
+        FROM m"""),
+      "Spiegelhalter calibration Z of the centroid classifier: exact integer numerator and variance on the 1e-6 probability grid")
   )
 }

@@ -469,6 +469,114 @@ object Rates {
                       + 1.96 * CAST(se_q AS DOUBLE) / 1e12)
               * 10000 + 0.500001) / 10000 END AS or_ci_hi
         FROM q"""),
-      "Odds ratio + relative risk of conversion between md5 A/B arms with Woolf log-OR 95% CI (exact 2x2 cells, pico-quantized ln/SE, NULL on empty cells)")
+      "Odds ratio + relative risk of conversion between md5 A/B arms with Woolf log-OR 95% CI (exact 2x2 cells, pico-quantized ln/SE, NULL on empty cells)"),
+
+    // ---------------------------------------------------------------- q423
+    // Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    // per-user daily conversion rates: fit α,β to the raw-rate mean
+    // and variance over users with ≥ 3 exposure days, then shrink
+    // every user toward the prior — the estimator that stops a
+    // 1-for-1 user from outranking a 95-for-100 user in any
+    // "top converters" list. Rates are nano-quantized per user before
+    // the moment sums (exact integers on DECIMAL); degenerate
+    // variance (v ≤ 0 or α+β ≤ 0) yields NULL fit on both engines.
+    // Reports the fitted prior and the mean absolute shrinkage.
+    Query(
+      "q423_eb_shrinkage",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(col("pur")).as("succ"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("succ")).as("x"))
+          .filter(col("n") >= 3)
+          .withColumn("rq", floor(col("x").cast("double") * lit(1e9)
+            / col("n").cast("double") + lit(0.5)).cast("long"))
+          .localCheckpoint() // feeds moments AND the shrinkage pass
+        val m = per.agg(count(lit(1)).as("k"), sum(col("rq")).as("s1"),
+          sum(col("rq").cast("decimal(38,0)") * col("rq")).as("s2"))
+        val fit = m.select(col("k"),
+          (col("s1").cast("double") / col("k").cast("double") / lit(1e9))
+            .as("mu"),
+          ((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")
+              / col("k").cast("double"))
+            / (col("k") - 1).cast("double") / lit(1e18)).as("v"))
+          .select(col("k"), col("mu"), col("v"),
+            when(col("v") > 0,
+              col("mu") * (lit(1.0) - col("mu")) / col("v") - lit(1.0))
+              .as("ab"))
+        val good = fit.select(col("k"), col("mu"), col("v"),
+          when(col("ab") > 0, col("ab")).as("ab"))
+        val shr = per.crossJoin(broadcast(good))
+          .filter(col("ab").isNotNull)
+          .select(floor(abs(
+            (col("x").cast("double") + col("mu") * col("ab"))
+              / (col("n").cast("double") + col("ab"))
+              - col("x").cast("double") / col("n").cast("double"))
+            * lit(1e9) + lit(0.5)).cast("long").as("sq"))
+          .agg(count(lit(1)).as("ks"), sum(col("sq")).as("ssq"))
+        good.crossJoin(broadcast(shr))
+          .select(col("k").as("n_users"),
+            Num.r6(col("mu")).as("mean_rate"),
+            Num.r6(col("v")).as("var_rate"),
+            when(col("ab").isNull, lit(null).cast("double"))
+              .otherwise(Num.r4(col("mu") * col("ab"))).as("alpha"),
+            when(col("ab").isNull, lit(null).cast("double"))
+              .otherwise(Num.r4((lit(1.0) - col("mu")) * col("ab"))).as("beta"),
+            when(col("ab").isNull, lit(null).cast("double"))
+              .otherwise(Num.r6(col("ssq").cast("double")
+                / (col("ks").cast("double") * lit(1e9))))
+              .as("mean_abs_shrinkage"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(succ) AS BIGINT) AS x,
+            CAST(FLOOR(CAST(SUM(succ) AS DOUBLE) * 1e9 / COUNT(*) + 0.5)
+              AS BIGINT) AS rq
+          FROM (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS succ
+            FROM events GROUP BY user_id, epoch_us(ts) // 86400000000)
+          GROUP BY user_id HAVING COUNT(*) >= 3),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(rq) AS BIGINT) AS s1,
+            SUM(CAST(rq AS HUGEINT) * rq) AS s2
+          FROM per),
+        fit AS (
+          SELECT k,
+            CAST(s1 AS DOUBLE) / k / 1e9 AS mu,
+            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) / 1e18
+              AS v
+          FROM m),
+        good AS (
+          SELECT k, mu, v,
+            CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+              THEN mu * (1.0 - mu) / v - 1.0 END AS ab
+          FROM fit),
+        shr AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ks,
+            CAST(SUM(CAST(FLOOR(ABS(
+              (x + mu * ab) / (n + ab) - CAST(x AS DOUBLE) / n)
+              * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ssq
+          FROM per CROSS JOIN good WHERE ab IS NOT NULL)
+        SELECT k AS n_users,
+          FLOOR(mu * 1000000 + 0.500001) / 1000000 AS mean_rate,
+          FLOOR(v * 1000000 + 0.500001) / 1000000 AS var_rate,
+          CASE WHEN ab IS NULL THEN NULL
+               ELSE FLOOR(mu * ab * 10000 + 0.500001) / 10000 END AS alpha,
+          CASE WHEN ab IS NULL THEN NULL
+               ELSE FLOOR((1.0 - mu) * ab * 10000 + 0.500001) / 10000
+          END AS beta,
+          CASE WHEN ab IS NULL THEN NULL
+               ELSE FLOOR((CAST(ssq AS DOUBLE) / (ks * 1e9))
+                          * 1000000 + 0.500001) / 1000000
+          END AS mean_abs_shrinkage
+        FROM good CROSS JOIN shr"""),
+      "Empirical-Bayes beta-binomial shrinkage of per-user conversion rates: nano-quantized rate moments, MoM alpha/beta, mean absolute shrinkage")
   )
 }
