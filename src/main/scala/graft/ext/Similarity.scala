@@ -44,13 +44,15 @@ object Similarity {
 
   /** Guard for the deliberately-quadratic correctness baselines (q33,
     * q37): caps the corpus at the `maxN` lowest vec_ids. NEVER fires at
-    * the driver scale factors (≤ 2000 vectors at sf0.1 — the frame is
-    * returned untouched, outputs byte-identical), but a larger-sf bench
-    * can no longer accidentally pay O(n²) ground truth: the baselines
-    * stay baselines, q35/q39/q78 are the scale paths. The cap is a
-    * distributed TakeOrdered, not a driver collect. */
+    * the driver scale factors (≤ 2000 vectors at sf0.1 — all rows
+    * survive the TakeOrdered, outputs byte-identical), but a larger-sf
+    * bench can no longer accidentally pay O(n²) ground truth: the
+    * baselines stay baselines, q35/q39/q78 are the scale paths.
+    * Unconditional orderBy+limit (one distributed TakeOrdered, no
+    * pre-count action): a `df.count()` gate would scan the full table
+    * just to learn it is over the cap. */
   def capCorpus(df: DataFrame, maxN: Int = 4096): DataFrame =
-    if (df.count() <= maxN) df else df.orderBy(col("vec_id")).limit(maxN)
+    df.orderBy(col("vec_id")).limit(maxN)
 
   /** Per-table sign-bit LSH buckets: standard (L tables × k bits)
     * scheme — a vector lands in one bucket per table; two vectors are

@@ -35,18 +35,38 @@ object Misc {
 
   def queries: Seq[Query] = Seq(
     // ---------------------------------------------------------------- q42
-    // HLL++ differs from DuckDB's approx sketch — rows-only check here;
-    // the <10% error bound is asserted in MiscSpec.
+    // HLL++ differs from DuckDB's approx sketch, so the estimate itself
+    // is not oracle-comparable. Instead the oracle verifies the ERROR
+    // BOUND: Spark emits the exact counts plus booleans asserting the
+    // HLL++ estimate is within 5% of exact (rsd 0.01 → the 5% gate sits
+    // ~5 standard errors out, and the sketch is hash-deterministic for
+    // a given input, so the booleans are stable per SF); the DuckDB
+    // twin emits the same exact counts with TRUE. A regression in the
+    // HLL++ path now flips a boolean and fails the hash compare.
     Query(
       "q42_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("a_ord"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("a_prt"))
+          .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+            (abs(col("a_ord") - col("exact_orders")) <
+              col("exact_orders") * 0.05).as("orders_within_5pct"),
+            (abs(col("a_prt") - col("exact_parts")) <
+              col("exact_parts") * 0.05).as("parts_within_5pct"))
           .orderBy(col("l_returnflag")),
-      None,
-      "approximate distinct counts via HyperLogLog++ (no shuffle of distinct values)"),
+      Some("""
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS orders_within_5pct,
+          TRUE AS parts_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "HyperLogLog++ approximate distinct, oracle-checked against its 5% error bound"),
 
     // ---------------------------------------------------------------- q43
     Query(

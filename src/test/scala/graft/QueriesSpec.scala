@@ -23,12 +23,11 @@ class QueriesSpec extends SparkSpec {
   test("registry sanity: unique names, oracles only for checkable ops") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    // the only oracle-less query left is the HLL++ sketch, whose
-    // internals genuinely aren't reproducible cross-engine (q39 and
-    // q41 were de-stubbed into oracle-exact form in r3)
+    // every registry entry is oracle-bearing: q42's HLL++ sketch (the
+    // last holdout) became error-bound-checkable in r7 by emitting
+    // exact counts plus within-5% booleans the DuckDB twin pins TRUE
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == Set("q42_approx_distinct"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
     // every oracle references only tables the driver registers
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

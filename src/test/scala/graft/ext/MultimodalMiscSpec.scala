@@ -48,17 +48,18 @@ class MultimodalMiscSpec extends SparkSpec {
     assert(knn.count() > 0)
   }
 
-  test("approx distinct within 10% of exact") {
-    val approx = Registry.queries("q42_approx_distinct")(spark, sf("0.01"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("approx distinct: exact counts match and HLL++ is within its 5% bound") {
+    val rows = Registry.queries("q42_approx_distinct")(spark, sf("0.01")).collect()
     val exact = Tables.lineitem(spark, sf("0.01"))
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (eo, ep)) =>
-      val (ao, ap) = approx(k)
-      assert(math.abs(ao - eo).toDouble / eo < 0.1, s"$k orders: $ao vs $eo")
-      assert(math.abs(ap - ep).toDouble / ep < 0.1, s"$k parts: $ap vs $ep")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(k), s"$k exact counts drifted")
+      assert(r.getBoolean(3), s"$k orders estimate outside 5%")
+      assert(r.getBoolean(4), s"$k parts estimate outside 5%")
     }
   }
 
