@@ -32,18 +32,24 @@ object Explain {
           "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
         // single-partition windows (empty partitionSpec) — acceptable
         // only on bounded inputs (top-k / digit / source tables);
-        // anything corpus-sized here is a scale bug
-        val globalWins = plan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty => w
-        }.size
+        // anything corpus-sized here is a scale bug. PlanAudit.flatten
+        // descends into the AQE wrapper — a bare plan.collect on an
+        // AdaptiveSparkPlanExec sees NO children and silently counts 0
+        // (the r1-r6 sweeps had exactly that blind spot).
+        val globalWins = PlanAudit.flatten(plan).count {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        val audit = PlanAudit.violations(df)
         println(f"${q.name}%-28s exchanges=${n("Exchange")}%2d " +
           f"sorts=${n("(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ")}%2d " +
           f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
           f"codegen=$codegenStages%2d scans=${n("FileScan|Scan parquet")}%2d " +
-          f"globalwin=$globalWins%2d")
+          f"globalwin=$globalWins%2d" +
+          (if (audit.nonEmpty) s"  AUDIT: ${audit.distinct.mkString("; ")}" else ""))
       }
     }
     spark.stop()

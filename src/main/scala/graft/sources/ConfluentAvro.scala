@@ -102,6 +102,80 @@ object ConfluentAvro {
       new java.sql.Timestamp(rec.get("event_time").asInstanceOf[Long]))
   }
 
+  /** The reference's on-the-wire Avro schema VERBATIM
+    * (health_simulator.py:29-73 / schema.tf:4-151): identical field
+    * tree except there is NO event_time field in the body — the
+    * reference reads event time from the Kafka record timestamp
+    * (`$rowtime`, flink_statements.tf:178). */
+  val referenceSchemaJson: String =
+    """{
+      "namespace": "health_events", "name": "health_event", "type": "record",
+      "fields": [
+        {"name": "event_id", "type": "string"},
+        {"name": "patient_id", "type": "int"},
+        {"name": "device_metadata", "type": {"type": "record", "name": "device_metadata", "fields": [
+          {"name": "device_type", "type": "string"},
+          {"name": "battery_level", "type": "int"},
+          {"name": "sensor_status", "type": "string"}]}},
+        {"name": "vitals", "type": {"type": "record", "name": "vitals", "fields": [
+          {"name": "heart_rate", "type": "int"},
+          {"name": "blood_oxygen_spO2", "type": "int"},
+          {"name": "blood_pressure", "type": {"type": "record", "name": "blood_pressure", "fields": [
+            {"name": "systolic", "type": "int"},
+            {"name": "diastolic", "type": "int"}]}},
+          {"name": "body_temperature_c", "type": "float"}]}}
+      ]}"""
+
+  @transient private lazy val refSchema: Schema =
+    new Schema.Parser().parse(referenceSchemaJson)
+
+  /** Parse the 5-byte Confluent header; returns (schemaId, bodyOffset).
+    * The decoder accepts ANY schema id (the reference registers its
+    * schema under whatever id the registry assigns; consumers key off
+    * the topic, not the id). */
+  def readHeader(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length > 5 && bytes(0) == MagicByte,
+      s"not Confluent-framed Avro (len=${bytes.length})")
+    val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+    (id, 5)
+  }
+
+  /** Deserialize one payload in the reference's EXACT wire schema (no
+    * in-body event_time); `recordTimestampMs` is the Kafka record
+    * timestamp the reference's `$rowtime` would supply. This is the
+    * decode a migrating user's existing topics need. */
+  def decodeReferenceFrame(bytes: Array[Byte], recordTimestampMs: Long): HealthEvent = {
+    val (_, off) = readHeader(bytes)
+    val dec = DecoderFactory.get().binaryDecoder(bytes, off, bytes.length - off, null)
+    val rec = new GenericDatumReader[GenericRecord](refSchema).read(null, dec)
+    def s(x: AnyRef): String = x.toString
+    val dm = rec.get("device_metadata").asInstanceOf[GenericRecord]
+    val v = rec.get("vitals").asInstanceOf[GenericRecord]
+    val bp = v.get("blood_pressure").asInstanceOf[GenericRecord]
+    HealthEvent(
+      s(rec.get("event_id")),
+      rec.get("patient_id").asInstanceOf[Int],
+      DeviceMetadata(s(dm.get("device_type")),
+        dm.get("battery_level").asInstanceOf[Int], s(dm.get("sensor_status"))),
+      Vitals(
+        v.get("heart_rate").asInstanceOf[Int],
+        v.get("blood_oxygen_spO2").asInstanceOf[Int],
+        BloodPressure(bp.get("systolic").asInstanceOf[Int],
+          bp.get("diastolic").asInstanceOf[Int]),
+        v.get("body_temperature_c").asInstanceOf[Float]),
+      new java.sql.Timestamp(recordTimestampMs))
+  }
+
+  /** Column twin of [[decodeReferenceFrame]]: `value` + the Kafka
+    * record's `timestamp` column → health-event struct, for
+    * `readStream.format("kafka")` against a topic the reference's
+    * producer filled. */
+  def decodeReferenceEvent(value: Column, recordTimestamp: Column): Column = {
+    val f = udf((bytes: Array[Byte], ts: java.sql.Timestamp) =>
+      decodeReferenceFrame(bytes, ts.getTime))
+    f(value, recordTimestamp)
+  }
+
   /** Column-level decoder: binary Kafka `value` → nested health-event
     * struct (a Scala UDF; the hot path stays small — decode once, then
     * all downstream ops are codegen'd Catalyst). */

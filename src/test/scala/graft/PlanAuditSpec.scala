@@ -11,6 +11,90 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.queries(name)(spark, sf()).queryExecution.executedPlan.toString()
 
+  // ------------------------------------------------------------------
+  // Full-registry mechanical gate (r7): every registered plan is walked
+  // by PlanAudit.violations — no cartesian product without a bounded
+  // side, no unpartitioned window over an unbounded child, no global
+  // sort feeding a sort-merge join. This is the standing version of the
+  // per-cohort explain sweeps: it protects all registry queries from
+  // the one regression class the value oracle cannot see.
+  /** Queries whose flagged node is provably bounded by a VALUE DOMAIN
+    * the mechanical detector cannot see (it proves boundedness only
+    * from limits, 1-row aggregates, literal ranges, and checkpoint
+    * scans). Every entry was hand-audited (r7): the frame under the
+    * window / the non-broadcast join side is O(domain), constant in
+    * data volume — day grids (O(active days)), source grids (O(distinct
+    * sources)), quantized-value histograms (ECDF staircases over
+    * minute/micro-unit bins), a ≤30-row id-capped baseline, 1-row
+    * unique-key probe filters, and a 2-row label grid. A NEW query with
+    * a global window or unbounded cartesian fails until it is either
+    * re-planned or audited into this list with its justification. */
+  private val domainBounded: Map[String, String] = Map(
+    // --- BroadcastNestedLoopJoin, bounded side invisible to the detector
+    "q64_edit_distance" -> "id-capped baseline: doc_id < 30 on a unique key, <=30-row self-join",
+    "q120_rrf_fusion" -> "probe side is a unique-key filter (vec_id = 0): exactly 1 row",
+    "q159_pc1_auc" -> "label grid: distinct binary labels, 2 rows",
+    "q266_hellinger_tv" -> "source grid: O(distinct sources) rows",
+    "q304_overdispersion" -> "day grid: O(active days) rows, constant in volume",
+    "q327_negbin_fit" -> "day grid: O(active days) rows, constant in volume",
+    // --- unpartitioned window over an O(domain) frame
+    "q281_conversion_lag" -> "minute histogram: O(distinct lag minutes) bins",
+    "q289_cliffs_delta" -> "value histogram ECDF staircase: O(distinct quantized values)",
+    "q301_page_hinkley" -> "day grid cumulative scan: O(active days)",
+    "q309_dickey_fuller" -> "day grid: O(active days)",
+    "q315_anderson_darling" -> "gap-minute histogram: O(distinct minutes)",
+    "q316_energy_distance" -> "value histogram ECDF staircase: O(distinct quantized values)",
+    "q329_cramer_von_mises" -> "value histogram ECDF staircase: O(distinct quantized values)",
+    "q330_granger" -> "day grid: O(active days)",
+    "q343_calendar_gaps" -> "day grid: O(active days)",
+    "q351_runs_test" -> "day grid: O(active days)",
+    "q358_mood_median" -> "per-source value histogram: O(distinct quantized values)",
+    "q361_sprt" -> "day grid sequential scan: O(active days)",
+    "q365_pinball" -> "day grid: O(active days)",
+    "q368_pettitt" -> "day grid: O(active days)",
+    "q371_seasonal_mase" -> "day grid: O(active days)",
+    "q375_skyline" -> "length-domain staircase: O(distinct doc lengths)",
+    "q388_turning_points" -> "day grid: O(active days)",
+    "q393_forecast_scorecard" -> "day grid: O(active days)",
+    "q400_records_test" -> "day grid: O(active days)",
+    "q98_mix_weights" -> "source grid: O(distinct sources) rows")
+
+  test("full registry: zero plan-shape violations outside the audited domain-bounded list") {
+    val dir = sf("0.01")
+    val found = Registry.all.map { q =>
+      q.name -> PlanAudit.violations(q.run(spark, dir))
+    }.toMap
+    val bad = found.collect {
+      case (n, vs) if vs.nonEmpty && !domainBounded.contains(n) =>
+        s"$n: ${vs.distinct.mkString("; ")}"
+    }
+    assert(bad.isEmpty, s"plan-shape violations:\n${bad.mkString("\n")}")
+    // rot guards: every allowlist entry must name a real query AND
+    // still be needed — a re-planned query leaves a stale
+    // justification behind otherwise
+    val unknown = domainBounded.keySet -- found.keySet
+    assert(unknown.isEmpty, s"allowlist names unknown queries: $unknown")
+    val stale = domainBounded.keySet.filter(n => found(n).isEmpty)
+    assert(stale.isEmpty, s"allowlist entries no longer needed: $stale")
+  }
+
+  test("the audit is red on a planted global window and a planted cartesian") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf())
+    // planted failure 1: whole-frame window over the raw table
+    val planted = li.withColumn("rn", row_number().over(
+      Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+    assert(PlanAudit.violations(planted)
+      .exists(_.contains("unpartitioned Window")),
+      "audit must flag a whole-table global window")
+    // planted failure 2: unbounded cross join of the table with itself
+    val crossed = li.select(col("l_orderkey").as("a"))
+      .crossJoin(li.select(col("l_orderkey").as("b")))
+    assert(PlanAudit.violations(crossed).nonEmpty,
+      "audit must flag an unbounded cartesian/BNLJ")
+  }
+
   test("1-row global aggregates are broadcast, not cartesian") {
     // each of these queries folds a global scalar (corpus total,
     // min/max, midpoint) into a per-row computation
