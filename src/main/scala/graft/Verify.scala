@@ -12,12 +12,19 @@ object Verify {
       if (args.length <= 2) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // cluster-shape overrides for the config-invariance sweep: a 100 TB
+    // deployment runs AQE with shuffle.partitions=200 (the Spark
+    // default), not the local thread count — results must be identical
+    // under both shapes (BASELINE.md records the 427/427 sweep)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (aqe.nonEmpty) b.config("spark.sql.adaptive.enabled", aqe)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -55,7 +55,7 @@ object Agree {
           countDistinct(col("day")).as("nd"))
         // P̄ = [Σ_i Σ_j n_ij² − N·k] / (N·k(k−1)); P̄e = Σ_j (Σ_i n_ij / (N·k))²
         val sums = nij.agg(
-          sum(col("nij").cast("decimal(38,0)") * col("nij")).as("s2"))
+          Exact.m2("nij", "nij").as("s2"))
         val pj = nij.groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
           .crossJoin(broadcast(k))
           .select(floor((col("cj").cast("double") /
@@ -220,9 +220,9 @@ object Agree {
         val cum = hist
           .withColumn("cna", sum(col("ca")).over(wV) - col("ca"))
           .withColumn("cnb", sum(col("cb")).over(wV) - col("cb"))
-          .withColumn("csa", sum(col("ca").cast("decimal(38,0)") * col("v"))
+          .withColumn("csa", Exact.m2("ca", "v")
             .over(wV) - col("ca").cast("decimal(38,0)") * col("v"))
-          .withColumn("csb", sum(col("cb").cast("decimal(38,0)") * col("v"))
+          .withColumn("csb", Exact.m2("cb", "v")
             .over(wV) - col("cb").cast("decimal(38,0)") * col("v"))
         // Σ_pairs |x−y| between group g1 at value v and all LOWER g2
         // values: c1_v·(v·cnt2_below − sum2_below); summing this over
@@ -316,13 +316,13 @@ object Agree {
         val kept = cells.join(full, Seq("w"))
         val item = kept.groupBy(col("wd"))
           .agg(count(lit(1)).as("m"), sum(col("y")).as("s1"),
-            sum(col("y").cast("decimal(38,0)") * col("y")).as("s2"))
+            Exact.m2("y", "y").as("s2"))
           .select(col("m"),
             (col("m") * col("s2") - col("s1").cast("decimal(38,0)") * col("s1"))
               .as("aj"))
         val totals = kept.groupBy(col("w")).agg(sum(col("y")).as("t"))
           .agg(count(lit(1)).as("m2"), sum(col("t")).as("st"),
-            sum(col("t").cast("decimal(38,0)") * col("t")).as("st2"))
+            Exact.m2("t", "t").as("st2"))
           .select(col("m2"),
             (col("m2") * col("st2") - col("st").cast("decimal(38,0)") * col("st"))
               .as("at"))

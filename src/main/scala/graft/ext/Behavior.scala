@@ -251,7 +251,7 @@ object Behavior {
         val nc = cum.agg(max(col("cum")).as("k"),
           sum(col("hr") * col("c")).as("sh"))
         def pct(p: Int) = cum.crossJoin(broadcast(nc.select(col("k"))))
-          .filter(col("cum") >= expr(s"($p * k + 99) div 100"))
+          .filter(Exact.ceilRank(col("cum"), p, "k"))
           .agg(min(col("hr")).as(s"p$p"))
         nt.crossJoin(broadcast(nc)).crossJoin(broadcast(pct(25)))
           .crossJoin(broadcast(pct(50))).crossJoin(broadcast(pct(75)))

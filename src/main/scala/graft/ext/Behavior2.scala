@@ -204,7 +204,7 @@ object Behavior2 {
           .crossJoin(broadcast(nConv))
         val p50 = cum.filter(col("cum") >= expr("(n_conv + 1) div 2"))
           .agg(min(col("bm")).as("p50_lag_min"))
-        val p95 = cum.filter(col("cum") >= expr("(95 * n_conv + 99) div 100"))
+        val p95 = cum.filter(Exact.ceilRank(col("cum"), 95, "n_conv"))
           .agg(min(col("bm")).as("p95_lag_min"))
         nSign.crossJoin(broadcast(nConv)).crossJoin(broadcast(p50))
           .crossJoin(broadcast(p95))

@@ -29,7 +29,7 @@ object Calendar {
           .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
           .localCheckpoint()
         val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+          Exact.m2("x", "x").as("sxx"))
         val ssb = g.crossJoin(broadcast(tot))
           .select(col("n"), col("sxx"), col("sx"),
             floor((col("sg").cast("double") / col("ng").cast("double") -

@@ -181,8 +181,8 @@ object Coherence {
           .filter(col("xl").isNotNull)
         val mo = lagged.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sy"), sum(col("xl")).as("sx"),
-          sum(col("xl").cast("decimal(38,0)") * col("xl")).as("sxx"),
-          sum(col("xl").cast("decimal(38,0)") * col("x")).as("sxy"))
+          Exact.m2("xl", "xl").as("sxx"),
+          Exact.m2("xl", "x").as("sxy"))
         val c = mo.select(col("n"),
           ((col("sxy").cast("double") - col("sx").cast("double") *
             col("sy").cast("double") / col("n").cast("double")) /
@@ -198,12 +198,12 @@ object Coherence {
           .withColumn("r", row_number().over(Window.orderBy(col("day"))).cast("long"))
           .localCheckpoint()
         val emo = res.agg(count(lit(1)).as("n"), sum(col("e")).as("se"),
-          sum(col("e").cast("decimal(38,0)") * col("e")).as("see"))
+          Exact.m2("e", "e").as("see"))
         val a = res.select(col("r").as("i"), col("e").as("ei"))
         val b = res.select(col("r").as("j"), col("e").as("ej"))
         val rho = a.join(b, col("j") - col("i") >= 1 && col("j") - col("i") <= 10)
           .groupBy((col("j") - col("i")).as("lag"))
-          .agg(sum(col("ei").cast("decimal(38,0)") * col("ej")).as("sp"),
+          .agg(Exact.m2("ei", "ej").as("sp"),
             count(lit(1)).as("np"))
           .crossJoin(broadcast(emo))
           .select(col("lag"), col("n"),

@@ -178,7 +178,7 @@ object Curves2 {
           .select((col("lang") === "en").as("isa"), col("n_chars").as("v"))
           .groupBy(col("isa"))
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-            sum(col("v").cast("decimal(38,0)") * col("v")).as("sv2"))
+            Exact.m2("v", "v").as("sv2"))
         val wide = g.agg(
           max(when(col("isa"), col("n"))).as("na"),
           max(when(col("isa"), col("sv"))).as("sva"),
@@ -250,12 +250,12 @@ object Curves2 {
             countDistinct(col("user_id")).as("z"))
         val mo = daily.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
-          sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-          sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
-          sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"))
+          Exact.m2("x", "x").as("sxx"),
+          Exact.m2("y", "y").as("syy"),
+          Exact.m2("z", "z").as("szz"),
+          Exact.m2("x", "y").as("sxy"),
+          Exact.m2("x", "z").as("sxz"),
+          Exact.m2("y", "z").as("syz"))
         def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
           (col(sab).cast("double") - col(sa).cast("double") *
             col(sb).cast("double") / col("n").cast("double")) /

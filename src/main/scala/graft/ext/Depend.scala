@@ -33,12 +33,12 @@ object Depend {
             sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("y"))
         val mo = daily.agg(count(lit(1)).as("n"),
           sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
-          sum(col("x1").cast("decimal(38,0)") * col("x1")).as("s11"),
-          sum(col("x2").cast("decimal(38,0)") * col("x2")).as("s22"),
-          sum(col("x1").cast("decimal(38,0)") * col("x2")).as("s12"),
-          sum(col("x1").cast("decimal(38,0)") * col("y")).as("s1y"),
-          sum(col("x2").cast("decimal(38,0)") * col("y")).as("s2y"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          Exact.m2("x1", "x1").as("s11"),
+          Exact.m2("x2", "x2").as("s22"),
+          Exact.m2("x1", "x2").as("s12"),
+          Exact.m2("x1", "y").as("s1y"),
+          Exact.m2("x2", "y").as("s2y"),
+          Exact.m2("y", "y").as("syy"))
         // centered moments (doubles from exact sums, identical both sides)
         val c = mo.select(col("n").cast("double").as("n"),
           (col("s11").cast("double") - col("s1").cast("double") *
@@ -138,7 +138,7 @@ object Depend {
           .na.fill(0L, Seq("c"))
         grid.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
-            sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+            Exact.m2("c", "c").as("sc2"))
           .select(col("event_type"), col("n_days"),
             Num.r4(col("sc").cast("double") / col("n_days").cast("double"))
               .as("mean_daily"),

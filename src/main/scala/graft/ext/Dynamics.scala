@@ -177,7 +177,7 @@ object Dynamics {
           .withColumn("x2", lead(col("x"), 2).over(wD))
           .localCheckpoint()
         val mo = t.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+          Exact.m2("x", "x").as("sxx"))
         // r = 0.2 * population sd (exact moments → identical double)
         val rThr = mo.select(col("n"),
           (lit(0.2) * sqrt((col("sxx").cast("double") -
@@ -276,7 +276,7 @@ object Dynamics {
           .groupBy(col("n"), col("g"))
           .agg(max(col("nd")).as("nd"), count(lit(1)).as("cnt"),
             sum(col("z")).as("sz"),
-            sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+            Exact.m2("z", "z").as("szz"),
             sum((col("t") % col("n")).cast("decimal(38,0)") * col("z")).as("sxz"))
           .filter(col("cnt") === col("n"))
         val rssp = seg
@@ -380,7 +380,7 @@ object Dynamics {
           .select(col("event_type"), (col("nxt") - col("tu")).as("g"))
         gaps.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
-            sum(col("g").cast("decimal(38,0)") * col("g")).as("sgg"))
+            Exact.m2("g", "g").as("sgg"))
           .select(col("event_type"), col("n_gaps"),
             Num.r4(col("sg").cast("double") / col("n_gaps").cast("double")
               / lit(1e6)).as("mean_gap_s"),

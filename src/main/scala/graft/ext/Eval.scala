@@ -41,9 +41,9 @@ object Eval {
       sum((col("cn").cast("decimal(38,0)") * col("cn"))).as("n2"))
     val dots = ex.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("pos"))
-      .agg(sum(col("xq").cast("decimal(38,0)") * col("cp")).as("dp"),
-        sum(col("xq").cast("decimal(38,0)") * col("cn")).as("dn"),
-        sum(col("xq").cast("decimal(38,0)") * col("xq")).as("v2"))
+      .agg(Exact.m2("xq", "cp").as("dp"),
+        Exact.m2("xq", "cn").as("dn"),
+        Exact.m2("xq", "xq").as("v2"))
     val margin =
       col("dp").cast("double") /
         (sqrt(col("v2").cast("double")) * sqrt(col("p2").cast("double"))) -

@@ -40,7 +40,7 @@ object Extreme {
           .select((col("x") - col("u")).as("y"), col("u"))
         val mo = exc.agg(max(col("u")).as("u"), count(lit(1)).as("ne"),
           sum(col("y")).as("sy"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          Exact.m2("y", "y").as("syy"))
         val fit = mo.crossJoin(broadcast(n))
           .select(col("u"), col("ne"), col("n"),
             (col("sy").cast("double") / col("ne").cast("double")).as("m"),
@@ -130,8 +130,8 @@ object Extreme {
           .withColumn("cq", floor(cos(col("ang")) * lit(1e6) + lit(0.5)).cast("long"))
           .withColumn("sq", floor(sin(col("ang")) * lit(1e6) + lit(0.5)).cast("long"))
           .groupBy(col("k"))
-          .agg(sum(col("c").cast("decimal(38,0)") * col("cq")).as("sc"),
-            sum(col("c").cast("decimal(38,0)") * col("sq")).as("ss"))
+          .agg(Exact.m2("c", "cq").as("sc"),
+            Exact.m2("c", "sq").as("ss"))
           .select(col("k"),
             (col("sc").cast("double") * col("sc").cast("double") +
               col("ss").cast("double") * col("ss").cast("double")).as("p"))
@@ -217,9 +217,9 @@ object Extreme {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           val cum = hist.withColumn("cum", sum(col("cnt")).over(wV))
             .crossJoin(broadcast(n))
-          val lo = cum.filter(col("cum") >= expr("(5 * n + 99) div 100"))
+          val lo = cum.filter(Exact.ceilRank(col("cum"), 5, "n"))
             .agg(min(col("v")).as(s"${c}lo"))
-          val hi = cum.filter(col("cum") >= expr("(95 * n + 99) div 100"))
+          val hi = cum.filter(Exact.ceilRank(col("cum"), 95, "n"))
             .agg(min(col("v")).as(s"${c}hi"))
           lo.crossJoin(hi)
         }
@@ -229,9 +229,9 @@ object Extreme {
             greatest(least(col("y"), col("yhi")), col("ylo")).as("yw"))
         w.agg(count(lit(1)).as("n_days"),
             sum(col("xw")).as("sx"), sum(col("yw")).as("sy"),
-            sum(col("xw").cast("decimal(38,0)") * col("xw")).as("sxx"),
-            sum(col("yw").cast("decimal(38,0)") * col("yw")).as("syy"),
-            sum(col("xw").cast("decimal(38,0)") * col("yw")).as("sxy"))
+            Exact.m2("xw", "xw").as("sxx"),
+            Exact.m2("yw", "yw").as("syy"),
+            Exact.m2("xw", "yw").as("sxy"))
           .select(col("n_days"),
             Num.r6((col("sxy").cast("double") - col("sx").cast("double") *
               col("sy").cast("double") / col("n_days").cast("double")) /
@@ -353,11 +353,8 @@ object Extreme {
             (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
               / lit(100)).cast("long").as("y"))
           .localCheckpoint() // calendar-bounded
-        val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        val ms = Exact.olsMoments()
+        val m = daily.agg(ms.head, ms.tail: _*)
         val scored = daily.crossJoin(broadcast(m))
           .withColumn("cxx", expr("n * sxx - cast(sx as decimal(38,0)) * sx"))
           .withColumn("cyy", expr("n * syy - cast(sy as decimal(38,0)) * sy"))

@@ -128,9 +128,9 @@ object Inequality {
           .agg(count(lit(1)).as("nd"), sum(col("nt")).as("tk"))
         per.agg(count(lit(1)).as("k"),
             sum(col("nd")).as("sd"),
-            sum(col("nd").cast("decimal(38,0)") * col("nd")).as("sd2"),
+            Exact.m2("nd", "nd").as("sd2"),
             sum(col("tk")).as("st"),
-            sum(col("tk").cast("decimal(38,0)") * col("tk")).as("st2"))
+            Exact.m2("tk", "tk").as("st2"))
           .select(col("k").as("n_sources"),
             Num.r6(col("sd2").cast("double")
               / (col("sd").cast("double") * col("sd").cast("double")))

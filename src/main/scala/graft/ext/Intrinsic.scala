@@ -96,7 +96,7 @@ object Intrinsic {
           .localCheckpoint()
         val tot = cum.agg(max(col("cumu")).as("nusers"), max(col("cume")).as("nevents"))
         def share(pct: Int) = cum.crossJoin(broadcast(tot))
-          .filter(col("cumu") >= expr(s"($pct * nusers + 99) div 100"))
+          .filter(Exact.ceilRank(col("cumu"), pct, "nusers"))
           .agg(max(col("nusers")).as("nusers"), max(col("nevents")).as("nevents"),
             min(col("cumu")).as(s"u$pct"), min(col("cume")).as(s"e$pct"))
         share(1).select(col("nusers"), col("nevents"), col("u1"), col("e1"))

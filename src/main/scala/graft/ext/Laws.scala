@@ -35,11 +35,8 @@ object Laws {
             floor(log((col("n_chars") - col("nt") + 1).cast("double")
               / col("nt").cast("double")) * lit(1e6) + lit(0.5))
               .cast("long").as("y"))
-        val m = rows.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val ms = Exact.olsMoments()
+        val m = rows.agg(ms.head, ms.tail: _*)
         m.select(col("n").as("n_docs"),
             Num.r4((col("n").cast("double") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double")) /
@@ -102,7 +99,7 @@ object Laws {
           .agg(count(lit(1)).as("y"))
         val per = daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
-            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+            Exact.m2("y", "y").as("syy"))
           .filter(col("n") >= 2)
           .select(col("event_type"),
             (col("sy").cast("double") / col("n").cast("double")).as("m"),

@@ -201,10 +201,10 @@ object LmQuality3 {
         // dot(doc, centroid·n_src) and the two norms — integer sums
         val dots = wts.join(cent, Seq("source", "term"))
           .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("wq").cast("decimal(38,0)") * col("cq")).as("dot"),
-            sum(col("wq").cast("decimal(38,0)") * col("wq")).as("nd2"))
+          .agg(Exact.m2("wq", "cq").as("dot"),
+            Exact.m2("wq", "wq").as("nd2"))
         val cnorm = cent.groupBy(col("source"))
-          .agg(sum(col("cq").cast("decimal(38,0)") * col("cq")).as("nc2"))
+          .agg(Exact.m2("cq", "cq").as("nc2"))
         val cos = dots.join(broadcast(cnorm), Seq("source"))
           .select(col("doc_id"), col("source"),
             (col("dot").cast("double") /

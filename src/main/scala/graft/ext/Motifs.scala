@@ -58,7 +58,7 @@ object Motifs {
               * lit(1e9) + lit(0.5)).cast("long").as("nllq"))
         evalB.groupBy(col("source"))
           .agg(sum(col("ns")).as("n_bigrams"),
-            sum(col("ns").cast("decimal(38,0)") * col("nllq")).as("snll"))
+            Exact.m2("ns", "nllq").as("snll"))
           .select(col("source"), col("n_bigrams"),
             Num.r6(col("snll").cast("double") / lit(1e9) /
               col("n_bigrams").cast("double")).as("kn_nll"),

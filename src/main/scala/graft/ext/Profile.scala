@@ -231,7 +231,7 @@ object Profile {
           .agg(count(lit(1)).as("x"))
           .localCheckpoint()
         val mo = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+          Exact.m2("x", "x").as("sxx"))
         val a = daily.select(col("day").as("d1"), col("x").as("x1"))
         val b = daily.select(col("day").as("d2"), col("x").as("x2"))
         a.join(broadcast(b),

@@ -100,7 +100,7 @@ object RankTests {
           .agg(sum(col("mr2")).as("rj2"), count(lit(1)).as("nblocks"))
         val tot = byType.agg(count(lit(1)).as("k"), max(col("nblocks")).as("n"))
         val sr2 = ranked.agg(
-          sum(col("mr2").cast("decimal(38,0)") * col("mr2")).as("s4r2"))
+          Exact.m2("mr2", "mr2").as("s4r2"))
         val dev = byType.crossJoin(broadcast(tot))
           .select(col("k"), col("n"),
             // dq = milli-quantized (Rj − n(k+1)/2); Rj = rj2/2
@@ -181,8 +181,8 @@ object RankTests {
           .withColumn("cuma", sum(col("ca")).over(wV) - col("ca"))
           .withColumn("cumb", sum(col("cb")).over(wV) - col("cb"))
         cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-            sum(col("ca").cast("decimal(38,0)") * col("cumb")).as("gt"),
-            sum(col("cb").cast("decimal(38,0)") * col("cuma")).as("lt"))
+            Exact.m2("ca", "cumb").as("gt"),
+            Exact.m2("cb", "cuma").as("lt"))
           .select(col("na").as("n_en"), col("nb").as("n_other"),
             Num.r6((col("gt").cast("double") - col("lt").cast("double")) /
               (col("na").cast("double") * col("nb").cast("double")))

@@ -32,7 +32,7 @@ object Rates {
           .na.fill(0L, Seq("c"))
         val mo = grid.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-            sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"),
+            Exact.m2("c", "c").as("sc2"),
             count(when(col("c") === 0, 1)).as("nz"))
           .select(col("event_type"), col("n"), col("nz"),
             (col("sc").cast("double") / col("n").cast("double")).as("m"),
@@ -497,7 +497,7 @@ object Rates {
             / col("n").cast("double") + lit(0.5)).cast("long"))
           .localCheckpoint() // feeds moments AND the shrinkage pass
         val m = per.agg(count(lit(1)).as("k"), sum(col("rq")).as("s1"),
-          sum(col("rq").cast("decimal(38,0)") * col("rq")).as("s2"))
+          Exact.m2("rq", "rq").as("s2"))
         val fit = m.select(col("k"),
           (col("s1").cast("double") / col("k").cast("double") / lit(1e9))
             .as("mu"),

@@ -35,12 +35,12 @@ object Regress {
           .select(col("yv").as("y"), col("yl").as("x1"), col("xl").as("x2"))
         val mo = lagged.agg(count(lit(1)).as("n"),
           sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
-          sum(col("x1").cast("decimal(38,0)") * col("x1")).as("s11"),
-          sum(col("x2").cast("decimal(38,0)") * col("x2")).as("s22"),
-          sum(col("x1").cast("decimal(38,0)") * col("x2")).as("s12"),
-          sum(col("x1").cast("decimal(38,0)") * col("y")).as("s1y"),
-          sum(col("x2").cast("decimal(38,0)") * col("y")).as("s2y"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          Exact.m2("x1", "x1").as("s11"),
+          Exact.m2("x2", "x2").as("s22"),
+          Exact.m2("x1", "x2").as("s12"),
+          Exact.m2("x1", "y").as("s1y"),
+          Exact.m2("x2", "y").as("s2y"),
+          Exact.m2("y", "y").as("syy"))
         val c = mo.select(col("n"),
           (col("s11").cast("double") - col("s1").cast("double") *
             col("s1").cast("double") / col("n").cast("double")).as("a11"),
@@ -129,11 +129,8 @@ object Regress {
           .agg(count(lit(1)).as("x"),
             sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("y"))
           .localCheckpoint()
-        val mo = daily.agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val ms = Exact.olsMoments()
+        val mo = daily.agg(ms.head, ms.tail: _*)
         val c = mo.select(col("n").cast("double").as("n"),
           (col("sxx").cast("double") - col("sx").cast("double") *
             col("sx").cast("double") / col("n").cast("double")).as("cxx"),
@@ -219,8 +216,8 @@ object Regress {
           .localCheckpoint()
         val mo = daily.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+          Exact.m2("x", "x").as("sxx"),
+          Exact.m2("x", "y").as("sxy"))
         val c = mo.select(col("n"),
           (col("sxx").cast("double") - col("sx").cast("double") *
             col("sx").cast("double") / col("n").cast("double")).as("cxx"),
@@ -239,9 +236,9 @@ object Regress {
               * lit(1e2) + lit(0.5)).cast("long").as("e2"))
         val aux = eq.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("e2").cast("decimal(38,0)")).as("se"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(38,0)") * col("e2")).as("sxe"),
-          sum(col("e2").cast("decimal(38,0)") * col("e2")).as("see"))
+          Exact.m2("x", "x").as("sxx"),
+          Exact.m2("x", "e2").as("sxe"),
+          Exact.m2("e2", "e2").as("see"))
         aux.select(col("n").as("n_days"),
           Num.r4(col("n").cast("double") *
             (col("sxe").cast("double") - col("sx").cast("double") *

@@ -171,8 +171,8 @@ object Shift {
           count(lit(1)).as(s"${pre}n"), sum(col("x")).as(s"${pre}sx"),
           sum(col("yq")).as(s"${pre}sy"),
           sum(col("x") * col("x")).as(s"${pre}sxx"),
-          sum(col("yq").cast("decimal(38,0)") * col("yq")).as(s"${pre}syy"),
-          sum(col("x").cast("decimal(38,0)") * col("yq")).as(s"${pre}sxy"))
+          Exact.m2("yq", "yq").as(s"${pre}syy"),
+          Exact.m2("x", "yq").as(s"${pre}sxy"))
         def corrOf(pre: String) = {
           val n = col(s"${pre}n").cast("double")
           val num = col(s"${pre}sxy").cast("double") -
@@ -278,7 +278,7 @@ object Shift {
           .select(floor(col("ry").cast("double") / col("m").cast("double")
             * lit(1e6) + lit(0.5)).cast("long").as("rmq"))
         val boot = reps.agg(count(lit(1)).as("nb"), sum(col("rmq")).as("s1"),
-          sum(col("rmq").cast("decimal(38,0)") * col("rmq")).as("s2"))
+          Exact.m2("rmq", "rmq").as("s2"))
         boot.crossJoin(broadcast(tot))
           .select(col("tt").as("n_days"),
             Num.r6(col("sy").cast("double") / col("tt").cast("double"))
@@ -372,11 +372,11 @@ object Shift {
           .withColumn("d3", lead(col("dv"), 3).over(w))
           .withColumn("d4", lead(col("dv"), 4).over(w))
         val g = dev.agg(max(col("n")).as("n"),
-          sum(col("dv").cast("decimal(38,0)") * col("dv")).as("g0"),
-          sum(col("dv").cast("decimal(38,0)") * col("d1")).as("g1"),
-          sum(col("dv").cast("decimal(38,0)") * col("d2")).as("g2"),
-          sum(col("dv").cast("decimal(38,0)") * col("d3")).as("g3"),
-          sum(col("dv").cast("decimal(38,0)") * col("d4")).as("g4"))
+          Exact.m2("dv", "dv").as("g0"),
+          Exact.m2("dv", "d1").as("g1"),
+          Exact.m2("dv", "d2").as("g2"),
+          Exact.m2("dv", "d3").as("g3"),
+          Exact.m2("dv", "d4").as("g4"))
         // 5·S·n³ = 5·g0 + 8·g1 + 6·g2 + 4·g3 + 2·g4 (Bartlett ×2,
         // common denominator 5); SE = sqrt(S/n) = sqrt(num/(5n⁴))
         g.select(col("n").as("n_days"),

@@ -46,8 +46,8 @@ object Stationarity {
         val dl = daily(s, d)
         val mo = dl.agg(count(lit(1)).as("n"),
           sum(col("day")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("day").cast("decimal(38,0)") * col("y")).as("sxy"),
-          sum(col("day").cast("decimal(38,0)") * col("day")).as("sxx"))
+          Exact.m2("day", "y").as("sxy"),
+          Exact.m2("day", "day").as("sxx"))
         val fit = mo.select(col("n"),
           ((col("sxy").cast("double") - col("sx").cast("double") *
             col("sy").cast("double") / col("n").cast("double")) /
@@ -63,8 +63,8 @@ object Stationarity {
         val wT = Window.orderBy(col("day"))
         res.withColumn("de", col("qe") - lag(col("qe"), 1).over(wT))
           .agg(max(col("n")).as("n_days"), max(Num.r6(col("b"))).as("slope"),
-            sum(col("de").cast("decimal(38,0)") * col("de")).as("num"),
-            sum(col("qe").cast("decimal(38,0)") * col("qe")).as("den"))
+            Exact.m2("de", "de").as("num"),
+            Exact.m2("qe", "qe").as("den"))
           .select(col("n_days"), col("slope"),
             Num.r4(col("num").cast("double") / col("den").cast("double"))
               .as("dw_stat"))
@@ -192,12 +192,12 @@ object Stationarity {
           .withColumn("l3", lag(col("dd"), 3).over(wL))
           .withColumn("l4", lag(col("dd"), 4).over(wL))
         g.agg(max(col("n")).as("n"),
-            sum(col("sp").cast("decimal(38,0)") * col("sp")).as("ss2"),
-            sum(col("dd").cast("decimal(38,0)") * col("dd")).as("g0"),
-            sum(col("dd").cast("decimal(38,0)") * col("l1")).as("g1"),
-            sum(col("dd").cast("decimal(38,0)") * col("l2")).as("g2"),
-            sum(col("dd").cast("decimal(38,0)") * col("l3")).as("g3"),
-            sum(col("dd").cast("decimal(38,0)") * col("l4")).as("g4"))
+            Exact.m2("sp", "sp").as("ss2"),
+            Exact.m2("dd", "dd").as("g0"),
+            Exact.m2("dd", "l1").as("g1"),
+            Exact.m2("dd", "l2").as("g2"),
+            Exact.m2("dd", "l3").as("g3"),
+            Exact.m2("dd", "l4").as("g4"))
           .select(col("n").as("n_days"),
             Num.r4(lit(5.0) * col("ss2").cast("double") /
               (col("n").cast("double") *

@@ -32,7 +32,7 @@ object Stats3 {
           .groupBy(col("source"))
           .agg(sum(col("c")).as("n_tokens"),
             count(lit(1)).as("vocab"),
-            sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+            Exact.m2("c", "c").as("s2"))
           .select(col("source"), col("n_tokens"), col("vocab"),
             Num.r6(lit(1e4) *
               (col("s2").cast("double") - col("n_tokens").cast("double")) /

@@ -158,13 +158,13 @@ object Tail {
           .agg(count(lit(1)).as("x"))
           .localCheckpoint()
         val mo = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+          Exact.m2("x", "x").as("sxx"))
         val a = daily.select(col("day").as("d1"), col("x").as("x1"))
         val b = daily.select(col("day").as("d2"), col("x").as("x2"))
         val rho = a.join(broadcast(b),
             col("d2") - col("d1") >= 1 && col("d2") - col("d1") <= 20)
           .groupBy((col("d2") - col("d1")).as("lag"))
-          .agg(sum(col("x1").cast("decimal(38,0)") * col("x2")).as("sxy"),
+          .agg(Exact.m2("x1", "x2").as("sxy"),
             count(lit(1)).as("np"))
           .crossJoin(broadcast(mo))
           // ρ_k with the standard biased (n-denominator) normalization
@@ -242,13 +242,13 @@ object Tail {
           .localCheckpoint()
         val n = cum.agg(max(col("cum")).as("n"))
         val thr = cum.crossJoin(broadcast(n))
-          .filter(col("cum") >= expr("(5 * n + 99) div 100"))
+          .filter(Exact.ceilRank(col("cum"), 5, "n"))
           .agg(min(col("y")).as("var_y"))
         cum.crossJoin(broadcast(thr)).crossJoin(broadcast(n))
           .filter(col("y") <= col("var_y"))
           .agg(max(col("n")).as("n_days"), max(col("var_y")).as("vy"),
             sum(col("c")).as("n_tail"),
-            sum(col("y").cast("decimal(38,0)") * col("c")).as("sy"))
+            Exact.m2("y", "c").as("sy"))
           .select(col("n_days"), col("n_tail"),
             Num.r4(col("vy").cast("double") / lit(100.0)).as("var95"),
             Num.r4(col("sy").cast("double") / col("n_tail").cast("double") /

@@ -188,7 +188,7 @@ object VectorStats {
         val cum = hist.withColumn("cum", sum(col("c")).over(wc)).localCheckpoint()
         val tot = cum.agg(max(col("cum")).as("n"))
         def pct(p: Int) = cum.crossJoin(broadcast(tot))
-          .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+          .filter(Exact.ceilRank(col("cum"), p, "n"))
           .agg(min(col("g")).as(s"g$p"))
         val extras = scored.agg(
           sum(floor(sqrt(col("nq").cast("double")) + lit(0.5)).cast("long"))

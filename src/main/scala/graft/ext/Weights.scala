@@ -24,7 +24,7 @@ object Weights {
         Tables.documents(s, d)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sw"),
-            sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sw2"))
+            Exact.m2("n_chars", "n_chars").as("sw2"))
           .select(col("source"), col("n_docs"),
             Num.r4(col("sw").cast("double") * col("sw").cast("double") /
               col("sw2").cast("double")).as("ess"),
@@ -108,9 +108,9 @@ object Weights {
           .select((col("x") - col("xl")).as("dx"), col("xl"))
         val mo = pairs.agg(count(lit(1)).as("n"),
           sum(col("dx")).as("sd"), sum(col("xl")).as("sl"),
-          sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sdd"),
-          sum(col("xl").cast("decimal(38,0)") * col("xl")).as("sll"),
-          sum(col("dx").cast("decimal(38,0)") * col("xl")).as("sdl"))
+          Exact.m2("dx", "dx").as("sdd"),
+          Exact.m2("xl", "xl").as("sll"),
+          Exact.m2("dx", "xl").as("sdl"))
         val c = mo.select(col("n"),
           (col("sdl").cast("double") - col("sd").cast("double") *
             col("sl").cast("double") / col("n").cast("double")).as("sxy"),

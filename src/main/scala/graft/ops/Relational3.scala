@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ext.Exact
 import graft.{Num, Query, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,11 +166,8 @@ object Relational3 {
               + lit(0.5)).cast("long").as("x"),
             floor(log(col("q").cast("double")) * lit(1e6) + lit(0.5))
               .cast("long").as("y"))
-        val m = rows.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val ms = Exact.olsMoments()
+        val m = rows.agg(ms.head, ms.tail: _*)
         m.select(col("n").as("n_lines"),
             Num.r4((col("n").cast("double") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double")) /
@@ -323,10 +321,10 @@ object Relational3 {
           .agg(sum(col("c")).as("n"), sum(col("dd") * col("c")).as("sd"),
             sum(when(col("dd") > 90, col("c")).otherwise(0L)).as("late"))
         val p50 = cum.join(tot, Seq("prio"))
-          .filter(col("cum") >= expr("(50 * n + 99) div 100"))
+          .filter(Exact.ceilRank(col("cum"), 50, "n"))
           .groupBy(col("prio")).agg(min(col("dd")).as("p50"))
         val p90 = cum.join(tot, Seq("prio"))
-          .filter(col("cum") >= expr("(90 * n + 99) div 100"))
+          .filter(Exact.ceilRank(col("cum"), 90, "n"))
           .groupBy(col("prio")).agg(min(col("dd")).as("p90"))
         tot.join(p50, Seq("prio")).join(p90, Seq("prio"))
           .select(col("prio").as("priority"), col("n").as("n_lines"),
@@ -565,7 +563,7 @@ object Relational3 {
               div cast(l_quantity as bigint)""").as("uc"))
         val m = up.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"), sum(col("uc")).as("su"),
-            sum(col("uc").cast("decimal(38,0)") * col("uc")).as("su2"))
+            Exact.m2("uc", "uc").as("su2"))
           .filter(col("n") >= 5)
         val scored = m.withColumn("cvq",
           floor(sqrt(greatest(lit(0.0),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ext.Exact
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Num, Query, Tables}
@@ -943,8 +944,8 @@ object TimeModels2 {
             sum(col("sq")).as("ssq"),
             sum(col("a7")).as("sa7"),
             sum(col("y")).as("sy"),
-            sum(col("a7").cast("decimal(38,0)") * col("a7")).as("s7q"),
-            sum(col("a1").cast("decimal(38,0)") * col("a1")).as("s1q"))
+            Exact.m2("a7", "a7").as("s7q"),
+            Exact.m2("a1", "a1").as("s1q"))
           .select(col("m").as("n_scored"),
             Num.r4(col("ssq").cast("double")
               / (col("m").cast("double") * lit(1e9))).as("smape"),
