@@ -44,6 +44,7 @@ object PlanAudit {
     case _: TakeOrderedAndProjectExec => true
     case _: GlobalLimitExec => true
     case _: LocalLimitExec => true
+    case _: CollectLimitExec => true // a bare root-level limit
     case h: HashAggregateExec => h.groupingExpressions.isEmpty
     case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
     case h: SortAggregateExec => h.groupingExpressions.isEmpty

@@ -45,20 +45,30 @@ object Misc {
     // HLL++ path now flips a boolean and fails the hash compare.
     Query(
       "q42_approx_distinct",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_orderkey")).as("exact_orders"),
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.01).as("a_ord"),
+      (s, d) => {
+        // NEVER put multiple countDistinct columns in one agg: Catalyst
+        // plans an Expand that multiplies every input row by the number
+        // of distinct groups (measured 809 s at 100x — BENCH_100X r7).
+        // Instead: one pure-HLL pass (partial-aggregated, no expand)
+        // plus one pre-deduped distinct per column (map-side combine on
+        // (flag, key) pairs), broadcast-joined on the 3-row flag grid.
+        val li = Tables.lineitem(s, d)
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a_ord"),
             approx_count_distinct(col("l_partkey"), 0.01).as("a_prt"))
+        val eo = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+        val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+        approx.join(broadcast(eo), Seq("l_returnflag"))
+          .join(broadcast(ep), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
             (abs(col("a_ord") - col("exact_orders")) <
               col("exact_orders") * 0.05).as("orders_within_5pct"),
             (abs(col("a_prt") - col("exact_parts")) <
               col("exact_parts") * 0.05).as("parts_within_5pct"))
-          .orderBy(col("l_returnflag")),
+          .orderBy(col("l_returnflag"))
+      },
       Some("""
         SELECT l_returnflag,
           COUNT(DISTINCT l_orderkey) AS exact_orders,

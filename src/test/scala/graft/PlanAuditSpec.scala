@@ -95,6 +95,21 @@ class PlanAuditSpec extends SparkSpec {
       "audit must flag an unbounded cartesian/BNLJ")
   }
 
+  test("boundedness detector: range/limit/1-row-agg/checkpoint prove it, a filter does not") {
+    import org.apache.spark.sql.functions._
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan
+    val li = Tables.lineitem(spark, sf())
+    assert(PlanAudit.bounded(planOf(spark.range(0, 8).toDF())))
+    assert(PlanAudit.bounded(planOf(li.limit(10))))
+    assert(PlanAudit.bounded(planOf(li.agg(count(lit(1))))))
+    assert(PlanAudit.bounded(planOf(li.limit(5).localCheckpoint())))
+    // a predicate does NOT prove row-boundedness — this is exactly the
+    // case the domain-bounded allowlist exists for
+    assert(!PlanAudit.bounded(planOf(li.filter(col("l_orderkey") < 30))))
+    assert(!PlanAudit.bounded(planOf(li)))
+  }
+
   test("1-row global aggregates are broadcast, not cartesian") {
     // each of these queries folds a global scalar (corpus total,
     // min/max, midpoint) into a per-row computation
