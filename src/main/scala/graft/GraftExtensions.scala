@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => DotProduct(exprs(0), exprs(1))))
     // rewrite HOF-spelled dot products into the codegen'd expression
     e.injectOptimizerRule(_ => graft.functions.RewriteDotProduct)
+    // plan the native as-of join (graft.plans.AsOfJoinPlan)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -35,5 +37,6 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     functions.MLFunctions.register(spark)
+    plans.AsOfJoin.install(spark)
   }
 }

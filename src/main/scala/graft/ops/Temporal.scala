@@ -460,5 +460,93 @@ object Temporal {
         LEFT JOIN p50 ON p50.event_type = b.event_type
         LEFT JOIN p95 ON p95.event_type = b.event_type
         ORDER BY b.event_type"""),
-      "as-of join coverage audit: per-type match rate + p50/p95 carried-dimension staleness from a bounded minute-bucket histogram"))
+      "as-of join coverage audit: per-type match rate + p50/p95 carried-dimension staleness from a bounded minute-bucket histogram"),
+
+    // ---------------------------------------------------------------- q431
+    // q18's exact scenario through the NATIVE as-of operator
+    // (graft.plans.AsOfJoinExec: logical node + strategy + one-pass
+    // sorted merge). Same DuckDB ASOF oracle as q18, so the custom
+    // physical operator is held to the identical hash — any drift
+    // between the Catalyst-native path and the composed union+window
+    // path (q18) surfaces as a correctness failure on one of the two.
+    // The scale win this plan shape buys: the quote side shuffles at
+    // its own (narrow, pre-filtered) width instead of being unioned
+    // into the probe stream, and the merge holds one row of state.
+    Query(
+      "q431_asof_native",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.plans.AsOfJoin.join(
+          events.select(col("user_id"), col("event_id"), col("ts"),
+            col("value")),
+          purchases, "user_id", "ts",
+          Seq("ts" -> "last_purchase_ts", "value" -> "last_purchase_value"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("last_purchase_ts"), col("last_purchase_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT e.user_id, e.event_id, e.value,
+          p.ts AS last_purchase_ts, p.value AS last_purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.user_id, e.event_id"""),
+      "native Catalyst as-of join (custom LogicalPlan + strategy + merge exec), pinned to the same DuckDB ASOF oracle as q18"),
+
+    // ---------------------------------------------------------------- q432
+    // Native as-of join against a DERIVED quote table at a different
+    // grain: every order is benchmarked against its market segment's
+    // average order total from the latest month-end at-or-before the
+    // order date (orders on a month's last day see their own month;
+    // all others see the prior month's close — the standard
+    // point-in-time-correct feature-store rule that prevents lookahead
+    // leakage). Quote keys (segment, month_end) are unique by
+    // construction, so the operator's tie rule never engages. Averages
+    // are exact: DECIMAL sum / count, divided once, then stable-rounded.
+    Query(
+      "q432_asof_benchmark",
+      (s, d) => {
+        val seg = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+            col("c_mktsegment"),
+            // o_orderdate is a timestamp; the as-of compares DATE grain
+            // (bench_date is a month-end DATE) — t >= midnight(d) iff
+            // date(t) >= d, so the truncation is exact
+            to_date(col("o_orderdate")).as("o_odate"))
+        val bench = seg
+          .groupBy(col("c_mktsegment"),
+            last_day(col("o_orderdate")).as("bench_date"))
+          .agg(Num.r4(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double") / count(lit(1))).as("bench_avg"))
+        graft.plans.AsOfJoin.join(
+          seg, bench, "c_mktsegment", "o_odate", "c_mktsegment",
+          "bench_date", Seq("bench_avg" -> "bench_avg"))
+          .select(col("o_orderkey"), col("c_mktsegment"), col("o_orderdate"),
+            col("bench_avg"),
+            Num.r4(col("o_totalprice").cast("decimal(18,2)").cast("double")
+              / col("bench_avg")).as("rel_to_bench"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""
+        WITH seg AS (
+          SELECT o_orderkey, o_orderdate, o_totalprice, c_mktsegment
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        bench AS (
+          SELECT c_mktsegment, last_day(o_orderdate) AS bench_date,
+            ${Num.sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS bench_avg
+          FROM seg GROUP BY 1, 2)
+        SELECT s.o_orderkey, s.c_mktsegment, s.o_orderdate, b.bench_avg,
+          ${Num.sql("CAST(CAST(s.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / b.bench_avg", 4)} AS rel_to_bench
+        FROM seg s
+        ASOF LEFT JOIN bench b
+          ON s.c_mktsegment = b.c_mktsegment AND s.o_orderdate >= b.bench_date
+        ORDER BY s.o_orderkey"""),
+      "point-in-time-correct segment benchmark via the native as-of operator: month-end quote table derived in-query, no lookahead leakage"))
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming MinHash-LSH near-dup detection — the q34/q35 banding
+  * pipeline run continuously, completing the streaming curation family
+  * (exact dedup: `StreamingIngest`; funnel: `FunnelProcessor`). Each
+  * micro-batch of documents is shingled and minhashed with the SAME
+  * batch functions (`Dedup.minhashSignatures`, so batch ≡ streaming by
+  * construction), then banded and joined against the persistent
+  * signature index at `sigDir`: a new doc's candidates are every
+  * already-ingested doc sharing at least one LSH band, plus
+  * earlier-ingested docs of its own batch (within-batch pairs via the
+  * same band join, oriented by doc id = ingest order). Per new doc the
+  * best candidate (max signature-agreement Jaccard estimate, ties to
+  * the smallest old id) is emitted to `verdictDir`; the batch's
+  * signatures then join the index.
+  *
+  * The 100 TB property: the index holds K longs per doc (signatures
+  * only — raw text and shingle sets are never retained), the band join
+  * shuffles only (band, key, doc_id) tuples, and each micro-batch costs
+  * O(batch × collisions), not O(corpus). est_jaccard is the standard
+  * unbiased MinHash estimate (agreeing components / K); with K = 8 it
+  * is coarse (granularity 1/8) — the caller's threshold, not this
+  * operator, decides dup/not-dup, exactly as in batch q35.
+  *
+  * Prime `sigDir` with an existing corpus's `minhashSignatures` (or an
+  * empty frame with that schema). Replayed batches append duplicate
+  * verdicts — dedupe on (doc_id, batch_id) downstream, as with
+  * [[StreamingIngest]].
+  */
+object StreamingLsh {
+
+  /** (doc_id, band, key) from a signatures frame — same packing as
+    * `Dedup.lshCandidates`. */
+  def banded(sigs: DataFrame): DataFrame = {
+    val rows = Dedup.K / Dedup.Bands
+    val bandKey = (b: Int) => (0 until rows)
+      .map(r => col(s"m${b * rows + r}") * math.pow(2, 31 * r).toLong)
+      .reduce(_ + _)
+    sigs.select(col("doc_id"), explode(array((0 until Dedup.Bands).map(b =>
+      struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Signature-agreement Jaccard estimate between `a.mK` and `b.mK`. */
+  private def estJaccard: Column =
+    (0 until Dedup.K).map(k =>
+      when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / Dedup.K
+
+  def start(docs: DataFrame, sigDir: String, verdictDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("text")).localCheckpoint()
+        if (!b.isEmpty) {
+          // one shingle pass per batch; signatures feed bands, the
+          // pair-estimate join, and the index append
+          val sigs = Dedup.minhashSignatures(b).localCheckpoint()
+          val index = spark.read.parquet(sigDir)
+          val newB = banded(sigs)
+          // old→new: index docs are all "earlier"; within-batch pairs
+          // orient by doc id (= ingest order within a batch)
+          val crossPairs = newB.as("n")
+            .join(banded(index).as("o"),
+              col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+            .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("old_id"))
+          val withinPairs = newB.as("n").join(newB.as("o"),
+            col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
+              col("n.doc_id") > col("o.doc_id"))
+            .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("old_id"))
+          val scored = crossPairs.unionByName(withinPairs).distinct()
+            .join(sigs.as("a"), Seq("doc_id"))
+            .join(index.unionByName(sigs).withColumnRenamed("doc_id", "old_id")
+              .as("b"), Seq("old_id"))
+            .select(col("doc_id"), col("old_id"), estJaccard.as("est_jaccard"))
+          // best candidate per doc: max estimate, ties to smallest old id
+          val best = scored
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+                .orderBy(col("est_jaccard").desc, col("old_id"))))
+            .filter(col("rk") === 1).drop("rk")
+          sigs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(verdictDir)
+          sigs.write.mode("append").parquet(sigDir)
+        }
+      }
+      .start()
+}
