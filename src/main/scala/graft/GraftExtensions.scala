@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{AsOfLookup, DotProduct}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("asof_lookup"),
+      new ExpressionInfo(classOf[AsOfLookup].getName, "asof_lookup"),
+      exprs => AsOfLookup(exprs(0), exprs(1))))
     // rewrite HOF-spelled dot products into the codegen'd expression
     e.injectOptimizerRule(_ => graft.functions.RewriteDotProduct)
     // plan the native as-of join (graft.plans.AsOfJoinPlan)
@@ -36,6 +40,8 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "asof_lookup", exprs => AsOfLookup(exprs(0), exprs(1)), "scala_udf")
     functions.MLFunctions.register(spark)
     plans.AsOfJoin.install(spark)
   }

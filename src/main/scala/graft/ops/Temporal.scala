@@ -507,13 +507,15 @@ object Temporal {
     // point of this query: the as-of key here has ~5 distinct values
     // and the quote table is bounded (segments × months), so routing
     // it through ANY shuffled as-of — native exec or union+window —
-    // caps parallelism at 5 tasks forever (measured: 21.8 s at 100×
-    // through the native exec vs 12.8 s this way — and the gap is the
-    // 5-task sort, which only widens with data). The scale-correct
+    // caps parallelism at 5 tasks forever (measured at 100×: 21.8 s
+    // through the native exec, 12.8 s broadcast with the HOF lookup,
+    // 5.2 s broadcast with asof_lookup — and the shuffled plan's gap
+    // is the 5-task sort, which only widens with data). The scale-correct
     // plan for a bounded quote side is a BROADCAST as-of: quotes
     // collapse to one sorted array per key (5 rows), broadcast-join on
     // the key alone, and each probe row binary-searches its own match
-    // in codegen — zero added shuffle, full scan parallelism. The
+    // via the native asof_lookup expression — zero added shuffle, full
+    // scan parallelism, O(log months)/row in whole-stage codegen. The
     // native exec (q431) remains the plan for high-cardinality keys.
     // Averages are exact: DECIMAL sum / count, divided once, then
     // stable-rounded; the DuckDB oracle is a plain ASOF LEFT JOIN.
@@ -540,11 +542,11 @@ object Temporal {
           .agg(sort_array(collect_list(
             struct(col("bench_date"), col("bench_avg")))).as("bs"))
         seg.join(broadcast(bench), Seq("c_mktsegment"))
-          .withColumn("hits",
-            filter(col("bs"), x => x("bench_date") <= col("o_odate")))
-          .withColumn("m",
-            when(size(col("hits")) > 0,
-              element_at(col("hits"), size(col("hits")))))
+          // codegen'd binary search in the sorted quote array (the
+          // native asof_lookup expression) — O(log months)/row, zero
+          // allocation, vs the HOF filter's per-row array copy
+          .withColumn("m", graft.functions.TemporalFunctions
+            .asofLookup(col("bs"), col("o_odate")))
           .select(col("o_orderkey"), col("c_mktsegment"), col("o_orderdate"),
             col("m.bench_avg").as("bench_avg"),
             Num.r4(col("o_totalprice").cast("decimal(18,2)").cast("double")

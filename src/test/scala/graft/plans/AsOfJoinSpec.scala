@@ -125,7 +125,7 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = AsOfJoinPlan(lp, rp,
       Seq(a(lp, "u"), a(lp, "t")), Seq(a(rp, "qu"), a(rp, "qt")),
       a(lp, "ts"), a(rp, "qts"))
-    val got = org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark, plan)
+    val got = org.apache.spark.sql.GraftShim.ofRows(spark, plan)
       .select("u", "t", "id", "payload").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
