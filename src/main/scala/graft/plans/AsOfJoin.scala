@@ -89,6 +89,49 @@ object AsOfJoin {
     GraftShim.ofRows(spark, plan).drop("__q_key", "__q_ts")
   }
 
+  /** Skew-resilient variant for hot keys (one instrument carrying a
+    * double-digit share of all probes — the tick-data reality): probes
+    * of keys in `hotKeys` spread across `salt` buckets by a hash of
+    * `saltBy` (any probe column; a unique id gives the evenest split),
+    * quotes of hot keys REPLICATE into every bucket, and the merge runs
+    * on the composite (key, salt) — so each probe still sees its key's
+    * full quote timeline and the result is EXACTLY the plain join's,
+    * but the hot key's sort+merge is `salt`-way parallel instead of one
+    * straggler task. Cold keys keep salt 0: one extra tiny column, no
+    * replication — the q107/SkewBench selective-salting discipline.
+    * Quote replication costs `salt × |hot quotes|`, which is the point:
+    * quotes are the narrow side.
+    */
+  def joinSalted(probes: DataFrame, quotes: DataFrame, key: String,
+      ts: String, quoteCols: Seq[(String, String)], salt: Int,
+      hotKeys: Seq[Any], saltBy: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, hash, lit, pmod, when}
+    val spark = probes.sparkSession
+    install(spark)
+    val hot = (c: org.apache.spark.sql.Column) => c.isInCollection(hotKeys)
+    // pmod, not abs%: hash can return Int.MinValue, whose abs is still
+    // negative — a probe salted to -k would silently never match
+    val pSalted = probes.withColumn("__salt",
+      when(hot(col(key)), pmod(hash(col(saltBy)), lit(salt))).otherwise(lit(0)))
+    val qSalted = quotes.withColumn("__salt",
+      explode(when(hot(col(key)),
+        array((0 until salt).map(lit): _*)).otherwise(array(lit(0)))))
+    val right = qSalted.select(
+      (Seq(col(key).as("__q_key"), col("__salt").as("__q_salt"),
+        col(ts).as("__q_ts")) ++
+        quoteCols.map { case (src, dst) => col(src).as(dst) }): _*)
+    val lPlan = pSalted.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).get
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, key), attr(lPlan, "__salt")),
+      Seq(attr(rPlan, "__q_key"), attr(rPlan, "__q_salt")),
+      attr(lPlan, ts), attr(rPlan, "__q_ts"))
+    GraftShim.ofRows(spark, plan)
+      .drop("__q_key", "__q_salt", "__q_ts", "__salt")
+  }
+
   /** Idempotent runtime registration (Verify/Bench build plain sessions;
     * `GraftExtensions` injects the same strategy at session build). */
   def install(spark: SparkSession): Unit = synchronized {

@@ -132,6 +132,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("salted variant: exact equality with the plain join on skewed data") {
+    import spark.implicits._
+    // planted skew: one user carries half of all probes
+    val events = Tables.events(spark, sf())
+    val probes = events.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
+    val quotes = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      // determinism contract: planted skew merges users' purchases,
+      // which can collide on ts — dedupe (key, ts) like production
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    val cols = Seq("ts" -> "qts", "value" -> "qv")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "event_id", "qts", "qv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val plain = norm(AsOfJoin.join(probes, quotes, "user_id", "ts", cols))
+    val salted = norm(AsOfJoin.joinSalted(probes, quotes, "user_id", "ts",
+      cols, salt = 8, hotKeys = Seq(7L), saltBy = "event_id"))
+    assert(plain.size == salted.size && plain == salted)
+    // the hot key must actually have matches for the test to mean much
+    assert(plain.exists { case ((u, _), (m, _)) => u == 7L && m.isDefined })
+  }
+
   test("randomized agreement with a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

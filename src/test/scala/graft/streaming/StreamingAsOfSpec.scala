@@ -87,4 +87,54 @@ class StreamingAsOfSpec extends SparkSpec {
       assert(v == batch(k), s"probe $k: streamed $v != batch ${batch(k)}")
     }
   }
+
+  test("as-of MapStates + timers survive checkpoint restart exactly") {
+    // the processor carries TWO MapStates (quote timeline, probe
+    // buffer) and event-time timers; a restart between chunks must
+    // neither lose a buffered probe, drop a quote an unfired probe
+    // still needs, nor double-emit — interrupted ≡ uninterrupted,
+    // value-exact
+    val events = Tables.events(spark, sf())
+      .select(col("user_id").cast("long"), col("event_id"), col("ts"),
+        unix_micros(col("ts")), col("value"), col("event_type"))
+      .collect()
+    val tagged = events.flatMap { r =>
+      val p = AsOfInput(r.getLong(0), is_quote = false, r.getLong(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4))
+      if (r.getString(5) == "purchase")
+        Seq(p, p.copy(is_quote = true, id = -1L)) else Seq(p)
+    }.sortBy(_.us)
+    val (first, second) = tagged.splitAt(tagged.length / 2)
+    val lastUs = tagged.last.us
+    val sentinels = (1 to 2).map(i => AsOfInput(-999L, is_quote = true, -1L,
+      new java.sql.Timestamp((lastUs + 86400000000L * i) / 1000),
+      lastUs + 86400000000L * i, 0.0))
+
+    def run(restartBetween: Boolean): Map[(Long, Long), Option[Long]] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "asofrec").toString
+      val mem = MemoryStream[AsOfInput](Encoders.product[AsOfInput], spark)
+      def start() = StreamingAsOf.enrich(mem.toDF())
+        .toDF().writeStream.format("parquet").option("path", s"$base/out")
+        .outputMode("append").option("checkpointLocation", s"$base/ckpt").start()
+      var q = start()
+      Seq(first, second).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+        if (restartBetween && i == 0) { q.stop(); q = start() }
+      }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/out").filter(col("k") =!= -999L)
+        .select("k", "id", "matched_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    }
+
+    val interrupted = run(restartBetween = true)
+    val reference = run(restartBetween = false)
+    assert(interrupted.size == events.length,
+      s"expected ${events.length} probes exactly once, got ${interrupted.size}")
+    assert(interrupted == reference)
+  }
 }
