@@ -86,10 +86,16 @@ object Similarity {
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       planes: Array[Array[Double]], tables: Int = 8,
       rounded: Boolean = false): DataFrame = {
-    val cBuck = corpus
-      .withColumn("bucket", explode(lshBuckets(col("v"), planes, tables, rounded)))
-    val pBuck = probes
-      .withColumn("bucket", explode(lshBuckets(col("qv"), planes, tables, rounded)))
+    // bucket index carries (id, bucket) ONLY: the vectors are re-joined
+    // for the re-rank anyway, and dragging a 64-double array through an
+    // L-times-replicated exchange multiplies that stage's width by the
+    // vector size for nothing (r7: 30.7 s → 26.1 s at 100×; the rest is
+    // the exact re-rank over the candidate set, which is the pinned
+    // recall/cost geometry, not plan waste)
+    val cBuck = corpus.select(col("vec_id"),
+      explode(lshBuckets(col("v"), planes, tables, rounded)).as("bucket"))
+    val pBuck = probes.select(col("query_id"),
+      explode(lshBuckets(col("qv"), planes, tables, rounded)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     // when rounded, the RANKING cosine is the r4-rounded one (ties to
