@@ -103,6 +103,72 @@ object Retrieval {
           FROM st GROUP BY doc_id)"""
 
   def queries: Seq[Query] = Seq(
+    // --------------------------------------------------------------- q433
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft relevance models,
+    // the standard public query-expansion recipe): take the top-10
+    // BM25 documents as the feedback set, estimate the relevance model
+    // P(w|R) ∝ Σ_d P(w|d)·score(d), and emit the top-15 expansion
+    // terms (original query terms excluded). Exactness: P(w|d) is the
+    // integer division tf·1e6 div dl (exact on both engines), each
+    // contribution multiplies the integer micro BM25 score (≤ 2e13 per
+    // pair — safely int64), the numerator is an integer sum, and the
+    // shared denominator Σ score·1e6 divides ONCE into a double both
+    // engines compute from identical ints. Ranking/ties ride the exact
+    // integer numerator, never the rounded weight. 100 TB shape: the
+    // feedback set is a TakeOrdered(10) (never a global window), its
+    // tokens arrive via a 10-row broadcast join, and the term aggregate
+    // is narrow (term, int) rows.
+    Query(
+      "q433_rm3_expansion",
+      (s, d) => {
+        val top = bm25Micro(s, d)
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("bm25_micro"))
+        val ttok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("term"))
+          .join(broadcast(top), Seq("doc_id"))
+        val tf = ttok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"), first(col("bm25_micro")).as("sc"))
+        val dlt = ttok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val den = top.agg((sum(col("bm25_micro")) * lit(1000000L)).as("denom"))
+        tf.join(broadcast(dlt), Seq("doc_id"))
+          .filter(!col("term").isin(Terms: _*))
+          .select(col("term"),
+            (expr("tf * 1000000L div dl") * col("sc")).as("c"))
+          .groupBy(col("term")).agg(sum(col("c")).as("w_num"))
+          .crossJoin(broadcast(den))
+          .select(col("term"), col("w_num"),
+            Num.r6(col("w_num").cast("double") / col("denom").cast("double"))
+              .as("rm_weight"))
+          .orderBy(col("w_num").desc, col("term")).limit(15)
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        top10 AS (
+          SELECT doc_id, bm25_micro FROM bm
+          ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+        ttok AS (
+          SELECT tok.doc_id, tok.t AS term, top10.bm25_micro
+          FROM tok JOIN top10 USING (doc_id)),
+        ftf AS (
+          SELECT doc_id, term, COUNT(*) AS tf, MIN(bm25_micro) AS sc
+          FROM ttok GROUP BY doc_id, term),
+        dlt AS (SELECT doc_id, COUNT(*) AS dl FROM ttok GROUP BY doc_id),
+        den AS (
+          SELECT CAST(SUM(bm25_micro) * 1000000 AS BIGINT) AS denom
+          FROM top10),
+        nums AS (
+          SELECT term,
+            CAST(SUM((ftf.tf * 1000000 // dlt.dl) * ftf.sc) AS BIGINT) AS w_num
+          FROM ftf JOIN dlt USING (doc_id)
+          WHERE term NOT IN ('join', 'scan', 'window')
+          GROUP BY term)
+        SELECT term, w_num,
+          ${Num.sql("CAST(w_num AS DOUBLE) / CAST(denom AS DOUBLE)", 6)} AS rm_weight
+        FROM nums CROSS JOIN den
+        ORDER BY w_num DESC, term LIMIT 15"""),
+      "RM3 pseudo-relevance-feedback expansion terms: top-10 BM25 feedback set, integer-exact relevance-model weights, query terms excluded"),
+
     // --------------------------------------------------------------- q109
     // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
     // query-term set. Cross-engine exactness: idf goes through ln(),

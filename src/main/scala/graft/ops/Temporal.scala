@@ -567,5 +567,70 @@ object Temporal {
         ASOF LEFT JOIN bench b
           ON s.c_mktsegment = b.c_mktsegment AND s.o_orderdate >= b.bench_date
         ORDER BY s.o_orderkey"""),
-      "point-in-time-correct segment benchmark via the native as-of operator: month-end quote table derived in-query, no lookahead leakage"))
+      "point-in-time-correct segment benchmark via the native as-of operator: month-end quote table derived in-query, no lookahead leakage"),
+
+    // ---------------------------------------------------------------- q434
+    // The array as-of at HIGH key cardinality, through the SQL surface:
+    // every lineitem shipment is joined to its part's latest month-end
+    // average price as of the ship date, via the SQL-registered
+    // asof_lookup expression. This is the third as-of strategy and its
+    // missing-scale case: quotes per key are BOUNDED (months in span)
+    // but keys are many (parts), so neither the broadcast (q432: index
+    // too big) nor the shuffled merge (q431: fine, but re-sorts probes)
+    // is forced — the index collapses to ONE sorted array per part, the
+    // probe join is a plain equi-join on l_partkey at full parallelism,
+    // and each probe row binary-searches its own array in codegen.
+    // Early shipments (before their part's first month-end) get NULL —
+    // DuckDB's ASOF LEFT JOIN reproduces exactly. Also the correctness
+    // gate for the SQL registration path of asof_lookup (q432 exercises
+    // the Column API).
+    Query(
+      "q434_asof_lookup_sql",
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(s"""
+          WITH li AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+              CAST(l_shipdate AS DATE) AS sdate
+            FROM lineitem),
+          bench AS (
+            SELECT l_partkey, last_day(sdate) AS bdate,
+              ${Num.sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS bavg
+            FROM li GROUP BY l_partkey, last_day(sdate)),
+          idx AS (
+            SELECT l_partkey,
+              sort_array(collect_list(struct(bdate, bavg))) AS bs
+            FROM bench GROUP BY l_partkey)
+          SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+            l.sdate AS ship_date,
+            asof_lookup(i.bs, l.sdate).bdate AS bench_month_end,
+            asof_lookup(i.bs, l.sdate).bavg AS bench_avg,
+            ${Num.sql("CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / asof_lookup(i.bs, l.sdate).bavg", 4)} AS rel_price
+          FROM li l JOIN idx i USING (l_partkey)
+          -- (l_orderkey, l_linenumber) is NOT unique in this data;
+          -- rel_price as the last key is null-safe because ties share
+          -- (partkey, ship_date) and therefore nullity
+          ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.sdate,
+            rel_price""")
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+            CAST(l_shipdate AS DATE) AS sdate
+          FROM lineitem),
+        bench AS (
+          SELECT l_partkey, last_day(sdate) AS bdate,
+            ${Num.sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS bavg
+          FROM li GROUP BY l_partkey, last_day(sdate))
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+          l.sdate AS ship_date,
+          b.bdate AS bench_month_end, b.bavg AS bench_avg,
+          ${Num.sql("CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / b.bavg", 4)} AS rel_price
+        FROM li l
+        ASOF LEFT JOIN bench b
+          ON l.l_partkey = b.l_partkey AND l.sdate >= b.bdate
+        ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.sdate,
+          rel_price"""),
+      "array as-of at high key cardinality via the SQL-registered asof_lookup: one sorted quote array per part, plain equi-join, per-row codegen binary search"))
 }
