@@ -149,7 +149,14 @@ object Dedup {
   private def sqlShingles = // [array_to_string(t[i:i+2],' ') FOR i IN range(1,len(t)-1)]
     "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]"
 
-  private def sqlDocShingles =
+  /** [[sqlDocShingles]] over an arbitrary (doc_id, text) source CTE —
+    * lets callers shingle a rep-collapsed corpus (q435). */
+  private[ext] def sqlDocShinglesFrom(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+        shraw AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks),
+        sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"""
+
+  private[ext] def sqlDocShingles =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shraw AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks),
         sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"""
