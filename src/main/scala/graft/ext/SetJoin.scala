@@ -44,9 +44,10 @@ import org.apache.spark.sql.functions._
   */
 object SetJoin {
 
-  /** Jaccard threshold 3/5 as an exact integer predicate. */
-  private val TauNum = 3L
-  private val TauDen = 5L
+  /** Jaccard threshold 3/5 as an exact integer predicate (shared with
+    * the streaming twin, [[graft.streaming.StreamingSetJoin]]). */
+  private[graft] val TauNum = 3L
+  private[graft] val TauDen = 5L
 
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. One wide shuffle on the text column — the same

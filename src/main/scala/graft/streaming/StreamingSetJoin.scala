@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.ext.{Dedup, SetJoin}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming EXACT near-dup detection — q435's prefix-filtered
+  * Jaccard ≥ 3/5 join run incrementally, the exact twin of
+  * [[StreamingLsh]]'s probabilistic one. Each micro-batch of documents
+  * is shingled and hashed with the SAME batch primitives
+  * (`Dedup.docShingles`/`hp`), its prefixes are joined against the
+  * persistent prefix-postings index, candidates are verified by exact
+  * `array_intersect` against the persistent set index, and every
+  * qualifying (new, earlier) pair is emitted — no estimate, no best-of:
+  * the emission set is EXACTLY the batch q435 pair set restricted to
+  * (later, earlier) orientation, which the parity spec pins.
+  *
+  * The one semantic departure from batch q435 is forced by
+  * incrementality and is a STRENGTHENING of the guarantee: batch q435
+  * orders the prefix universe rarest-first (df asc) because df is
+  * known; a stream's df drifts as the corpus grows, and prefixes taken
+  * under different orders break the completeness theorem (two docs'
+  * prefixes must share an element under a COMMON total order). So the
+  * streaming index prefixes under the PLAIN hash order — df-free,
+  * fixed forever, identical for every doc no matter when it arrives.
+  * Less selective (more candidates) but exact at every point in time.
+  * Exact-duplicate arrivals are reported too (jaccard 1.0) — at ingest
+  * time the dup/near-dup decision is one surface, and rep-collapse is
+  * the caller's downstream move as in batch.
+  *
+  * The 100 TB property: the postings index holds only PREFIX elements
+  * (≈ 40% of each doc's shingle hashes at τ = 3/5) keyed by hash — a
+  * micro-batch probes it with an equi-join on sh, touching only
+  * postings its own prefixes collide with, never O(corpus); the set
+  * index holds one bounded long-array per doc for verification. Raw
+  * text is never retained. Replayed batches append duplicate verdicts
+  * — dedupe on (doc_id, batch_id) downstream, as with
+  * [[StreamingIngest]].
+  */
+object StreamingSetJoin {
+
+  /** Per-doc prefix rows (doc_id, sh, n) under the PLAIN hash order:
+    * the first n − ⌈τ·n⌉ + 1 of the doc's sorted shingle hashes. */
+  def prefixes(hashed: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    hashed
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= col("n") -
+        expr(s"(${SetJoin.TauNum} * n + ${SetJoin.TauDen - 1}) div ${SetJoin.TauDen}") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+  }
+
+  /** Distinct hashed shingle sets of a (doc_id, text) frame. */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    Dedup.docShingles(docs)
+      .select(col("doc_id"), Dedup.hp(col("sh")).as("sh")).distinct()
+
+  def start(docs: DataFrame, postingsDir: String, setsDir: String,
+      verdictDir: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("text")).localCheckpoint()
+        if (!b.isEmpty) {
+          val hashed = hashedShingles(b).localCheckpoint()
+          val sets = hashed.groupBy(col("doc_id"))
+            .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+            .localCheckpoint()
+          val pref = prefixes(hashed).localCheckpoint()
+          val oldPost = spark.read.parquet(postingsDir)
+          val oldSets = spark.read.parquet(setsDir)
+          val lengthOk =
+            least(col("n_new"), col("n_old")) * SetJoin.TauDen >=
+              greatest(col("n_new"), col("n_old")) * SetJoin.TauNum
+          // old→new: new prefixes probe the persistent PREFIX postings;
+          // within-batch: prefix self-join oriented by id (ingest order)
+          val candOld = pref.as("nw").join(oldPost.as("od"),
+              col("nw.sh") === col("od.sh"))
+            .select(col("nw.doc_id").as("doc_id"), col("od.doc_id").as("old_id"),
+              col("nw.n").as("n_new"), col("od.n").as("n_old"))
+          val candIn = pref.as("nw").join(pref.as("od"),
+              col("nw.sh") === col("od.sh") && col("nw.doc_id") > col("od.doc_id"))
+            .select(col("nw.doc_id").as("doc_id"), col("od.doc_id").as("old_id"),
+              col("nw.n").as("n_new"), col("od.n").as("n_old"))
+          val cand = candOld.unionByName(candIn).filter(lengthOk).distinct()
+          val allSets = oldSets.unionByName(sets)
+          val verified = cand
+            .join(sets.select(col("doc_id"), col("shs").as("sa")), Seq("doc_id"))
+            .join(allSets.select(col("doc_id").as("old_id"), col("shs").as("sb")),
+              Seq("old_id"))
+            .withColumn("n_inter",
+              size(array_intersect(col("sa"), col("sb"))).cast("long"))
+            .filter(col("n_inter") * SetJoin.TauDen >=
+              (col("n_new") + col("n_old") - col("n_inter")) * SetJoin.TauNum)
+            .select(col("doc_id"), col("old_id"), col("n_inter"),
+              col("n_new"), col("n_old"),
+              graft.Num.r4(col("n_inter") /
+                (col("n_new") + col("n_old") - col("n_inter"))).as("jaccard"))
+          verified.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(verdictDir)
+          pref.select(col("sh"), col("doc_id"), col("n"))
+            .write.mode("append").parquet(postingsDir)
+          sets.write.mode("append").parquet(setsDir)
+        }
+      }
+      .start()
+}
