@@ -655,5 +655,55 @@ object Sketches {
             """ABS((arr[8] + arr[9]) / 2.0 - CAST(f2_exact AS DOUBLE))
                / f2_exact""", 6)} AS rel_err
         FROM a CROSS JOIN ex"""),
-      "AMS F2 sketch: 16 one-pass +/-1-hash counters, median-of-estimators vs exact sum of squared user frequencies (Alon-Matias-Szegedy 1996)"))
+      "AMS F2 sketch: 16 one-pass +/-1-hash counters, median-of-estimators vs exact sum of squared user frequencies (Alon-Matias-Szegedy 1996)"),
+
+    // --------------------------------------------------------------- q437
+    // Quantile sketch, the last sketch family without an oracle gate
+    // (HLL q42, KMV q76, CMS q132, Bloom q133, AMS q135, theta q136):
+    // Spark's built-in percentile_approx (Greenwald–Khanna) at
+    // accuracy = 1000 carries a HARD rank-error guarantee of n/1000,
+    // so — exactly like q42 — the output is restructured to what a
+    // DuckDB twin can pin: exact group counts plus within-bound
+    // booleans. The rank check is pure integer arithmetic: the approx
+    // value v sits at some rank in [cnt_lt + 1, cnt_le] (ties), and v
+    // is an acceptable p-quantile iff that interval intersects
+    // [⌈p·n⌉ − slack, ⌈p·n⌉ + slack] with slack = n div 1000 + 1 (the
+    // guarantee plus one for the ceil). A regression in the GK path
+    // (or in its partial-merge under different partitionings) flips a
+    // boolean and fails the hash compare. Scale shape: one GK pass
+    // (mergeable partial aggregates) + one counting pass, both plain
+    // hash aggregations on the group key; the rank-check join is
+    // 3-row broadcast.
+    Query(
+      "q437_approx_quantile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        val ap = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(1000)).as("ap"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("ap").getItem(0).as("v50"), col("ap").getItem(1).as("v90"))
+        val ranks = li.join(broadcast(ap), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(col("v") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("v") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("v") < col("v90"), 1L).otherwise(0L)).as("lt90"),
+            sum(when(col("v") <= col("v90"), 1L).otherwise(0L)).as("le90"))
+        def within(lt: String, le: String, pNum: Int, pDen: Int) = {
+          val target = expr(s"($pNum * n_rows + ${pDen - 1}) div $pDen")
+          val slack = expr("n_rows div 1000") + lit(1L)
+          (col(lt) + 1 <= target + slack) && (col(le) >= target - slack)
+        }
+        ap.join(broadcast(ranks), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_rows"),
+            within("lt50", "le50", 1, 2).as("p50_within_bound"),
+            within("lt90", "le90", 9, 10).as("p90_within_bound"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          TRUE AS p50_within_bound, TRUE AS p90_within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "Greenwald-Khanna quantile sketch (percentile_approx), oracle-checked against its n/1000 rank-error guarantee at p50/p90"))
 }

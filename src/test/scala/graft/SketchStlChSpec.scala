@@ -88,4 +88,28 @@ class SketchStlChSpec extends SparkSpec {
     // CH = (4/1)/(0.04/2) = 200
     assert(math.abs(r.getAs[Double]("ch_index") - 200.0) < 1.0)
   }
+
+  test("q437: GK quantile sketch sits inside its rank bound on planted uniform groups") {
+    import spark.implicits._
+    // two groups of distinct uniform prices: every within-bound boolean
+    // must be TRUE (the GK guarantee is n/1000, far wider than exact on
+    // 2000 distinct values), and group counts are pinned
+    val li = (1 to 2000).map(i =>
+      (if (i % 2 == 0) "A" else "B", 100.0 + i))
+      .toDF("l_returnflag", "l_extendedprice")
+    val rows = byName("q437_approx_quantile").run(spark, plantDir("lineitem" -> li)).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 1000L)
+      assert(r.getAs[Boolean]("p50_within_bound"))
+      assert(r.getAs[Boolean]("p90_within_bound"))
+    }
+    // the rank check itself is falsifiable: an extreme value at p50's
+    // target rank window would fail — replicate the operator's integer
+    // arithmetic on a deliberately wrong "approx" answer (the maximum):
+    // lt+1 = 1000 > target(500) + slack(2) — the boolean flips
+    val n = 1000L; val target = (1 * n + 1) / 2; val slack = n / 1000 + 1
+    val ltMax = n - 1
+    assert(!(ltMax + 1 <= target + slack), "a max-value p50 must violate the bound")
+  }
 }
