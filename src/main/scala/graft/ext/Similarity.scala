@@ -850,5 +850,81 @@ object Similarity {
         CROSS JOIN nq
         GROUP BY s.nprobe ORDER BY s.nprobe"""
       },
-      "IVF probe-recall tuning curve: recall@10 at nprobe 1-4 via the candidate-superset identity — one cell-rank join, no per-nprobe rebuild"))
+      "IVF probe-recall tuning curve: recall@10 at nprobe 1-4 via the candidate-superset identity — one cell-rank join, no per-nprobe rebuild"),
+
+    // ---------------------------------------------------------------- q439
+    // Dimension-truncation retrieval audit (the Matryoshka question):
+    // recall@10 of cosine over the first d = 8/16/32 dimensions vs the
+    // exact full-width top-10, per probe — the measurement that decides
+    // what width a fleet SERVES (truncated prefixes cut memory and
+    // bandwidth d/64-fold if recall holds; same decision surface as
+    // q185's int8 audit, other axis). Rankings use the q33 convention
+    // (r4-rounded cosine DESC, id); recall is a ratio of exact
+    // integers; capCorpus guards the brute-force ground truth exactly
+    // as q33/q185 — the ANN paths are the uncapped production route.
+    Query(
+      "q439_truncation_recall",
+      (s, d) => {
+        val K = 10
+        val emb = Similarity.capCorpus(Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v")))
+          .localCheckpoint() // ground truth AND every truncation read it
+        def topK(corpus: org.apache.spark.sql.DataFrame) = {
+          val probes = corpus.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))
+          corpus.crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              graft.Num.r4(Similarity.cosine(col("v"), col("qv"))).as("cosine"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= K)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+        val exact = topK(emb).localCheckpoint()
+        Seq(8, 16, 32).map { dims =>
+          val trunc = topK(emb.select(col("vec_id"),
+            slice(col("v"), 1, dims).as("v")))
+            .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+          exact.join(trunc,
+              col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+              "left")
+            .groupBy(col("query_id"))
+            .agg(count(col("n2")).as("n_overlap"))
+            .select(lit(dims).cast("long").as("dims"), col("query_id"),
+              col("n_overlap"),
+              graft.Num.r4(col("n_overlap").cast("double") / lit(K.toDouble))
+                .as("recall_at_10"))
+        }.reduce(_.unionByName(_))
+          .orderBy(col("dims"), col("query_id"))
+      },
+      Some {
+        def side(dExpr: String, name: String) = s"""
+        $name AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                FLOOR(LIST_COSINE_SIMILARITY(${dExpr.replace("%", "e2")},
+                  ${dExpr.replace("%", "q")}) * 10000 + 0.500001) / 10000 DESC,
+                e2.vec_id) AS rn
+            FROM e e2, (SELECT * FROM e WHERE vec_id < 10) q
+            WHERE e2.vec_id <> q.vec_id) WHERE rn <= 10)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${side("%.v", "exact")},
+        ${Seq(8, 16, 32).map(dm => side(s"%.v[1:$dm]", s"t$dm")).mkString(",")}
+        ${Seq(8, 16, 32).map(dm => s"""
+        SELECT CAST($dm AS BIGINT) AS dims, x.query_id,
+          CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+          FLOOR((CAST(COUNT(t.neighbor_id) AS DOUBLE) / 10.0)
+                * 10000 + 0.500001) / 10000 AS recall_at_10
+        FROM exact x LEFT JOIN t$dm t
+          ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id""").mkString("\n        UNION ALL ")}
+        ORDER BY dims, query_id"""
+      },
+      "Matryoshka truncation audit: recall@10 of first-8/16/32-dim cosine vs the exact full-width top-10 per probe"))
 }
