@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions.{col, count, lit, sum}
 object Exact {
 
   /** Exact second-moment product-sum Σ a·b: the left factor widens to
-    * DECIMAL(38,0) so the multiply never overflows int64. */
+    * DECIMAL(38,0) so the multiply never overflows int64.
+    *
+    * PERF (r7, q441): do NOT feed this from a window operator at data
+    * scale. Precision-38 decimal aggregation abandons the fast
+    * hash-agg path, and after a window the combination measured
+    * 60-109 s on 10M rows where long sums took 8 s. When a per-GROUP
+    * bound exists that keeps Σ a·b inside int64 (e.g. a span bound:
+    * Σ v·gap ≤ v_max · total_span — hash-agg partials are per
+    * (group, partition), so the group bound covers them), prefer a
+    * plain long product-sum with the bound argued in a comment. m2 is
+    * for post-aggregation moments and scan-side sums, where it stays
+    * on the fast path. */
   def m2(a: Column, b: Column): Column = sum(a.cast("decimal(38,0)") * b)
 
   /** String-column convenience — `m2("x", "y")` ≡ Σ x·y exactly. */

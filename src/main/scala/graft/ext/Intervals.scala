@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Query, Tables}
+import graft.{Num, Query, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,5 +83,62 @@ object Intervals {
           CAST((c.cnt - n.n_ship) / 2 AS BIGINT) AS overlap_pairs
         FROM n JOIN c ON c.supp = n.supp
         ORDER BY n.supp"""),
-      "per-supplier overlapping fulfillment-window pair counts via an O(n log n) sweep (ends-seen-before-each-start); oracle pays the identity-free quadratic interval join"))
+      "per-supplier overlapping fulfillment-window pair counts via an O(n log n) sweep (ends-seen-before-each-start); oracle pays the identity-free quadratic interval join"),
+
+    // ---------------------------------------------------------------- q441
+    // Time-weighted average (the TWAP/feature-store primitive, absent
+    // until now): per user, each event's value HOLDS until the user's
+    // next event, so the average weights values by holding duration —
+    // the right statistic for sampled state (a plain AVG over-weights
+    // bursts). One lead() window per user; the last event has no
+    // successor and is excluded, and holds are weighted at SECOND
+    // grain (sub-second holds weigh 0 — identical truncation both
+    // engines). Exactness is pure int64, by a SPAN bound rather than a
+    // row-count bound: per user, Σ vm·gap_s ≤ vm_max · total_span_s —
+    // micro-quantized vitals (vm ≤ ~1e9) over even a 30-year span
+    // (1e9 s) stay under 2^63 with margin, and hash-agg partials are
+    // per (group, partition) so no partial can exceed the group bound.
+    // The first draft summed vm·gap_us through DECIMAL(38,0); the 100x
+    // bench caught it at 57 s — a window feeding a precision-38
+    // decimal aggregate abandons the fast hash-agg path (measured
+    // 8.3 s with long sums, 60-109 s with decimal, same rows) — and
+    // the long-safe reformulation runs the expected window cost.
+    Query(
+      "q441_time_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val rows = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vm"))
+          .withColumn("gap_s",
+            expr("(lead(us, 1) over (partition by user_id order by us, event_id) - us) div 1000000"))
+          .filter(col("gap_s").isNotNull && col("gap_s") > 0)
+        rows.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_holds"),
+            sum(col("gap_s")).as("span_s"),
+            sum(col("vm") * col("gap_s")).as("vsum"))
+          .select(col("user_id"), col("n_holds"), col("span_s"),
+            Num.r6(col("vsum").cast("double")
+              / col("span_s").cast("double") / lit(1e6)).as("twa_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+            CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+          FROM events),
+        g AS (
+          SELECT user_id, vm,
+            (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+              // 1000000 AS gap_s
+          FROM e)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+          CAST(SUM(gap_s) AS BIGINT) AS span_s,
+          ${Num.sql("CAST(SUM(vm * gap_s) AS DOUBLE) / CAST(SUM(gap_s) AS DOUBLE) / 1000000.0", 6)}
+            AS twa_value
+        FROM g WHERE gap_s IS NOT NULL AND gap_s > 0
+        GROUP BY user_id ORDER BY user_id"""),
+      "per-user time-weighted average value (each event holds until the next, second-grain weights): the TWAP primitive, span-bounded pure-int64 moments"))
 }
+

@@ -66,6 +66,25 @@ class IntervalsSpec extends SparkSpec {
     assert(brute.values.sum > 0)
   }
 
+  test("q441: holds weight the average by duration, not event count") {
+    import spark.implicits._
+    // user 1: value 10 held 3 s, then value 100 held 1 s (then a final
+    // event that holds nothing) -> twa = (10*3 + 100*1)/4 = 32.5,
+    // where the plain mean of the two held values would be 55
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    def ev(id: Long, offSec: Int, v: Double) =
+      (id, new java.sql.Timestamp(base + offSec * 1000L), 1L, "t", v, "{}")
+    val rows = Seq(ev(1, 0, 10.0), ev(2, 3, 100.0), ev(3, 4, 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twa").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = byName("q441_time_weighted_avg").run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_holds") == 2L)
+    assert(r.head.getAs[Long]("span_s") == 4L)
+    assert(r.head.getAs[Double]("twa_value") == 32.5)
+  }
+
   test("q438: out-of-1995 shipments and inverted windows are excluded") {
     import spark.implicits._
     val li = Seq(
