@@ -249,6 +249,172 @@ object Iterative {
         SELECT node AS keyword, CAST(vp AS BIGINT) AS rank_ppb
         FROM v WHERE iter = 10
         ORDER BY rank_ppb DESC, keyword LIMIT 10"""),
-      "TextRank keywords over the top-100 token adjacency graph (10 damped exact-integer ppb iterations, top 10)")
+      "TextRank keywords over the top-100 token adjacency graph (10 damped exact-integer ppb iterations, top 10)"),
+
+    // ---------------------------------------------------------------- q442
+    // Markov removal-effect attribution (the standard upgrade over
+    // last-touch q105/q280): per-user journeys run START → touchpoints
+    // → CONV at the first purchase (or → DROP if the user never
+    // converts); first-order transition probabilities in round-half-up
+    // ppb; conversion probability = 20-step absorption at CONV (the
+    // truncation is part of the pinned semantics, applied identically
+    // to every scenario); a channel's removal effect compares base
+    // absorption against the chain with ALL edges touching the channel
+    // deleted (mass into it implicitly flows to DROP); attribution
+    // shares normalize the ppb effects. All five scenarios (base +
+    // four removals) iterate in ONE frame keyed by (scenario, state) —
+    // 20 driver-loop rounds over a ≤7-state chain per scenario, every
+    // entry an exact integer, reproduced by the DuckDB recursive CTE
+    // bit for bit. CONV holds value SCALE via a full-weight self-edge;
+    // DROP holds 0; transient states carry q292's zero self-edges so
+    // the recursive join keeps them alive.
+    Query(
+      "q442_markov_attribution",
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val seq0 = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(w))
+        val firstP = seq0.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+        val jour = seq0.join(firstP, Seq("user_id"), "left")
+          .filter(col("prn").isNull || col("rn") <= col("prn"))
+          .withColumn("state",
+            when(col("event_type") === "purchase", "CONV")
+              .otherwise(col("event_type")))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        val steps = jour
+          .withColumn("next", coalesce(lead(col("state"), 1).over(w2),
+            when(col("prn").isNull, lit("DROP"))))
+          .filter(col("next").isNotNull)
+          .select(col("state").as("i"), col("next").as("j"))
+          .union(jour.filter(col("rn") === 1)
+            .select(lit("START").as("i"), col("state").as("j")))
+        val trans = steps.groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("i")).agg(sum(col("n")).as("t"))
+        val states = trans.select(col("i").as("state"))
+          .union(trans.select(col("j"))).union(Seq("DROP").toDF("state"))
+          .distinct().localCheckpoint()
+        val channels = states
+          .filter(!col("state").isin("START", "CONV", "DROP"))
+          .select(col("state").as("removed"))
+        val scen = channels.union(Seq("NONE").toDF("removed")).localCheckpoint()
+        val base = trans.join(broadcast(tot), Seq("i"))
+          .select(col("i"), col("j"),
+            expr(s"(2 * n * $SCALE + t) div (2 * t)").as("ppb"))
+          .union(states.select(col("state"), col("state"),
+            when(col("state") === "CONV", lit(SCALE)).otherwise(lit(0L))))
+        val m = base.crossJoin(broadcast(scen))
+          .filter(col("i") =!= col("removed") && col("j") =!= col("removed"))
+          .localCheckpoint()
+        var v = states.crossJoin(broadcast(scen))
+          .filter(col("state") =!= col("removed"))
+          .select(col("removed"), col("state"),
+            when(col("state") === "CONV", lit(SCALE)).otherwise(lit(0L)).as("vp"))
+        for (_ <- 1 to 20) {
+          // string-alias disambiguation: localCheckpoint preserves
+          // attribute ids, so v and m share scen's `removed` attribute
+          // absorption runs BACKWARD: v(i) = Σ_j p(i,j)·v(j), so the
+          // join matches v to edge TARGETS and groups by edge SOURCE
+          v = v.as("vv").join(m.as("mm"),
+              col("vv.removed") === col("mm.removed") &&
+                col("vv.state") === col("mm.j"))
+            .select(col("mm.removed").as("removed"), col("mm.i").as("state"),
+              (col("vv.vp") * col("mm.ppb")).as("x"))
+            .groupBy(col("removed"), col("state"))
+            .agg(expr(s"(2 * sum(x) + $SCALE) div ${2 * SCALE}").as("vp"))
+            .localCheckpoint()
+        }
+        val starts = v.filter(col("state") === "START")
+          .select(col("removed"), col("vp")).localCheckpoint()
+        val b = starts.filter(col("removed") === "NONE")
+          .select(col("vp").as("base_ppb"))
+        val eff = starts.filter(col("removed") =!= "NONE")
+          .crossJoin(broadcast(b))
+          .select(col("removed").as("channel"), col("base_ppb"),
+            col("vp").as("removed_ppb"),
+            (lit(SCALE) - expr(s"(2 * vp * $SCALE + base_ppb) div (2 * base_ppb)"))
+              .as("re_ppb"))
+        val sumRe = eff.agg(sum(col("re_ppb")).as("sre"))
+        eff.crossJoin(broadcast(sumRe))
+          .select(col("channel"),
+            Num.r6(col("base_ppb").cast("double") / lit(1e9)).as("base_cvr"),
+            Num.r6(col("removed_ppb").cast("double") / lit(1e9)).as("removed_cvr"),
+            Num.r6(col("re_ppb").cast("double") / lit(1e9)).as("removal_effect"),
+            Num.r4(col("re_ppb").cast("double") / col("sre").cast("double"))
+              .as("attribution_share"))
+          .orderBy(col("channel"))
+      },
+      Some(s"""
+        WITH RECURSIVE seq0 AS (
+          SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        firstp AS (
+          SELECT user_id, MIN(rn) AS prn FROM seq0
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        jour AS (
+          SELECT s.user_id, s.rn, f.prn,
+            CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                 ELSE s.event_type END AS state
+          FROM seq0 s LEFT JOIN firstp f USING (user_id)
+          WHERE f.prn IS NULL OR s.rn <= f.prn),
+        steps AS (
+          SELECT state AS i,
+            COALESCE(LEAD(state) OVER (PARTITION BY user_id ORDER BY rn),
+              CASE WHEN prn IS NULL THEN 'DROP' END) AS j
+          FROM jour
+          UNION ALL
+          SELECT 'START', state FROM jour WHERE rn = 1),
+        trans AS (
+          SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM steps
+          WHERE j IS NOT NULL GROUP BY i, j),
+        tot AS (SELECT i, CAST(SUM(n) AS BIGINT) AS t FROM trans GROUP BY i),
+        states AS (SELECT DISTINCT i AS state FROM trans
+                   UNION SELECT DISTINCT j FROM trans
+                   UNION SELECT 'DROP'),
+        scen AS (
+          SELECT state AS removed FROM states
+          WHERE state NOT IN ('START', 'CONV', 'DROP')
+          UNION SELECT 'NONE'),
+        mbase AS (
+          SELECT i, j, (2 * n * $SCALE + t) // (2 * t) AS ppb
+          FROM trans JOIN tot USING (i)
+          UNION ALL
+          SELECT state, state,
+            CASE WHEN state = 'CONV' THEN $SCALE ELSE 0 END
+          FROM states),
+        m AS (
+          SELECT sc.removed, mb.i, mb.j, mb.ppb
+          FROM mbase mb CROSS JOIN scen sc
+          WHERE mb.i <> sc.removed AND mb.j <> sc.removed),
+        v(iter, removed, state, vp) AS (
+          SELECT 0, sc.removed, st.state,
+            CASE WHEN st.state = 'CONV' THEN $SCALE ELSE 0 END
+          FROM states st CROSS JOIN scen sc WHERE st.state <> sc.removed
+          UNION ALL
+          SELECT iter + 1, m.removed, m.i,
+            (2 * SUM(vp * ppb) + $SCALE) // ${2 * SCALE}
+          FROM v JOIN m ON m.removed = v.removed AND m.j = v.state
+          WHERE iter < 20 GROUP BY iter + 1, m.removed, m.i),
+        starts AS (
+          SELECT removed, CAST(vp AS BIGINT) AS vp FROM v
+          WHERE iter = 20 AND state = 'START'),
+        eff AS (
+          SELECT s.removed AS channel, b.vp AS base_ppb, s.vp AS removed_ppb,
+            $SCALE - (2 * s.vp * $SCALE + b.vp) // (2 * b.vp) AS re_ppb
+          FROM starts s, (SELECT vp FROM starts WHERE removed = 'NONE') b
+          WHERE s.removed <> 'NONE')
+        SELECT channel,
+          ${Num.sql("CAST(base_ppb AS DOUBLE) / 1e9", 6)} AS base_cvr,
+          ${Num.sql("CAST(removed_ppb AS DOUBLE) / 1e9", 6)} AS removed_cvr,
+          ${Num.sql("CAST(re_ppb AS DOUBLE) / 1e9", 6)} AS removal_effect,
+          ${Num.sql("CAST(re_ppb AS DOUBLE) / CAST((SELECT SUM(re_ppb) FROM eff) AS DOUBLE)", 4)}
+            AS attribution_share
+        FROM eff ORDER BY channel"""),
+      "Markov removal-effect channel attribution: 20-step exact-integer ppb absorption at CONV, base vs channel-removed chains, normalized shares")
   )
 }
