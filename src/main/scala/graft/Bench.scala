@@ -1,7 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark main. Prints ONE self-contained JSON line per
+  * completed pass (the driver keeps a bounded stdout tail and parses the
+  * LAST JSON line, so every printed line must stand alone), and writes the
+  * full per-query map to a file.
+  *
+  * Wall-budget protocol (round 8): round 7's artifact was killed at the
+  * driver's timeout (rc=124) because 439 queries × (warmup + 2 timed
+  * passes) + 2 forked streaming runs no longer fit. The ladder now is:
+  *
+  *   pass 1  — timed, cold (doubles as the warmup; always runs)
+  *   pass 2  — timed, warm; per-query result = min(pass1, pass2).
+  *             Runs only if the measured pass-1 time fits the remaining
+  *             budget with streaming reserve + 15% headroom.
+  *   stream  — two forked fresh-JVM StreamBench runs; skipped if the
+  *             remaining budget is under the reserve.
+  *
+  * `SPARK_GRAFT_BENCH_BUDGET_S` (default 1350) bounds this main's own
+  * wall clock; the artifact records which rungs ran (`"passes"`,
+  * `stream_eps = -1` when skipped) so rounds stay comparable. min-of-2
+  * after an effective warmup matches the r6/r7 protocol closely enough
+  * for round-over-round deltas: pass 2 runs with JIT + codegen + parquet
+  * footer caches hot, exactly like r6's timed passes.
+  */
 object Bench {
+  /** Streaming-fork reserve: two fresh JVMs × (startup + warmup + timed
+    * 300k-event run) measured ≈ 90 s each on this machine; 240 s keeps
+    * slack for a loaded box. */
+  private val StreamReserveS = 240.0
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1350").toDouble
+    def remainingS: Double = budgetS - elapsedS
+    Quiet.install()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -14,75 +48,119 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.install() // again: setLogLevel resets the root config
     // run the FULL plan (sorts, projections and all) into the no-op
     // sink — a count() would let the optimizer strip the final orderBy
-    // and prune columns, timing a cheaper plan than Verify executes
+    // and prune columns, timing a cheaper plan than Verify executes.
     // failures must be LOUD: name + exception per query, and a "failed"
     // list in the artifact — round 5 shipped 18 crashed queries as silent
     // -1.0 sentinels that made the total LOOK smaller than round 4's
-    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         println(s"[bench] FAILED $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
         false
       }
     // optional args = subset of query names (dev loop); driver passes none
+    val fullRegistry = args.isEmpty
     val selected =
-      if (args.isEmpty) SparkEntry.queries
+      if (fullRegistry) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    // warmup pass: JIT + codegen + parquet footer caches, untimed — the
-    // timed pass then measures the engine, not JVM startup
-    selected.foreach { case (name, fn) => run(name, fn) }
-    // two timed passes, report per-query MIN: serial suite timing on a
-    // busy local[32] JVM swings individual queries 2-6x (GC, JIT churn
-    // from neighboring plans); min-of-2 makes round-over-round deltas
-    // signal instead of noise
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      if (run(name, fn)) (System.nanoTime() - t0) / 1e9 else -1.0
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s0 = System.nanoTime()
+      if (run(name, fn)) (System.nanoTime() - s0) / 1e9 else -1.0
     }
-    val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = selected.keys.map { name =>
-      val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }.toMap
+
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
-    // total sums RUNNING queries only — a -1.0 sentinel must never make
-    // the suite look faster; failed queries are named separately
-    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // emit artifact + stdout lines for the results so far; called after
+    // EVERY completed rung so a later timeout kill still leaves a
+    // complete, parseable line as the last JSON in the driver's tail
+    def emit(results: Map[String, Double], passes: Int, eps: Long,
+        epsRuns: Seq[Long]): Unit = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
+      // total sums RUNNING queries only — a -1.0 sentinel must never make
+      // the suite look faster; failed queries are named separately
+      val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+      val total = results.values.filter(_ >= 0).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val runsJson = epsRuns.mkString("[", ",", "]")
+      val detailed =
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"stream_eps":$eps,"stream_eps_runs":$runsJson}"""
+      writeQueryMap(detailed, fullRegistry, sfDir, results.size)
+      // detailed per-query line first (for humans / full logs) ...
+      println(detailed)
+      // ... then a SHORT final line: the driver keeps only a bounded tail
+      // of stdout — the LAST line must be self-contained and small so
+      // json.loads always sees one complete object at the end of the tail
+      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","passes":$passes,"stream_eps":$eps,"stream_eps_runs":$runsJson,"wall":${s3(elapsedS)},"qfile":"BENCH_QUERIES.json"}""")
+    }
+
+    // pass 1: timed, cold — the first run also JITs + fills codegen and
+    // parquet-footer caches, so it reads high; pass 2 is the warm number
+    val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val pass1Wall = elapsedS
+    emit(pass1, passes = 1, eps = -1L, epsRuns = Nil)
+    // pass 2 only if it fits: measured pass-1 wall × 1.15 headroom, after
+    // holding back the streaming reserve
+    val streamReserve = if (fullRegistry) StreamReserveS else 0.0
+    val runPass2 = remainingS - streamReserve > pass1Wall * 1.15
+    val results =
+      if (runPass2) {
+        val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+        val merged = selected.keys.map { name =>
+          val (a, b) = (pass1(name), pass2(name))
+          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        }.toMap
+        emit(merged, passes = 2, eps = -1L, epsRuns = Nil)
+        merged
+      } else {
+        println(s"[bench] skipping pass 2: ${s3(remainingS)}s left of ${s3(budgetS)}s budget")
+        pass1
+      }
     spark.stop()
     // streaming throughput under a PINNED protocol (full driver runs
     // only): two FRESH forked JVMs each driving graft.StreamBench at
-    // 100 patients x 600 sim-seconds, report the better — fresh JVMs
-    // remove the warm-state wobble that made r3/r4 numbers (8300 vs
-    // 6938 ev/s) incomparable. -1 = fork failed, never throws.
-    val eps = if (args.isEmpty) streamEps() else -1L
-    val detailed =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_eps":$eps}"""
-    // full per-query map to a FILE: the driver's stdout tail keeps only
-    // ~70 of 156 queries of the detailed line, so round-over-round
-    // regression diffs read this artifact instead
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      (detailed + "\n").getBytes("UTF-8"))
-    // detailed per-query line first (for humans / full logs) ...
-    println(detailed)
-    // ... then a SHORT final line: the driver keeps only a bounded tail
-    // of stdout, which starts mid-way through the ~2.6KB detailed line —
-    // the LAST line must be self-contained and <150 bytes so json.loads
-    // always sees one complete object at the end of the tail
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","stream_eps":$eps,"qfile":"BENCH_QUERIES.json"}""")
+    // 100 patients x 600 sim-seconds (fixed work, in-JVM warmup inside
+    // the fork), report max + both raw runs — the pair makes run-to-run
+    // spread visible instead of folding it into one number.
+    val epsRuns =
+      if (fullRegistry && remainingS > streamReserve) Seq(streamEpsOnce(), streamEpsOnce())
+      else { if (fullRegistry) println(s"[bench] skipping streaming forks: ${s3(remainingS)}s left"); Nil }
+    val eps = if (epsRuns.nonEmpty) epsRuns.max else -1L
+    emit(results, passes = if (runPass2) 2 else 1, eps = eps, epsRuns = epsRuns)
+  }
+
+  /** Full-registry sf0.1 runs own `BENCH_QUERIES.json`; anything else
+    * (subset args, alternate SF) goes to `BENCH_QUERIES_partial.json`.
+    * Belt and braces: even a "full" run refuses to shrink an existing
+    * map — round 7 clobbered the committed 436-query map with a 1-query
+    * sf10 run TWICE (cdef9c6 repaired, 86b9336 reintroduced). */
+  private[graft] def writeQueryMap(detailed: String, fullRegistry: Boolean,
+      sfDir: String, n: Int,
+      baseDir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit = {
+    val canonical = fullRegistry && sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val target = baseDir.resolve("BENCH_QUERIES.json")
+    val existingN =
+      if (java.nio.file.Files.exists(target))
+        "\"q[^\"]*\":".r.findAllIn(java.nio.file.Files.readString(target)).size
+      else 0
+    val path =
+      if (canonical && n >= existingN) target
+      else {
+        if (canonical)
+          println(s"[bench] refusing to shrink BENCH_QUERIES.json ($existingN queries) to $n; writing partial file")
+        baseDir.resolve("BENCH_QUERIES_partial.json")
+      }
+    java.nio.file.Files.write(path, (detailed + "\n").getBytes("UTF-8"))
   }
 
   /** Fork `graft.StreamBench 100 600` in a fresh JVM (inheriting this
-    * JVM's module flags and classpath), twice; return the better run's
-    * events/s. Fresh-JVM + max-of-2 is the pinned streaming protocol. */
-  private def streamEps(): Long = {
+    * JVM's module flags and classpath); return the run's events/s.
+    * Fresh-JVM fixed-work with in-fork warmup is the pinned protocol. */
+  private def streamEpsOnce(): Long = {
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(
@@ -93,19 +171,16 @@ object Bench {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
         "-cp", System.getProperty("java.class.path"),
         "graft.StreamBench", "100", "600")).asJava
-      def once(): Double = {
-        val pb = new ProcessBuilder(cmd)
-        pb.redirectErrorStream(true)
-        val p = pb.start()
-        val lines = scala.io.Source.fromInputStream(p.getInputStream)
-          .getLines().toVector
-        p.waitFor()
-        lines.reverseIterator
-          .find(_.contains("\"stream_events_per_sec\""))
-          .flatMap(l => """"value":([0-9.eE+]+)""".r.findFirstMatchIn(l))
-          .map(_.group(1).toDouble).getOrElse(-1.0)
-      }
-      math.max(once(), once()).round
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val lines = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toVector
+      p.waitFor()
+      lines.reverseIterator
+        .find(_.contains("\"stream_events_per_sec\""))
+        .flatMap(l => """"value":([0-9.eE+]+)""".r.findFirstMatchIn(l))
+        .map(_.group(1).toDouble).getOrElse(-1.0).round
     } catch { case _: Throwable => -1L }
   }
 }

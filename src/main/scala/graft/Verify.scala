@@ -26,6 +26,7 @@ object Verify {
     if (aqe.nonEmpty) b.config("spark.sql.adaptive.enabled", aqe)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.install() // keep WindowExec's per-task warning out of the tail
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>

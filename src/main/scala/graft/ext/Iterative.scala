@@ -331,8 +331,13 @@ object Iterative {
           .select(col("removed"), col("vp")).localCheckpoint()
         val b = starts.filter(col("removed") === "NONE")
           .select(col("vp").as("base_ppb"))
+        // base_ppb > 0 guard: on a corpus with zero conversions the
+        // integer division below is NULL rows in Spark but a hard
+        // division-by-zero ERROR in DuckDB — the degenerate case must
+        // degrade identically (to zero rows) on both engines
         val eff = starts.filter(col("removed") =!= "NONE")
           .crossJoin(broadcast(b))
+          .filter(col("base_ppb") > 0)
           .select(col("removed").as("channel"), col("base_ppb"),
             col("vp").as("removed_ppb"),
             (lit(SCALE) - expr(s"(2 * vp * $SCALE + base_ppb) div (2 * base_ppb)"))
@@ -407,7 +412,7 @@ object Iterative {
           SELECT s.removed AS channel, b.vp AS base_ppb, s.vp AS removed_ppb,
             $SCALE - (2 * s.vp * $SCALE + b.vp) // (2 * b.vp) AS re_ppb
           FROM starts s, (SELECT vp FROM starts WHERE removed = 'NONE') b
-          WHERE s.removed <> 'NONE')
+          WHERE s.removed <> 'NONE' AND b.vp > 0)
         SELECT channel,
           ${Num.sql("CAST(base_ppb AS DOUBLE) / 1e9", 6)} AS base_cvr,
           ${Num.sql("CAST(removed_ppb AS DOUBLE) / 1e9", 6)} AS removed_cvr,

@@ -171,8 +171,12 @@ object SetJoin {
           .crossJoin(broadcast(nDocs)) // 1-row scalar frame (driver algebra)
           .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs"))
           .select(col("t"),
+            // 0.500001, not 0.5: Spark (java Math.log) and DuckDB (libm)
+            // may differ by 1 ulp on ln; a bare .5 boundary would then
+            // flip idfq by 1 between engines and cascade into the cosine
+            // hash — same epsilon discipline as Num.r4/r6
             floor(log(col("n_docs").cast("double") / col("df").cast("double"))
-              * lit(1e6) + lit(0.5)).cast("long").as("idfq"))
+              * lit(1e6) + lit(0.500001)).cast("long").as("idfq"))
         val post = tf.join(vocab, "t")
           .select(col("doc_id"), col("t"), (col("tf") * col("idfq")).as("w"))
         val norms = post.groupBy(col("doc_id"))
@@ -207,7 +211,7 @@ object SetJoin {
         tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
         nd AS (SELECT COUNT(*) AS n_docs FROM reps),
         vocab AS (
-          SELECT t, CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) AS BIGINT) AS idfq
+          SELECT t, CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.500001) AS BIGINT) AS idfq
           FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY t), nd
           WHERE df >= 2 AND df * 10 <= n_docs),
         post AS (

@@ -30,14 +30,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * time the dup/near-dup decision is one surface, and rep-collapse is
   * the caller's downstream move as in batch.
   *
-  * The 100 TB property: the postings index holds only PREFIX elements
-  * (≈ 40% of each doc's shingle hashes at τ = 3/5) keyed by hash — a
-  * micro-batch probes it with an equi-join on sh, touching only
-  * postings its own prefixes collide with, never O(corpus); the set
-  * index holds one bounded long-array per doc for verification. Raw
-  * text is never retained. Replayed batches append duplicate verdicts
-  * — dedupe on (doc_id, batch_id) downstream, as with
-  * [[StreamingIngest]].
+  * Scale shape, stated honestly: the postings index holds only PREFIX
+  * elements (≈ 40% of each doc's shingle hashes at τ = 3/5) keyed by
+  * hash, and the set index one bounded long-array per doc — so the
+  * CANDIDATE SET a micro-batch generates is only the postings its own
+  * prefixes collide with. The per-batch I/O of THIS twin, though, is
+  * O(corpus): each batch re-reads the whole postings/sets directories
+  * (plain equi-joins, no partition pruning), and `mode(append)` adds
+  * one small file per batch. A production deployment would partition
+  * both indexes by a hash range of `sh`/`doc_id` and compact
+  * periodically so probes prune to the colliding ranges; the join
+  * logic here is unchanged by that layout. Raw text is never
+  * retained. Replayed batches append duplicate verdicts — dedupe on
+  * (doc_id, batch_id) downstream, as with [[StreamingIngest]].
+  *
+  * First deployment needs no priming: a missing index directory reads
+  * as a typed empty frame ([[readOrEmpty]]) until the first batch
+  * writes it.
   */
 object StreamingSetJoin {
 
@@ -72,8 +81,10 @@ object StreamingSetJoin {
             .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
             .localCheckpoint()
           val pref = prefixes(hashed).localCheckpoint()
-          val oldPost = spark.read.parquet(postingsDir)
-          val oldSets = spark.read.parquet(setsDir)
+          val oldPost = readOrEmpty(spark, postingsDir,
+            "sh BIGINT, doc_id BIGINT, n BIGINT")
+          val oldSets = readOrEmpty(spark, setsDir,
+            "doc_id BIGINT, shs ARRAY<BIGINT>, n BIGINT")
           val lengthOk =
             least(col("n_new"), col("n_old")) * SetJoin.TauDen >=
               greatest(col("n_new"), col("n_old")) * SetJoin.TauNum
@@ -109,4 +120,18 @@ object StreamingSetJoin {
         }
       }
       .start()
+
+  /** Read a persistent index, or a typed empty frame when the path does
+    * not exist yet — a fresh deployment's first micro-batch must not
+    * fail on an unseeded index (the DDL pins the exact schema the first
+    * batch then writes). */
+  private[streaming] def readOrEmpty(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ddl: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
 }
