@@ -45,13 +45,90 @@ object PlanAudit {
     case _: GlobalLimitExec => true
     case _: LocalLimitExec => true
     case _: CollectLimitExec => true // a bare root-level limit
-    case h: HashAggregateExec => h.groupingExpressions.isEmpty
-    case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
-    case h: SortAggregateExec => h.groupingExpressions.isEmpty
+    case h: HashAggregateExec =>
+      h.groupingExpressions.isEmpty || timeGridAggregate(h, h.groupingExpressions)
+    case h: ObjectHashAggregateExec =>
+      h.groupingExpressions.isEmpty || timeGridAggregate(h, h.groupingExpressions)
+    case h: SortAggregateExec =>
+      h.groupingExpressions.isEmpty || timeGridAggregate(h, h.groupingExpressions)
     case _: RDDScanExec => true // localCheckpoint of a bounded frame
     case r: RangeExec => r.numElements <= BigInt(100000) // literal grids
     case _ => false
   }
+
+  // ------------------------------------------------------- calendar grids
+  // An aggregate whose EVERY grouping expression is a calendar
+  // truncation/extraction (date_trunc, to_date, a cast to DATE, year/
+  // month/day-of-week/...) yields O(active time units) rows — a domain
+  // bounded by the data's calendar span, constant in row VOLUME. That is
+  // the "day grid" argument 14 of the r7 hand-audited allowlist entries
+  // carried; proving it mechanically keeps the gate red on genuinely
+  // row-proportional groupings (ids, texts, raw values) while letting
+  // day-grid scans pass. Grouping expressions in physical plans are
+  // usually plain attributes whose defining expression lives in a
+  // Project (or partial-aggregate result list) below — [[definingExpr]]
+  // chases the exprId down the subtree, a few hops deep.
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression}
+
+  /** Expression classes whose output domain is a calendar grid no
+    * matter the input: truncations collapse to time units, extractions
+    * to small integer ranges. */
+  private val timeGridClasses = Set(
+    "TruncTimestamp", "TruncDate", "ParseToDate", "MakeDate",
+    "Year", "Month", "Quarter", "DayOfWeek", "WeekDay", "WeekOfYear",
+    "DayOfMonth", "DayOfYear", "Hour", "Minute", "LastDay", "NextDay")
+
+  private def timeGridAggregate(agg: SparkPlan,
+      grouping: Seq[Expression]): Boolean =
+    grouping.nonEmpty && grouping.forall(g => isTimeGrid(g, agg, depth = 4))
+
+  /** Minimum literal divisor per unix-time extractor that lands the
+    * quotient on (at least) the minute grid — the coarsest unit the r7
+    * hand audit accepted as domain-bounded ("O(distinct lag minutes)").
+    * `unix_micros(ts) div 86400000000` is the house day-grid idiom. */
+  private val unixDivisorFloor = Map(
+    "UnixMicros" -> 60000000L, "UnixMillis" -> 60000L,
+    "UnixSeconds" -> 60L, "UnixTimestamp" -> 60L, "ToUnixTimestamp" -> 60L)
+
+  private def isTimeGrid(e: Expression, scope: SparkPlan, depth: Int): Boolean =
+    e match {
+      case a: Alias => isTimeGrid(a.child, scope, depth)
+      // a cast TO DateType lands on the day grid regardless of source;
+      // casts of an already-grid value (date → timestamp for output
+      // typing) stay on the grid
+      case c: Cast =>
+        c.dataType == org.apache.spark.sql.types.DateType ||
+          isTimeGrid(c.child, scope, depth)
+      // unix_*(t) div L: a calendar grid of span/L units when L is a
+      // literal of at least one minute in the extractor's unit
+      case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide =>
+        (d.left, d.right) match {
+          case (l, org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)) =>
+            val base = l match { // unwrap an output-typing cast
+              case c: Cast => c.child
+              case other => other
+            }
+            unixDivisorFloor.get(base.getClass.getSimpleName).exists(v >= _)
+          case _ => false
+        }
+      case attr: Attribute if depth > 0 =>
+        definingExpr(scope, attr).exists(isTimeGrid(_, scope, depth - 1))
+      case other => timeGridClasses.contains(other.getClass.getSimpleName)
+    }
+
+  /** The expression an attribute was aliased from, found in a Project
+    * or aggregate result list anywhere in the subtree. */
+  private def definingExpr(scope: SparkPlan, attr: Attribute): Option[Expression] =
+    flatten(scope).iterator.flatMap {
+      case pr: ProjectExec => pr.projectList
+      case h: HashAggregateExec => h.resultExpressions ++ h.groupingExpressions
+      case h: ObjectHashAggregateExec => h.resultExpressions ++ h.groupingExpressions
+      case h: SortAggregateExec => h.resultExpressions ++ h.groupingExpressions
+      case _ => Nil
+    }.collectFirst {
+      case al: Alias if al.exprId == attr.exprId => al.child
+    }
 
   /** One string per plan-shape offence; empty = clean. */
   def violations(df: DataFrame): Seq[String] = {

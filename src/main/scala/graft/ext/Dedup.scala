@@ -213,7 +213,8 @@ object Dedup {
     * q164 dedup-aware split. */
   private[ext] def clusterLabels(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val (pairs, memb) = repCollapse(s, d)
+    val idx = repCollapse(s, d)
+    val (pairs, memb) = (verifiedPairs(idx), idx.memb)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -293,27 +294,40 @@ object Dedup {
     * which the full pipeline never pairs (no signature row); those are
     * excluded from the membership map to match.
     *
-    * Returns (repPairs, memb): verified rep-level pairs (doc_a < doc_b,
-    * both representatives) and the (doc_id, rep) membership map over
-    * shingle-bearing docs.
+    * Returns a [[RepIndex]]: UNFILTERED rep-level candidate stats
+    * (doc_a < doc_b, both representatives, with n_inter/n_a/n_b and the
+    * raw Jaccard double — consumers apply their own threshold), the
+    * (doc_id, rep) membership map over shingle-bearing docs, the rep
+    * MinHash signatures, and per-rep shingle counts. The index holds
+    * everything the calibration/curve queries (q35/q224/q225/q257) need
+    * to run at REP level and expand by multiplicity — the bound that
+    * keeps them linear in duplicate mass instead of quadratic.
     *
     * Cached per (session, sf dir) like [[cachedHashedShingles]]: the
     * rep relation is the materialized dedup index a real pipeline
     * builds once and every downstream consumer (survivors, clusters,
-    * curation) reads — q80/q84/q89 share one computation. Both frames
-    * are localCheckpoint'ed, so the cached plans are shallow; dropped
-    * entries are GC-reclaimed. */
+    * calibration, curation) reads. All frames are localCheckpoint'ed,
+    * so the cached plans are shallow; dropped entries are GC-reclaimed. */
+  private[ext] case class RepIndex(stats: DataFrame, memb: DataFrame,
+      sigs: DataFrame, nsh: DataFrame)
+
+  /** Verified rep pairs (r4-rounded Jaccard ≥ 0.8) — the q80/q84/q89
+    * threshold applied to the unfiltered index. */
+  private def verifiedPairs(idx: RepIndex): DataFrame =
+    idx.stats.filter(graft.Num.r4(col("jaccard")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+
   private val repCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession, (String, (DataFrame, DataFrame))]()
+    org.apache.spark.sql.SparkSession, (String, RepIndex)]()
   private def repCollapse(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) =
+      : RepIndex =
     repCache.compute(s, (_, prev) => prev match {
       case (`d`, v) => (d, v)
       case _ => (d, computeRepCollapse(s, d))
     })._2
 
   private def computeRepCollapse(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      : RepIndex = {
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
     val grp = docs
@@ -332,12 +346,19 @@ object Dedup {
       .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
         (1 until K).map(k =>
           min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-    val repPairs = jaccard(lshCandidates(sigs), repHashed)
-      .filter(graft.Num.r4(col("jaccard")) >= 0.8)
-      .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    (repPairs, memb)
+    val stats = jaccard(lshCandidates(sigs), repHashed)
+      .localCheckpoint()
+    val nsh = repHashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+      .withColumnRenamed("doc_id", "rep")
+      .localCheckpoint()
+    RepIndex(stats, memb, sigs, nsh)
   }
+
+  /** Exact-duplicate group sizes over shingle-bearing docs: (rep, c). */
+  private def groupSizes(idx: RepIndex): DataFrame =
+    idx.memb.groupBy(col("rep")).agg(count(lit(1)).as("c"))
 
   /** Per-doc smallest verified near-dup partner (`dup_of`), expanded
     * from the rep-level relation: a doc's partners are its own group's
@@ -375,23 +396,45 @@ object Dedup {
     Query(
       "q35_lsh_neardup_pairs",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // hash shingles ONCE, persist, and run both the signature
-        // aggregation and the Jaccard verification over the hashed ids —
-        // one raw-text pass, and the verification join shuffles longs,
-        // not shingle strings. The builder cannot see the caller's
-        // action, so it cannot unpersist after it — instead the cache is
-        // bounded to ONE entry per session: requesting a different sf
-        // dir evicts the previous one (Bench/Verify run dirs serially).
-        val hashed = cachedHashedShingles(s, d, docs)
-        val sigs = hashed
-          .groupBy(col("doc_id"))
-          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
-            (1 until K).map(k =>
-              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-        jaccard(lshCandidates(sigs), hashed)
-          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
-            col("n_b"), graft.Num.r4(col("jaccard")).as("jaccard"))
+        // REP-COLLAPSED plan (round 8): the doc-level candidate join is
+        // quadratic in duplicate mass (100× verbatim replication measured
+        // 477× time in BENCH_100X r7), but every LSH artifact — band
+        // keys, signatures, shingle sets, Jaccard — depends ONLY on the
+        // text. So the shingle-level verification runs ONCE per distinct
+        // text pair, and the doc-level pair list is recovered by pure id
+        // expansion: (a) a cross-group rep pair (A,B) expands to all
+        // (a∈A, b∈B) oriented by id, n_a/n_b swapped when the smaller id
+        // sits in B; (b) same-group pairs are always candidates (equal
+        // signatures collide in every band) with n_inter=n_a=n_b and
+        // J=1.0. EXACT: candidates(docs) = expand(candidates(reps)) ∪
+        // within-group pairs, and the per-pair stats are text functions.
+        // Work per output row is O(1); the OUTPUT itself is inherently
+        // quadratic in duplicate mass (it lists the pairs), which no
+        // plan can beat — the expensive shingle join no longer is.
+        val idx = repCollapse(s, d)
+        val cross = idx.stats
+          .join(idx.memb.select(col("rep").as("doc_a"), col("doc_id").as("ida")),
+            "doc_a")
+          .join(idx.memb.select(col("rep").as("doc_b"), col("doc_id").as("idb")),
+            "doc_b")
+          .select(least(col("ida"), col("idb")).as("da"),
+            greatest(col("ida"), col("idb")).as("db"),
+            col("n_inter"),
+            when(col("ida") < col("idb"), col("n_a")).otherwise(col("n_b")).as("na"),
+            when(col("ida") < col("idb"), col("n_b")).otherwise(col("n_a")).as("nb"))
+        val within = idx.memb.as("x")
+          .join(idx.memb.as("y"),
+            col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+          .join(idx.nsh.withColumnRenamed("rep", "r"), col("x.rep") === col("r"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            col("n_sh").as("n_inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
+        cross.union(within)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("n_inter"), col("na").as("n_a"), col("nb").as("n_b"),
+            // the SAME long-ratio double expression the jaccard() helper
+            // evaluates — identical long inputs, bit-identical result
+            graft.Num.r4(col("n_inter") /
+              (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
@@ -452,28 +495,39 @@ object Dedup {
     Query(
       "q224_minhash_calibration",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val hashed = cachedHashedShingles(s, d, docs)
-        val sigs = hashed
-          .groupBy(col("doc_id"))
-          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
-            (1 until K).map(k =>
-              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-        val ex = jaccard(lshCandidates(sigs), hashed)
-          .select(col("doc_a"), col("doc_b"),
-            floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
-              .as("exq"))
+        // REP-COLLAPSED + multiplicity-weighted (round 8): matches and
+        // exq are text functions, so every doc pair in a (group A,
+        // group B) cell shares them — aggregate rep pairs with weight
+        // |A|·|B| instead of materializing the pairs. Same-group pairs
+        // contribute C(c,2) at matches=K (equal signatures), exq=10^6
+        // (J exactly 1.0 → floor(1e6·1.0 + ε) = 1e6), ae=|8·125000−1e6|
+        // = 0. Every sum is the SAME int64 total the doc-level plan
+        // computed; the doubles divide identical longs. Fully linear in
+        // duplicate mass — this query was 100×-excluded in r7.
+        val idx = repCollapse(s, d)
+        val csize = groupSizes(idx)
         val matches = (0 until K)
           .map(k => when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
           .reduce(_ + _)
-        ex.join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("exq"), matches.as("matches"))
+        val cross = idx.stats
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
+              .as("exq"))
+          .join(idx.sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(idx.sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .join(csize.select(col("rep").as("doc_a"), col("c").as("ca")), "doc_a")
+          .join(csize.select(col("rep").as("doc_b"), col("c").as("cb")), "doc_b")
+          .select(col("exq"), matches.as("matches"),
+            (col("ca") * col("cb")).as("mult"))
+        val within = csize.filter(col("c") >= 2)
+          .select(lit(1000000L).as("exq"), lit(K).as("matches"),
+            expr("(c * (c - 1)) div 2").as("mult"))
+        cross.union(within)
           .groupBy(col("matches"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(col("exq")).as("sumex"),
-            sum(abs(col("matches").cast("long") * lit(125000L) - col("exq")))
-              .as("sumae"))
+          .agg(sum(col("mult")).as("n_pairs"),
+            sum(col("exq") * col("mult")).as("sumex"),
+            sum(abs(col("matches").cast("long") * lit(125000L) - col("exq"))
+              * col("mult")).as("sumae"))
           .select(col("matches"), (col("matches") * lit(0.125)).as("est_jaccard"),
             col("n_pairs"),
             graft.Num.r6(col("sumex").cast("double")
@@ -553,28 +607,38 @@ object Dedup {
     Query(
       "q225_simhash_calibration",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val hashed = cachedHashedShingles(s, d, docs)
-        val sigs = hashed
-          .groupBy(col("doc_id"))
-          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
-            (1 until K).map(k =>
-              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-        val ex = jaccard(lshCandidates(sigs), hashed)
+        // REP-COLLAPSED + multiplicity-weighted like q224: hamming and
+        // exq are text functions (identical texts → identical SimHash →
+        // hamming 0 within a group), so rep pairs aggregate with weight
+        // |A|·|B| and groups contribute C(c,2) at hamming=0, exq=10^6.
+        // The simhash token pass still runs over the corpus once
+        // (linear); only the PAIR stage collapses.
+        val idx = repCollapse(s, d)
+        val csize = groupSizes(idx)
+        val sh = simhash(Tables.documents(s, d)) // (doc_id, simhash)
+        val cross = idx.stats
           .select(col("doc_a"), col("doc_b"),
             floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
               .as("exq"))
-        val sh = simhash(docs) // (doc_id, simhash)
-        ex.join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
+          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
             Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")),
             Seq("doc_b"))
+          .join(csize.select(col("rep").as("doc_a"), col("c").as("ca")), "doc_a")
+          .join(csize.select(col("rep").as("doc_b"), col("c").as("cb")), "doc_b")
           .select(col("exq"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"),
+            (col("ca") * col("cb")).as("mult"))
+        val within = csize.filter(col("c") >= 2)
+          .select(lit(1000000L).as("exq"),
+            bit_count(lit(0L)).as("hamming"), // 0, typed like the xor path
+            expr("(c * (c - 1)) div 2").as("mult"))
+        cross.union(within)
           .groupBy(col("hamming"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("exq") >= 800000L, 1L).otherwise(0L)).as("n_true"),
-            sum(col("exq")).as("sumex"))
+          .agg(sum(col("mult")).as("n_pairs"),
+            sum(when(col("exq") >= 800000L, col("mult")).otherwise(0L))
+              .as("n_true"),
+            sum(col("exq") * col("mult")).as("sumex"))
           .select(col("hamming"), col("n_pairs"), col("n_true"),
             graft.Num.r6(col("n_true").cast("double")
               / col("n_pairs").cast("double")).as("true_share"),
@@ -665,9 +729,9 @@ object Dedup {
     Query(
       "q80_neardup_survivors",
       (s, d) => {
-        val (repPairs, memb) = repCollapse(s, d)
+        val idx = repCollapse(s, d)
         Tables.documents(s, d).select(col("doc_id"))
-          .join(minPartner(repPairs, memb), Seq("doc_id"), "left")
+          .join(minPartner(verifiedPairs(idx), idx.memb), Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("kept"),
             coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .orderBy(col("doc_id"))
@@ -718,8 +782,8 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
         val hashed = cachedHashedShingles(s, d, docs)
-        val (repPairs, memb) = repCollapse(s, d)
-        val dupOf = minPartner(repPairs, memb)
+        val idx = repCollapse(s, d)
+        val dupOf = minPartner(verifiedPairs(idx), idx.memb)
           .withColumnRenamed("doc_id", "doc_b")
         val bench = hashed.filter(col("doc_id") % 20 === 0)
           .select(col("sh")).distinct()
@@ -890,36 +954,63 @@ object Dedup {
     Query(
       "q257_dedup_threshold_curve",
       (s, d) => {
+        // REP-COLLAPSED sweep (round 8): pair counts aggregate rep pairs
+        // by multiplicity |A|·|B| (+ C(c,2) same-group pairs, which fire
+        // at every threshold ≤ 0.9 since their exq is exactly 10^6); the
+        // greedy DROP SET reduces to a per-doc predicate — doc x (group
+        // G) is some firing pair's doc_b at threshold t iff a smaller
+        // partner exists, i.e. x > rep(G) (same-group pairs always fire)
+        // OR min rep over G's t-firing partner groups < x (that min IS
+        // the smallest cross partner, reps being group minima). Both
+        // sides are linear in the corpus; nothing quadratic remains.
+        val idx = repCollapse(s, d)
         val docs = Tables.documents(s, d)
-        val hashed = cachedHashedShingles(s, d, docs)
-        val sigs = hashed
-          .groupBy(col("doc_id"))
-          .agg(min((col("sh") * permA(0) + permB(0)) % P).as("m0"),
-            (1 until K).map(k =>
-              min((col("sh") * permA(k) + permB(k)) % P).as(s"m$k")): _*)
-        val ex = jaccard(lshCandidates(sigs), hashed)
+        val csize = groupSizes(idx)
+        val ex = idx.stats
           .select(col("doc_a"), col("doc_b"),
             floor(col("jaccard") * 1000000 + lit(0.500001)).cast("long")
               .as("exq"))
-          .localCheckpoint() // candidate pairs scored once, swept 5×
+          .localCheckpoint() // rep pairs scored once, swept 5×
         val tk = docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
         val tot = tk.agg(sum(col("ntok")).as("total_tokens")) // 1 row
         val spine = s.range(5, 10).select(col("id").as("tenths"))
         val fired = ex.crossJoin(broadcast(spine))
           .filter(col("exq") >= col("tenths") * lit(100000L))
-        val pairs = fired.groupBy(col("tenths"))
-          .agg(count(lit(1)).as("n_pairs"))
-        val drops = fired.select(col("tenths"), col("doc_b")).distinct()
-          .join(tk, col("doc_b") === col("doc_id"))
+          .localCheckpoint() // consumed by the pair count AND the drop set
+        val crossPairs = fired
+          .join(csize.select(col("rep").as("doc_a"), col("c").as("ca")), "doc_a")
+          .join(csize.select(col("rep").as("doc_b"), col("c").as("cb")), "doc_b")
+          .groupBy(col("tenths"))
+          .agg(sum(col("ca") * col("cb")).as("np"))
+        val withinPairs = csize
+          .agg(sum(expr("(c * (c - 1)) div 2")).as("wp")) // 1 row, null if no groups
+        val pairs = spine.join(crossPairs, Seq("tenths"), "left")
+          .crossJoin(broadcast(withinPairs))
+          .select(col("tenths"),
+            (coalesce(col("np"), lit(0L)) + coalesce(col("wp"), lit(0L)))
+              .as("n_pairs"))
+        // smallest cross-group partner rep per (group, threshold)
+        val mpart = fired
+          .select(col("tenths"), col("doc_a").as("rep"), col("doc_b").as("p"))
+          .union(fired
+            .select(col("tenths"), col("doc_b").as("rep"), col("doc_a").as("p")))
+          .groupBy(col("tenths"), col("rep")).agg(min(col("p")).as("mp"))
+        val dropped = idx.memb.crossJoin(broadcast(spine))
+          .join(mpart, Seq("tenths", "rep"), "left")
+          .filter(col("doc_id") > col("rep") ||
+            (col("mp").isNotNull && col("mp") < col("doc_id")))
+          .select(col("tenths"), col("doc_id"))
+        val drops = dropped
+          .join(tk, Seq("doc_id"))
           .groupBy(col("tenths"))
           .agg(count(lit(1)).as("n_dropped_docs"),
             sum(col("ntok")).as("tokens_dropped"))
-        spine.join(pairs, Seq("tenths"), "left")
+        pairs
           .join(drops, Seq("tenths"), "left")
           .crossJoin(broadcast(tot))
           .select(col("tenths").as("threshold_tenths"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            col("n_pairs"),
             coalesce(col("n_dropped_docs"), lit(0L)).as("n_dropped_docs"),
             coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
             graft.Num.r6(coalesce(col("tokens_dropped"), lit(0L))

@@ -35,28 +35,21 @@ class PlanAuditSpec extends SparkSpec {
     "q120_rrf_fusion" -> "probe side is a unique-key filter (vec_id = 0): exactly 1 row",
     "q159_pc1_auc" -> "label grid: distinct binary labels, 2 rows",
     "q266_hellinger_tv" -> "source grid: O(distinct sources) rows",
-    "q304_overdispersion" -> "day grid: O(active days) rows, constant in volume",
-    "q327_negbin_fit" -> "day grid: O(active days) rows, constant in volume",
-    // --- unpartitioned window over an O(domain) frame
+    // --- unpartitioned window over an O(domain) frame. The 14 DAY-GRID
+    // entries the r7 audit carried here are GONE: PlanAudit.bounded now
+    // proves calendar grids mechanically (aggregate grouped only by
+    // date truncations / unix_*(t) div L with L >= a minute), and the
+    // stale-guard below would fail if they were still listed. What
+    // remains is the residue the detector genuinely cannot prove:
+    // histograms over QUANTIZED VALUES or value DIFFERENCES, whose
+    // domain bound is a data-range argument, not a calendar one.
     "q281_conversion_lag" -> "minute histogram: O(distinct lag minutes) bins",
     "q289_cliffs_delta" -> "value histogram ECDF staircase: O(distinct quantized values)",
-    "q301_page_hinkley" -> "day grid cumulative scan: O(active days)",
-    "q309_dickey_fuller" -> "day grid: O(active days)",
     "q315_anderson_darling" -> "gap-minute histogram: O(distinct minutes)",
     "q316_energy_distance" -> "value histogram ECDF staircase: O(distinct quantized values)",
     "q329_cramer_von_mises" -> "value histogram ECDF staircase: O(distinct quantized values)",
-    "q330_granger" -> "day grid: O(active days)",
-    "q343_calendar_gaps" -> "day grid: O(active days)",
-    "q351_runs_test" -> "day grid: O(active days)",
     "q358_mood_median" -> "per-source value histogram: O(distinct quantized values)",
-    "q361_sprt" -> "day grid sequential scan: O(active days)",
-    "q365_pinball" -> "day grid: O(active days)",
-    "q368_pettitt" -> "day grid: O(active days)",
-    "q371_seasonal_mase" -> "day grid: O(active days)",
     "q375_skyline" -> "length-domain staircase: O(distinct doc lengths)",
-    "q388_turning_points" -> "day grid: O(active days)",
-    "q393_forecast_scorecard" -> "day grid: O(active days)",
-    "q400_records_test" -> "day grid: O(active days)",
     "q98_mix_weights" -> "source grid: O(distinct sources) rows")
 
   test("full registry: zero plan-shape violations outside the audited domain-bounded list") {
@@ -108,6 +101,50 @@ class PlanAuditSpec extends SparkSpec {
     // case the domain-bounded allowlist exists for
     assert(!PlanAudit.bounded(planOf(li.filter(col("l_orderkey") < 30))))
     assert(!PlanAudit.bounded(planOf(li)))
+  }
+
+  test("calendar-grid prover: day/minute grids pass, id and sub-minute groupings stay red") {
+    import org.apache.spark.sql.functions._
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan
+    val ev = Tables.events(spark, sf())
+    // the house day-grid idiom: unix_micros div one-day literal
+    val dayGrid = ev
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    assert(PlanAudit.bounded(planOf(dayGrid)),
+      "aggregate grouped by unix_micros div day must prove bounded")
+    // date_trunc and to_date land on the grid too
+    val trunc = ev.groupBy(date_trunc("day", col("ts")).as("d")).count()
+    assert(PlanAudit.bounded(planOf(trunc)),
+      "aggregate grouped by date_trunc must prove bounded")
+    // grouping by an ID is row-proportional — must stay red
+    val byUser = ev.groupBy(col("user_id")).count()
+    assert(!PlanAudit.bounded(planOf(byUser)),
+      "id grouping must NOT prove bounded")
+    // a mixed grouping (grid + id) is still row-proportional
+    val mixed = ev
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id")).count()
+    assert(!PlanAudit.bounded(planOf(mixed)),
+      "day+id grouping must NOT prove bounded")
+    // a sub-minute divisor does not reach the accepted grid
+    val seconds = ev
+      .select(expr("unix_micros(ts) div 1000000").as("sec"))
+      .groupBy(col("sec")).count()
+    assert(!PlanAudit.bounded(planOf(seconds)),
+      "second-grain grouping must NOT prove bounded")
+    // the planted failure class stays red END TO END: a global window
+    // over a day grid is fine, over the raw table it is not
+    import org.apache.spark.sql.expressions.Window
+    val gridWin = dayGrid.withColumn("rn",
+      row_number().over(Window.orderBy(col("day"))))
+    assert(PlanAudit.violations(gridWin).isEmpty,
+      "global window over a proven day grid must pass")
+    val rawWin = ev.withColumn("rn",
+      row_number().over(Window.orderBy(col("ts"))))
+    assert(PlanAudit.violations(rawWin).nonEmpty,
+      "global window over the raw table must stay flagged")
   }
 
   test("1-row global aggregates are broadcast, not cartesian") {
