@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   stream  — two forked fresh-JVM StreamBench runs; skipped if the
   *             remaining budget is under the reserve.
   *
-  * `SPARK_GRAFT_BENCH_BUDGET_S` (default 1350) bounds this main's own
+  * `SPARK_GRAFT_BENCH_BUDGET_S` (default 1500) bounds this main's own
   * wall clock; the artifact records which rungs ran (`"passes"`,
   * `stream_eps = -1` when skipped) so rounds stay comparable. min-of-2
   * after an effective warmup matches the r6/r7 protocol closely enough
@@ -33,7 +33,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1350").toDouble
+    // default calibrated against the driver's observed wall ceiling:
+    // round 6's full run succeeded at 1633 s of sbt wall, round 7's was
+    // killed at what would have been ≈1890 s — so the ceiling sits in
+    // (1633, 1890]. 1500 s for this main + ~100 s sbt/JVM start stays
+    // under it, and the pass-2 gate degrades gracefully when a loaded
+    // machine makes pass 1 slow
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
     def remainingS: Double = budgetS - elapsedS
     Quiet.install()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

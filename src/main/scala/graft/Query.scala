@@ -62,7 +62,7 @@ object Registry {
       ext.LmQuality3.queries ++ ext.Similarity2.queries ++ ext.Eval.queries ++
       ext.Corpus3.queries ++ ext.Stats2.queries ++ ext.Classify.queries ++
       ext.Cohorts.queries ++ ext.Quality3.queries ++ ext.Behavior2.queries ++
-      ext.Stats3.queries ++ ext.RankTests.queries ++ ext.Iterative.queries ++ ext.Curves2.queries ++ ext.Motifs.queries ++ ext.Depend.queries ++ ext.Weights.queries ++ ext.Tail.queries ++ ext.Agree.queries ++ ext.Profile.queries ++ ext.Curation2.queries ++ ext.Dynamics.queries ++ ext.Rates.queries ++ ext.Regress.queries ++ ext.Lexical.queries ++ ext.Coherence.queries ++ ext.Extreme.queries ++ ext.Calendar.queries ++ ext.Intrinsic.queries ++ ext.EmbedQuality.queries ++ ext.Stationarity.queries ++ ext.Lexical2.queries ++ ext.Curation3.queries ++ ext.Shift.queries ++ ext.Inequality.queries ++ ext.Product.queries ++ ext.Laws.queries ++ ext.SetJoin.queries ++ ext.Intervals.queries ++ ext.Causal.queries
+      ext.Stats3.queries ++ ext.RankTests.queries ++ ext.Iterative.queries ++ ext.Curves2.queries ++ ext.Motifs.queries ++ ext.Depend.queries ++ ext.Weights.queries ++ ext.Tail.queries ++ ext.Agree.queries ++ ext.Profile.queries ++ ext.Curation2.queries ++ ext.Dynamics.queries ++ ext.Rates.queries ++ ext.Regress.queries ++ ext.Lexical.queries ++ ext.Coherence.queries ++ ext.Extreme.queries ++ ext.Calendar.queries ++ ext.Intrinsic.queries ++ ext.EmbedQuality.queries ++ ext.Stationarity.queries ++ ext.Lexical2.queries ++ ext.Curation3.queries ++ ext.Shift.queries ++ ext.Inequality.queries ++ ext.Product.queries ++ ext.Laws.queries ++ ext.SetJoin.queries ++ ext.Intervals.queries ++ ext.Causal.queries ++ ext.Packing.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
