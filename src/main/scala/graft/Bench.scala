@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
   * passes) + 2 forked streaming runs no longer fit. The ladder now is:
   *
   *   pass 1  — timed, cold (doubles as the warmup; always runs)
-  *   pass 2  — timed, warm; per-query result = min(pass1, pass2).
-  *             Runs only if the measured pass-1 time fits the remaining
-  *             budget with streaming reserve + 15% headroom.
+  *   pass 2  — timed, warm, INTERRUPTIBLE: re-times queries one at a
+  *             time while budget (minus the streaming reserve and a
+  *             30 s margin) remains; a re-timed query reports
+  *             min(cold, warm), the rest keep pass 1. `"pass2_n"`
+  *             records how many were re-timed.
   *   stream  — two forked fresh-JVM StreamBench runs; skipped if the
   *             remaining budget is under the reserve.
   *
@@ -83,7 +85,7 @@ object Bench {
     // EVERY completed rung so a later timeout kill still leaves a
     // complete, parseable line as the last JSON in the driver's tail
     def emit(results: Map[String, Double], passes: Int, eps: Long,
-        epsRuns: Seq[Long]): Unit = {
+        epsRuns: Seq[Long], pass2n: Int = 0): Unit = {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + s3(v) }
         .mkString("{", ",", "}")
@@ -94,14 +96,14 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val runsJson = epsRuns.mkString("[", ",", "]")
       val detailed =
-        s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"stream_eps":$eps,"stream_eps_runs":$runsJson}"""
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"pass2_n":$pass2n,"stream_eps":$eps,"stream_eps_runs":$runsJson}"""
       writeQueryMap(detailed, fullRegistry, sfDir, results.size)
       // detailed per-query line first (for humans / full logs) ...
       println(detailed)
       // ... then a SHORT final line: the driver keeps only a bounded tail
       // of stdout — the LAST line must be self-contained and small so
       // json.loads always sees one complete object at the end of the tail
-      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","passes":$passes,"stream_eps":$eps,"stream_eps_runs":$runsJson,"wall":${s3(elapsedS)},"qfile":"BENCH_QUERIES.json"}""")
+      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","passes":$passes,"pass2_n":$pass2n,"stream_eps":$eps,"stream_eps_runs":$runsJson,"wall":${s3(elapsedS)},"qfile":"BENCH_QUERIES.json"}""")
     }
 
     // pass 1: timed, cold — the first run also JITs + fills codegen and
@@ -109,23 +111,35 @@ object Bench {
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     val pass1Wall = elapsedS
     emit(pass1, passes = 1, eps = -1L, epsRuns = Nil)
-    // pass 2 only if it fits: measured pass-1 wall × 1.15 headroom, after
-    // holding back the streaming reserve
+    // pass 2 is INTERRUPTIBLE: re-time queries one at a time while the
+    // remaining budget (after the streaming reserve, with a 30 s margin)
+    // allows — a query re-timed warm gets min(cold, warm), the rest keep
+    // their cold pass-1 number. An all-or-nothing gate wasted the round-8
+    // measurement: pass 1 took 717 s of a 1500 s budget, leaving 540 s
+    // that could warm-retime ~80% of the suite but not 100% — so retime
+    // as much as fits instead of nothing. `"pass2_n"` records coverage.
     val streamReserve = if (fullRegistry) StreamReserveS else 0.0
-    val runPass2 = remainingS - streamReserve > pass1Wall * 1.15
-    val results =
-      if (runPass2) {
-        val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-        val merged = selected.keys.map { name =>
-          val (a, b) = (pass1(name), pass2(name))
-          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-        }.toMap
-        emit(merged, passes = 2, eps = -1L, epsRuns = Nil)
-        merged
-      } else {
-        println(s"[bench] skipping pass 2: ${s3(remainingS)}s left of ${s3(budgetS)}s budget")
-        pass1
+    var pass2n = 0
+    val results = {
+      val merged = scala.collection.mutable.Map[String, Double](pass1.toSeq: _*)
+      val it = selected.iterator
+      var go = true
+      while (go && it.hasNext) {
+        if (remainingS - streamReserve < 30.0) {
+          println(s"[bench] pass 2 stopped after $pass2n/${selected.size} queries: ${s3(remainingS)}s left of ${s3(budgetS)}s budget")
+          go = false
+        } else {
+          val (name, fn) = it.next()
+          val warm = timeOnce(name, fn)
+          val cold = pass1(name)
+          merged(name) = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
+          pass2n += 1
+        }
       }
+      merged.toMap
+    }
+    if (pass2n > 0) emit(results, passes = 2, eps = -1L, epsRuns = Nil,
+      pass2n = pass2n)
     spark.stop()
     // streaming throughput under a PINNED protocol (full driver runs
     // only): two FRESH forked JVMs each driving graft.StreamBench at
@@ -136,7 +150,8 @@ object Bench {
       if (fullRegistry && remainingS > streamReserve) Seq(streamEpsOnce(), streamEpsOnce())
       else { if (fullRegistry) println(s"[bench] skipping streaming forks: ${s3(remainingS)}s left"); Nil }
     val eps = if (epsRuns.nonEmpty) epsRuns.max else -1L
-    emit(results, passes = if (runPass2) 2 else 1, eps = eps, epsRuns = epsRuns)
+    emit(results, passes = if (pass2n > 0) 2 else 1, eps = eps,
+      epsRuns = epsRuns, pass2n = pass2n)
   }
 
   /** Full-registry sf0.1 runs own `BENCH_QUERIES.json`; anything else
