@@ -69,8 +69,13 @@ object Bench {
         println(s"[bench] FAILED $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
         false
       }
-    // optional args = subset of query names (dev loop); driver passes none
+    // optional args = subset of query names (dev loop); driver passes none.
+    // Unknown names must be LOUD: filterKeys silently dropped typos (a
+    // 5-sentinel subset request quietly ran n=4 with nfail=0)
     val fullRegistry = args.isEmpty
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (fullRegistry) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -97,13 +102,16 @@ object Bench {
       val runsJson = epsRuns.mkString("[", ",", "]")
       val detailed =
         s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"pass2_n":$pass2n,"stream_eps":$eps,"stream_eps_runs":$runsJson}"""
-      writeQueryMap(detailed, fullRegistry, sfDir, results.size)
+      val qfile = writeQueryMap(detailed, fullRegistry, sfDir, results.size)
       // detailed per-query line first (for humans / full logs) ...
       println(detailed)
       // ... then a SHORT final line: the driver keeps only a bounded tail
       // of stdout — the LAST line must be self-contained and small so
-      // json.loads always sees one complete object at the end of the tail
-      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","passes":$passes,"pass2_n":$pass2n,"stream_eps":$eps,"stream_eps_runs":$runsJson,"wall":${s3(elapsedS)},"qfile":"BENCH_QUERIES.json"}""")
+      // json.loads always sees one complete object at the end of the tail.
+      // `qfile` is the file writeQueryMap ACTUALLY wrote (round 8 hardcoded
+      // the canonical name even when the write was diverted to the partial
+      // file, pointing readers at a stale map)
+      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"nfail":${failed.size},"sf":"$sfDir","passes":$passes,"pass2_n":$pass2n,"stream_eps":$eps,"stream_eps_runs":$runsJson,"wall":${s3(elapsedS)},"qfile":"$qfile"}""")
     }
 
     // pass 1: timed, cold — the first run also JITs + fills codegen and
@@ -161,13 +169,25 @@ object Bench {
     * sf10 run TWICE (cdef9c6 repaired, 86b9336 reintroduced). */
   private[graft] def writeQueryMap(detailed: String, fullRegistry: Boolean,
       sfDir: String, n: Int,
-      baseDir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit = {
+      baseDir: java.nio.file.Path = java.nio.file.Paths.get(".")): String = {
     val canonical = fullRegistry && sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val target = baseDir.resolve("BENCH_QUERIES.json")
+    // count the keys INSIDE the "queries" object only — the round-8 regex
+    // ("q[^"]*":) also matched the "queries": key itself, so a steady-state
+    // full run (same registry size) read existingN = n + 1 and every
+    // canonical refresh was silently diverted to the partial file
     val existingN =
-      if (java.nio.file.Files.exists(target))
-        "\"q[^\"]*\":".r.findAllIn(java.nio.file.Files.readString(target)).size
-      else 0
+      if (java.nio.file.Files.exists(target)) {
+        val s = java.nio.file.Files.readString(target)
+        val open = s.indexOf("\"queries\":{")
+        if (open < 0) 0
+        else {
+          val start = open + "\"queries\":{".length
+          val close = s.indexOf('}', start) // flat object: values are numbers
+          val body = if (close < 0) "" else s.substring(start, close)
+          "\"[^\"]+\":".r.findAllIn(body).size
+        }
+      } else 0
     val path =
       if (canonical && n >= existingN) target
       else {
@@ -176,6 +196,7 @@ object Bench {
         baseDir.resolve("BENCH_QUERIES_partial.json")
       }
     java.nio.file.Files.write(path, (detailed + "\n").getBytes("UTF-8"))
+    path.getFileName.toString
   }
 
   /** Fork `graft.StreamBench 100 600` in a fresh JVM (inheriting this

@@ -75,9 +75,20 @@ object PlanAudit {
     * matter the input: truncations collapse to time units, extractions
     * to small integer ranges. */
   private val timeGridClasses = Set(
-    "TruncTimestamp", "TruncDate", "ParseToDate", "MakeDate",
+    // TruncDate stays unit-free: its INPUT is already DateType, so the
+    // output domain is a subset of the day grid whatever the unit.
+    // TruncTimestamp is handled separately below — its unit must be
+    // minute or coarser (date_trunc('second', ts) is row-proportional
+    // on dense event data, the same reason unixDivisorFloor exists)
+    "TruncDate", "ParseToDate", "MakeDate",
     "Year", "Month", "Quarter", "DayOfWeek", "WeekDay", "WeekOfYear",
     "DayOfMonth", "DayOfYear", "Hour", "Minute", "LastDay", "NextDay")
+
+  /** date_trunc units at least as coarse as a minute (Spark's accepted
+    * unit vocabulary minus SECOND/MILLISECOND/MICROSECOND). */
+  private val coarseTruncUnits = Set(
+    "minute", "min", "hour", "day", "dd", "week",
+    "month", "mon", "mm", "quarter", "year", "yyyy", "yy")
 
   private def timeGridAggregate(agg: SparkPlan,
       grouping: Seq[Expression]): Boolean =
@@ -110,6 +121,14 @@ object PlanAudit {
               case other => other
             }
             unixDivisorFloor.get(base.getClass.getSimpleName).exists(v >= _)
+          case _ => false
+        }
+      // timestamp truncation is only a bounded grid for minute-or-coarser
+      // units, mirroring unixDivisorFloor; finer or non-literal units fail
+      case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp =>
+        t.format match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(u, _) if u != null =>
+            coarseTruncUnits.contains(u.toString.toLowerCase(java.util.Locale.ROOT))
           case _ => false
         }
       case attr: Attribute if depth > 0 =>

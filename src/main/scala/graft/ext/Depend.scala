@@ -196,13 +196,15 @@ object Depend {
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("i"), col("next_type").as("j"))
           .agg(count(lit(1)).as("n"))
+          // checkpoint the type-bounded matrix ONCE: tot/states/m/rowH
+          // would each re-evaluate the events-window pipeline otherwise
+          .localCheckpoint()
         val tot = trans.groupBy(col("i")).agg(sum(col("n")).as("t"))
         val states = trans.select(col("i").as("state"))
-          .union(trans.select(col("j"))).distinct().localCheckpoint()
+          .union(trans.select(col("j"))).distinct()
         val m = trans.join(broadcast(tot), Seq("i"))
           .select(col("i"), col("j"),
             expr(s"(2 * n * $SCALE + t) div (2 * t)").as("ppb"))
-          .localCheckpoint()
         // per-state row entropy: −Σ p ln p from the exact count ratio
         val rowH = trans.join(broadcast(tot), Seq("i"))
           .select(col("i"),
@@ -211,16 +213,10 @@ object Depend {
               * lit(1e9) + lit(0.5)).cast("long").as("hq"))
           .groupBy(col("i")).agg(sum(col("hq")).as("hrowq"))
         val mFull = m.union(states.select(col("state"), col("state"), lit(0L)))
-          .localCheckpoint()
-        val k = states.count() // bounded driver algebra (event-type count)
-        var v = states.select(col("state"), lit(SCALE / k).as("vp"))
-        for (_ <- 1 to 12) {
-          v = v.join(mFull, v("state") === mFull("i"))
-            .select(mFull("j").as("state"), (v("vp") * mFull("ppb")).as("x"))
-            .groupBy(col("state"))
-            .agg(expr(s"(2 * sum(x) + $SCALE) div ${2 * SCALE}").as("vp"))
-            .localCheckpoint()
-        }
+        // round 9: was 12 driver-loop Spark jobs — see MarkovPack in
+        // Iterative.scala (same 12 forward rounds as q292, bit-identical)
+        val v = MarkovPack.unpack(
+          MarkovPack.pack(states, mFull), MarkovPack.forwardRounds(12))
         v.join(rowH, v("state") === rowH("i"))
           .select(col("state"), col("vp"), col("hrowq"))
           .agg(sum((col("vp") * col("hrowq")).cast("decimal(38,0)")).as("sh"),

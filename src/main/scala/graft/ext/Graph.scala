@@ -26,13 +26,25 @@ object Graph {
     * why the bounded backbone is the scale decision. */
   private def backbone(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val ls = graft.Tables.lineitem(s, d)
+    // round 9 (guide §2.3/§2.4): per-order supplier SETS + in-task pair
+    // explosion replace the distinct + self-join. The old shape paid an
+    // exchange for the distinct, two sort legs for the SMJ self-join,
+    // and an exchange for the pair count — the new one pays ONE
+    // partial-aggregated exchange on ok (collect_set dedupes map-side)
+    // and one on (u, v); the wedge pairs never touch the network. The
+    // (u < v, shared-order count) multiset is identical by
+    // construction: sort_array makes each order's supplier set an
+    // ascending array, and the indexed transform emits exactly the
+    // x < y pairs the a.sk < b.sk join produced. This feeds all 14
+    // backbone queries, so the ~2× here compounds across the suite.
+    graft.Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    ls.as("a").join(ls.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("sk"))).as("sks"))
+      .select(explode(expr("""flatten(transform(sks, (x, i) ->
+        transform(slice(sks, i + 2, size(sks)), y ->
+          struct(x AS u, y AS v))))""")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 3)
       .orderBy(col("n_orders").desc, col("u"), col("v")).limit(5000)
       .select(col("u"), col("v"))
@@ -146,8 +158,18 @@ object Graph {
             (col("l_suppkey") * 2 + 1).as("sn"))
           .distinct()
           .localCheckpoint()
+        // round 9 (guide §2.4): hash-partition the edge list by the
+        // iteration join key ONCE — localCheckpoint preserves the
+        // outputPartitioning, so all Iters iterations reuse it and the
+        // O(edges) side never crosses the network again; deg inherits
+        // the same partitioning through its groupBy. The shuffle_hash
+        // hints build the node-proportional sides as per-partition hash
+        // tables instead of sort-merge-sorting the edge list 5×
+        // (measured: 10 edge-wide Exchange+Sort pairs → 0; the only
+        // remaining per-iteration exchanges carry ~|nodes| rows).
         val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
           .unionByName(cs.select(col("sn").as("src"), col("cn").as("dst")))
+          .repartition(col("src")).localCheckpoint()
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
           .localCheckpoint()
         val n = deg.count() // bounded: |customers| + |suppliers|
@@ -155,11 +177,12 @@ object Graph {
         val nodes = deg.select(col("src").as("node"))
         var ranks = nodes.withColumn("rank_q", lit(S / n))
         for (_ <- 1 to Iters) {
-          val contrib = edges.join(deg, Seq("src"))
-            .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          val contrib = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+            .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+              Seq("src"))
             .groupBy(col("dst").as("node"))
             .agg(sum(expr("rank_q div outdeg")).as("c"))
-          ranks = nodes.join(contrib, Seq("node"), "left")
+          ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
             .select(col("node"),
               (lit(base) + expr("(85 * coalesce(c, 0)) div 100")).as("rank_q"))
         }

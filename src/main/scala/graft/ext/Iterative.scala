@@ -15,6 +15,47 @@ import org.apache.spark.sql.functions._
   * the recursive join alive — an outer join in the recursive term
   * would recurse forever on NULL iteration counters.
   */
+/** Shared round-9 re-plan for the bounded Markov power iterations
+  * (q292 / q305; q442 and q403 carry variants inline): the chains are
+  * bounded by the event-type vocabulary, so instead of one Spark job
+  * per iteration (driver loop + localCheckpoint, ~0.2 s of scheduler
+  * overhead each at ANY scale factor) the states and edges pack into
+  * ONE row and every round runs inside a single whole-stage-codegen
+  * `aggregate` over arrays. The arithmetic is the same edge multiset
+  * and the same (2·Σ ppb·vp + SCALE) div (2·SCALE) round-half-up on
+  * exact int64 — integer sums are order-independent, so the iterates
+  * are bit-identical to the loop form and the DuckDB recursive CTEs. */
+private[ext] object MarkovPack {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  val SCALE = 1000000000L
+
+  /** One-row frame (sts: sorted state array, es: edge struct array)
+    * from a single-column states frame and an (i, j, ppb) edge frame. */
+  def pack(states: DataFrame, edges: DataFrame): DataFrame =
+    states.toDF("state").agg(sort_array(collect_list(col("state"))).as("sts"))
+      .crossJoin(broadcast(edges.toDF("i", "j", "ppb")
+        .agg(collect_list(struct(col("i"), col("j"), col("ppb"))).as("es"))))
+
+  /** `rounds` forward power iterations (π ← πP) from the uniform
+    * SCALE div |states| start: the inner filter matches edge TARGETS
+    * (e.j = st), products read the accumulator at the SOURCE. */
+  def forwardRounds(rounds: Int): Column = expr(s"""
+    aggregate(sequence(1, $rounds),
+      transform(sts, st -> ${SCALE}L div CAST(size(sts) AS BIGINT)),
+      (acc, it) -> transform(sts, st ->
+        (2 * aggregate(filter(es, e -> e.j = st), 0L,
+             (s, e) -> s + e.ppb *
+               element_at(acc, CAST(array_position(sts, e.i) AS INT)))
+           + ${SCALE}L) div ${2 * SCALE}L))""")
+
+  /** (state, vp) rows back out of a packed frame. */
+  def unpack(packed: DataFrame, v: Column): DataFrame =
+    packed.withColumn("vfin", v)
+      .select(explode(arrays_zip(col("sts"), col("vfin"))).as("z"))
+      .select(col("z.sts").as("state"), col("z.vfin").as("vp"))
+}
+
 object Iterative {
 
   /** Scala twin of the SQL `(2*w*SCALE + d) div (2*d)` round-half-up. */
@@ -40,6 +81,9 @@ object Iterative {
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("i"), col("next_type").as("j"))
           .agg(count(lit(1)).as("n"))
+          // checkpoint the type-bounded matrix ONCE: tot/states/m would
+          // each re-evaluate the events-window pipeline otherwise
+          .localCheckpoint()
         val tot = trans.groupBy(col("i")).agg(sum(col("n")).as("t"))
         val states = trans.select(col("i").as("state"))
           .union(trans.select(col("j"))).distinct().localCheckpoint()
@@ -47,18 +91,10 @@ object Iterative {
           .select(col("i"), col("j"),
             expr(s"(2 * n * $SCALE + t) div (2 * t)").as("ppb"))
           .union(states.select(col("state"), col("state"), lit(0L)))
-          .localCheckpoint()
-        // bounded driver algebra: |states| is the event-type count, a
-        // plan-time constant (the q78 discipline)
-        val k = states.count()
-        var v = states.select(col("state"), lit(SCALE / k).as("vp"))
-        for (_ <- 1 to 12) {
-          v = v.join(m, v("state") === m("i"))
-            .select(m("j").as("state"), (v("vp") * m("ppb")).as("x"))
-            .groupBy(col("state"))
-            .agg(expr(s"(2 * sum(x) + $SCALE) div ${2 * SCALE}").as("vp"))
-            .localCheckpoint()
-        }
+        // round 9: was 12 driver-loop Spark jobs — see [[MarkovPack]].
+        // v0 = SCALE div |states| replaces the driver-side count().
+        val v = MarkovPack.unpack(
+          MarkovPack.pack(states, m), MarkovPack.forwardRounds(12))
         v.select(col("state").as("event_type"), col("vp").as("ppb"),
             Num.r6(col("vp").cast("double") / lit(1e9)).as("stationary_p"))
           .orderBy(col("event_type"))
@@ -186,29 +222,40 @@ object Iterative {
           .select(col("t").as("a"), col("nt").as("b"))
           .join(broadcast(top.select(col("t").as("a"))), Seq("a"))
           .join(broadcast(top.select(col("t").as("b"))), Seq("b"))
-        val und = adj.select(col("a").as("i"), col("b").as("j"))
-          .union(adj.select(col("b"), col("a")))
-          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+        // round 9: count directed pairs FIRST, then symmetrize the
+        // bounded (≤ 100² rows) count table — the old union(adj, adj)
+        // shape evaluated the whole posexplode+window pipeline four
+        // times (twice for und, twice more through deg); the checkpoint
+        // pins the one remaining evaluation. w is unchanged:
+        // #(a=i,b=j) + #(a=j,b=i) either way.
+        val cnt = adj.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val und = cnt.select(col("a").as("i"), col("b").as("j"), col("n"))
+          .unionByName(cnt.select(col("b").as("i"), col("a").as("j"), col("n")))
+          .groupBy(col("i"), col("j")).agg(sum(col("n")).as("w"))
         val deg = und.groupBy(col("i")).agg(sum(col("w")).as("dg"))
         val m = und.join(broadcast(deg), Seq("i"))
           .select(col("i"), col("j"),
             expr(s"(2 * w * $SCALE + dg) div (2 * dg)").as("ppb"))
           .union(top.select(col("t"), col("t"), lit(0L)))
-          .localCheckpoint()
-        val k = top.count() // bounded driver algebra (≤ 100)
-        val base = (300000000L + k) / (2L * k)
-        var v = top.select(col("t").as("node"), lit(SCALE / k).as("vp"))
-        for (_ <- 1 to 10) {
-          v = v.join(m, v("node") === m("i"))
-            .select(m("j").as("node"), (v("vp") * m("ppb")).as("x"))
-            .groupBy(col("node"))
-            .agg(expr(
-              s"$base + (17 * ((2 * sum(x) + $SCALE) div ${2 * SCALE}) + 10) div 20")
-              .as("vp"))
-            .localCheckpoint()
-        }
-        v.orderBy(col("vp").desc, col("node")).limit(10)
-          .select(col("node").as("keyword"), col("vp").as("rank_ppb"))
+        // round 9: was 10 driver-loop Spark jobs — MarkovPack's packing
+        // with q294's damped update inline: the teleport base and the
+        // 0.85-damping rounding wrap the same forward Σ ppb·vp, k =
+        // size(sts) replaces the driver-side count(). Bit-identical.
+        val packed = MarkovPack.pack(top.select(col("t").as("state")), m)
+        val vfin = expr(s"""
+          aggregate(sequence(1, 10),
+            transform(sts, st -> ${SCALE}L div CAST(size(sts) AS BIGINT)),
+            (acc, it) -> transform(sts, st ->
+              (300000000L + CAST(size(sts) AS BIGINT))
+                div (2 * CAST(size(sts) AS BIGINT))
+              + (17 * ((2 * aggregate(filter(es, e -> e.j = st), 0L,
+                   (s, e) -> s + e.ppb *
+                     element_at(acc, CAST(array_position(sts, e.i) AS INT)))
+                 + ${SCALE}L) div ${2 * SCALE}L) + 10) div 20))""")
+        MarkovPack.unpack(packed, vfin)
+          .orderBy(col("vp").desc, col("state")).limit(10)
+          .select(col("state").as("keyword"), col("vp").as("rank_ppb"))
           .orderBy(col("rank_ppb").desc, col("keyword"))
       },
       Some(s"""
@@ -292,7 +339,11 @@ object Iterative {
           .select(col("state").as("i"), col("next").as("j"))
           .union(jour.filter(col("rn") === 1)
             .select(lit("START").as("i"), col("state").as("j")))
+        // checkpoint the type-bounded matrix ONCE: tot/states/base each
+        // re-evaluated the whole events-window pipeline otherwise (Spark
+        // shares no common subtrees across a DataFrame DAG)
         val trans = steps.groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val tot = trans.groupBy(col("i")).agg(sum(col("n")).as("t"))
         val states = trans.select(col("i").as("state"))
           .union(trans.select(col("j"))).union(Seq("DROP").toDF("state"))
@@ -308,27 +359,41 @@ object Iterative {
             when(col("state") === "CONV", lit(SCALE)).otherwise(lit(0L))))
         val m = base.crossJoin(broadcast(scen))
           .filter(col("i") =!= col("removed") && col("j") =!= col("removed"))
-          .localCheckpoint()
-        var v = states.crossJoin(broadcast(scen))
+        // round 9: the 20 absorption rounds used to run as 20 driver-loop
+        // Spark jobs (tiny join + shuffle + localCheckpoint each) over a
+        // ≤7-state × ≤5-scenario frame — ~6 s of pure per-job overhead at
+        // EVERY scale factor. The chain is bounded by construction (the
+        // event-type vocabulary), so pack each scenario's states and edges
+        // into ONE row and run all 20 rounds in a single whole-stage-codegen
+        // aggregate over arrays. The arithmetic is the SAME edge multiset
+        // and the same (2·Σ ppb·vp + SCALE) div (2·SCALE) round-half-up on
+        // exact int64 — sums of integers are order-independent, so the
+        // result is bit-identical to the loop (and to the unchanged DuckDB
+        // recursive-CTE oracle). Absorption still runs BACKWARD: the inner
+        // filter matches edge SOURCES (e.i = st) and the products read the
+        // accumulator at the edge TARGET's position.
+        val stv = states.crossJoin(broadcast(scen))
           .filter(col("state") =!= col("removed"))
-          .select(col("removed"), col("state"),
-            when(col("state") === "CONV", lit(SCALE)).otherwise(lit(0L)).as("vp"))
-        for (_ <- 1 to 20) {
-          // string-alias disambiguation: localCheckpoint preserves
-          // attribute ids, so v and m share scen's `removed` attribute
-          // absorption runs BACKWARD: v(i) = Σ_j p(i,j)·v(j), so the
-          // join matches v to edge TARGETS and groups by edge SOURCE
-          v = v.as("vv").join(m.as("mm"),
-              col("vv.removed") === col("mm.removed") &&
-                col("vv.state") === col("mm.j"))
-            .select(col("mm.removed").as("removed"), col("mm.i").as("state"),
-              (col("vv.vp") * col("mm.ppb")).as("x"))
-            .groupBy(col("removed"), col("state"))
-            .agg(expr(s"(2 * sum(x) + $SCALE) div ${2 * SCALE}").as("vp"))
-            .localCheckpoint()
-        }
-        val starts = v.filter(col("state") === "START")
-          .select(col("removed"), col("vp")).localCheckpoint()
+          .groupBy(col("removed"))
+          .agg(sort_array(collect_list(col("state"))).as("sts"))
+        val packed = stv.join(
+          m.groupBy(col("removed"))
+            .agg(collect_list(struct(col("i"), col("j"), col("ppb"))).as("es")),
+          Seq("removed"))
+        val vfin = expr(s"""
+          aggregate(sequence(1, 20),
+            transform(sts, st -> IF(st = 'CONV', ${SCALE}L, 0L)),
+            (acc, it) -> transform(sts, st ->
+              (2 * aggregate(filter(es, e -> e.i = st), 0L,
+                   (s, e) -> s + e.ppb *
+                     element_at(acc, CAST(array_position(sts, e.j) AS INT)))
+                 + ${SCALE}L) div ${2 * SCALE}L))""")
+        val starts = packed.withColumn("vfin", vfin)
+          .select(col("removed"),
+            expr("""IF(array_position(sts, 'START') > 0,
+              element_at(vfin, CAST(array_position(sts, 'START') AS INT)),
+              CAST(NULL AS BIGINT))""").as("vp"))
+          .localCheckpoint()
         val b = starts.filter(col("removed") === "NONE")
           .select(col("vp").as("base_ppb"))
         // base_ppb > 0 guard: on a corpus with zero conversions the

@@ -143,6 +143,10 @@ object Packing {
               sum(col("n_docs")).as("n_docs"),
               sum(col("tokens")).as("total_tokens"),
               sum(when(col("tokens") > b, 1L).otherwise(0L)).as("n_oversize"))
+            // empty corpus: the oracle's per_pack CTE yields zero rows per
+            // budget while a global agg yields one null-sum row — degrade
+            // identically (never fires on a non-empty corpus: n_packs >= 1)
+            .filter(col("n_packs") > 0)
             .select(lit(b).as("budget"), col("n_packs"), col("n_docs"),
               col("total_tokens"),
               Num.r6(col("total_tokens").cast("double")

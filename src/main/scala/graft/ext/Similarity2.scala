@@ -105,14 +105,20 @@ object Similarity2 {
           .localCheckpoint()
         val other = emb.select(col("vec_id").as("j"), col("label").as("lab_j"),
           col("v").as("vj"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("j"))
+        // round 9 (guide §2.3): the 1-NN argmax is a map-side-combinable
+        // max(struct) — the old row_number window sorted all |corpus|²
+        // candidate pairs (WindowGroupLimit still pays the full sort);
+        // max over (cos, −j) picks the same neighbor (highest r4 cosine,
+        // ties to the LOWEST j), so only per-vector partial maxes reach
+        // the exchange. Same convention as q78's cell argmax.
         emb.crossJoin(other)
           .filter(col("vec_id") =!= col("j"))
-          .select(col("vec_id"), col("label"), col("j"), col("lab_j"),
-            Num.r4(Similarity.cosine(col("v"), col("vj"))).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"),
+            struct(Num.r4(Similarity.cosine(col("v"), col("vj"))).as("cos"),
+              (lit(0L) - col("j")).as("nj"), col("lab_j").as("lab_j")).as("sc"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(col("sc")).as("m"))
+          .select(col("vec_id"), col("label"), col("m.lab_j").as("lab_j"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_points"),
             count(when(col("lab_j") =!= col("label"), 1)).as("n_flagged"),

@@ -460,22 +460,38 @@ object Stats {
           .localCheckpoint() // type-bounded matrix
         val tot = cnt.groupBy(col("a")).agg(sum(col("n")).as("ta"))
         val trans = cnt.join(broadcast(tot), Seq("a")).localCheckpoint()
-        val types = trans.select(col("a").as("t")).distinct().localCheckpoint()
-        val k = types.agg(count(lit(1)).as("k"))
+        val types = trans.select(col("a").as("t")).distinct()
         val S = 1000000000L
-        var pi = types.crossJoin(broadcast(k))
-          .select(col("t"), expr(s"$S div k").as("pq")).localCheckpoint()
-        for (_ <- 1 to 8) {
-          val x = trans.join(pi.select(col("t").as("a"), col("pq")), Seq("a"))
-            .groupBy(col("b").as("t"))
-            .agg(sum(expr("(pq * n) div ta")).as("x"))
-          val tx = x.agg(sum(col("x")).as("tx"))
-          pi = types.join(x, Seq("t"), "left")
-            .crossJoin(broadcast(tx))
-            .select(col("t"),
-              coalesce(expr(s"(x * $S) div tx"), lit(0L)).as("pq"))
-            .localCheckpoint()
-        }
+        // round 9: was 8 driver-loop Spark jobs (two aggs + localCheckpoint
+        // each) over the type-bounded chain. Pack types and the matrix into
+        // one row and run the 8 rounds in a single codegen aggregate — the
+        // same per-edge (pq·n) div ta contributions summed over the same
+        // edge multiset, and the same per-round (x·S) div tx renormalization
+        // (the singleton-array transform binds the un-normalized x vector
+        // once so tx = Σx is computed from it, exactly the original two-step
+        // x→tx dataflow), so every iterate is bit-identical. A type with no
+        // incoming edges sums over an empty edge list to 0 — the original's
+        // coalesce(NULL, 0) left-join case.
+        val packed = types.agg(sort_array(collect_list(col("t"))).as("sts"))
+          .crossJoin(broadcast(trans.agg(
+            collect_list(struct(col("a"), col("b"), col("n"), col("ta")))
+              .as("es"))))
+        val vfin = expr(s"""
+          aggregate(sequence(1, 8),
+            transform(sts, st -> ${S}L div CAST(size(sts) AS BIGINT)),
+            (acc, it) -> element_at(
+              transform(
+                array(transform(sts, st ->
+                  aggregate(filter(es, e -> e.b = st), 0L,
+                    (s, e) -> s + (element_at(acc,
+                        CAST(array_position(sts, e.a) AS INT)) * e.n)
+                      div e.ta))),
+                xs -> transform(xs, xv ->
+                  (xv * ${S}L) div aggregate(xs, 0L, (s, v) -> s + v))),
+              1))""")
+        val pi = packed.withColumn("vfin", vfin)
+          .select(explode(arrays_zip(col("sts"), col("vfin"))).as("z"))
+          .select(col("z.sts").as("t"), col("z.vfin").as("pq"))
         val rowH = trans
           .select(col("a"),
             floor((-(col("n").cast("double") / col("ta").cast("double"))

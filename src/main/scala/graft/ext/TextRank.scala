@@ -129,20 +129,31 @@ object TextRank {
       "generic column profiler: nulls/distinct/min/max per column as rows"),
 
     // ---------------------------------------------------------------- q67
+    // ONE regex pass (round 9): the combined alternation already
+    // tokenizes the text into maximal [a-z]+ runs, maximal [0-9]+ runs
+    // and single other-chars (greedy + leftmost-first alternation make
+    // each class token maximal), so the three class counts are exactly
+    // the tokens-by-first-character counts — was four regexp_extract_all
+    // passes per doc, the heaviest 100× entry (41.9 s) before the fuse.
     Query(
       "q67_regex_tokens",
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+          .select(col("doc_id"),
+            size(filter(col("toks"), t =>
+              t.substr(1, 1) >= "a" && t.substr(1, 1) <= "z"))
               .cast("long").as("n_words"),
-            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            size(filter(col("toks"), t =>
+              t.substr(1, 1) >= "0" && t.substr(1, 1) <= "9"))
               .cast("long").as("n_numbers"),
-            size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+            size(filter(col("toks"), t =>
+              (t.substr(1, 1) < "0" || t.substr(1, 1) > "9") &&
+                (t.substr(1, 1) < "a" || t.substr(1, 1) > "z")))
               .cast("long").as("n_punct"),
-            size(regexp_extract_all(col("text"),
-              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-              .cast("long").as("n_bpe_tokens"))
+            size(col("toks")).cast("long").as("n_bpe_tokens"))
           .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id,

@@ -171,22 +171,32 @@ object Trend {
         val ev = Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("us"))
         val cut = exactP80Cut(ev)
-        val flags = ev.crossJoin(broadcast(cut))
-          .select(col("user_id"),
-            when(col("us") <= col("cut_us"), lit("train"))
-              .otherwise(lit("test")).as("split"))
-        val perUser = flags.groupBy(col("user_id"))
-          .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
-            sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
-        val leaked = perUser
-          .agg(sum(when(col("tr") > 0 && col("te") > 0, 1L).otherwise(0L))
-            .as("n_leaked_users"))
-        flags.groupBy(col("split"))
-          .agg(count(lit(1)).as("n_events"),
-            countDistinct(col("user_id")).as("n_users"))
-          .crossJoin(broadcast(leaked))
-          .select(col("split"), col("n_events"), col("n_users"),
-            col("n_leaked_users"))
+        // round 9 (guide §2.3, the q174 derive-don't-re-read lesson):
+        // ONE flag pass — every output number is a function of the
+        // per-user (train, test) counts, so the old second corpus pass
+        // (groupBy split + countDistinct's double exchange) collapses
+        // into a 1-row aggregate over the user-bounded frame, exploded
+        // back to the train/test rows. A split row is emitted only when
+        // it holds events, exactly like the old groupBy.
+        val perUser = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("us") <= col("cut_us"), 1L).otherwise(0L)).as("tr"),
+            sum(when(col("us") > col("cut_us"), 1L).otherwise(0L)).as("te"))
+        perUser.agg(
+            sum(col("tr")).as("ev_train"), sum(col("te")).as("ev_test"),
+            sum(when(col("tr") > 0, 1L).otherwise(0L)).as("us_train"),
+            sum(when(col("te") > 0, 1L).otherwise(0L)).as("us_test"),
+            sum(when(col("tr") > 0 && col("te") > 0, 1L).otherwise(0L))
+              .as("n_leaked_users"))
+          .select(explode(array(
+            struct(lit("train").as("split"), col("ev_train").as("n_events"),
+              col("us_train").as("n_users"), col("n_leaked_users")),
+            struct(lit("test").as("split"), col("ev_test").as("n_events"),
+              col("us_test").as("n_users"), col("n_leaked_users")))).as("r"))
+          .select(col("r.split").as("split"), col("r.n_events").as("n_events"),
+            col("r.n_users").as("n_users"),
+            col("r.n_leaked_users").as("n_leaked_users"))
+          .filter(col("n_events") > 0)
           .orderBy(col("split"))
       },
       Some("""

@@ -52,15 +52,7 @@ object StreamingAnn {
   /** IVF top-k: probes (id, vec) against index (cell, vec_id, v). */
   def annTopK(probes: DataFrame, index: DataFrame, cents: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("cell"))
-    val pCells = probes.select(col("id").as("query_id"), col("vec").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cell"),
-        graft.Num.r6(cosine(col("qv"), col("cv"))).as("cs"))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val pCells = probeCells(probes, cents, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     index.join(broadcast(pCells), "cell")
@@ -72,10 +64,41 @@ object StreamingAnn {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** The probe's nprobe nearest cells per query — the slice of
+    * [[annTopK]] that decides WHICH inverted-file cells a batch can
+    * touch; factored out so the per-batch index read prunes to them. */
+  def probeCells(probes: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    probes.select(col("id").as("query_id"), col("vec").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        graft.Num.r6(cosine(col("qv"), col("cv"))).as("cs"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  /** Append cell assignments to the inverted file, PARTITIONED by
+    * `cell` so probe reads prune to the probed cells' directories.
+    * Also the priming path for an existing corpus. */
+  def writeIndex(assigned: DataFrame, indexDir: String): Unit =
+    assigned.select(col("vec_id"), col("v"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+
   /** `stream` carries (id LONG, is_query BOOLEAN, vec ARRAY<DOUBLE>).
     * Prime `centDir` with (cell LONG, cv ARRAY<DOUBLE>) and `indexDir`
-    * with the existing corpus's cells (or an empty frame with the
-    * (cell, vec_id, v) schema). */
+    * with the existing corpus's cells via [[writeIndex]] (or leave it
+    * absent — an unseeded index reads as empty).
+    *
+    * Per-batch I/O (round 9): the inverted file is partitioned by
+    * `cell` and each query batch reads ONLY its probed cells — the
+    * scan's partition filter is `cell IN (batch's ≤ nprobe·|queries|,
+    * ≤ k-centroids cells)`, so per-batch cost is O(batch + colliding
+    * cells), not O(corpus age). Appends land one file per touched cell
+    * per batch; every [[CompactEvery]] batches the index is rewritten
+    * one-file-per-cell ([[StreamingSetJoin.compact]]). */
   def start(stream: DataFrame, centDir: String, indexDir: String,
       outDir: String, checkpoint: String, k: Int = 5,
       nprobe: Int = 4): StreamingQuery =
@@ -83,20 +106,28 @@ object StreamingAnn {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val b = batch.select(col("id").cast("long").as("id"),
           col("is_query"), col("vec")).localCheckpoint()
         val cents = spark.read.parquet(centDir)
         val additions = assignCells(b.filter(!col("is_query")), cents)
           .localCheckpoint() // read-your-batch: joined below AND appended
         val queries = b.filter(col("is_query"))
-        if (!additions.isEmpty)
-          additions.write.mode("append").parquet(indexDir)
+        if (!additions.isEmpty) writeIndex(additions, indexDir)
         if (!queries.isEmpty) {
-          val index = spark.read.parquet(indexDir) // includes this batch
+          val pc = probeCells(queries, cents, nprobe).localCheckpoint()
+          // bounded driver scalar: ≤ |centroids| probed cell ids
+          val cells = pc.select(col("cell")).distinct().as[Long].collect().toSeq
+          val index = StreamingSetJoin.readOrEmpty(spark, indexDir,
+              "vec_id BIGINT, v ARRAY<DOUBLE>, cell BIGINT")
+            .filter(col("cell").isin(cells: _*)) // partition-pruned
           annTopK(queries, index, cents, k, nprobe)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir)
         }
+        if (batchId % StreamingSetJoin.CompactEvery ==
+            StreamingSetJoin.CompactEvery - 1)
+          StreamingSetJoin.compact(spark, indexDir, "cell")
       }
       .start()
 }

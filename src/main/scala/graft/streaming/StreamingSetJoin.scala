@@ -30,25 +30,39 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * time the dup/near-dup decision is one surface, and rep-collapse is
   * the caller's downstream move as in batch.
   *
-  * Scale shape, stated honestly: the postings index holds only PREFIX
-  * elements (≈ 40% of each doc's shingle hashes at τ = 3/5) keyed by
-  * hash, and the set index one bounded long-array per doc — so the
-  * CANDIDATE SET a micro-batch generates is only the postings its own
-  * prefixes collide with. The per-batch I/O of THIS twin, though, is
-  * O(corpus): each batch re-reads the whole postings/sets directories
-  * (plain equi-joins, no partition pruning), and `mode(append)` adds
-  * one small file per batch. A production deployment would partition
-  * both indexes by a hash range of `sh`/`doc_id` and compact
-  * periodically so probes prune to the colliding ranges; the join
-  * logic here is unchanged by that layout. Raw text is never
-  * retained. Replayed batches append duplicate verdicts — dedupe on
-  * (doc_id, batch_id) downstream, as with [[StreamingIngest]].
+  * Scale shape (round 9): both persistent indexes are PARTITIONED by a
+  * bounded hash bucket of their probe key — postings by
+  * `pb = pmod(sh, Buckets)`, sets by `sb = pmod(doc_id, Buckets)` — and
+  * every per-batch read carries an `isin` filter over the batch's
+  * colliding buckets, so partition pruning limits the scan to the
+  * directories a probe can actually hit (asserted by the pruning spec
+  * via the scan's partition-filter count). The bucket sets are bounded
+  * by [[Buckets]], so the per-batch driver work stays O(1). Appends
+  * land one file per touched bucket per batch; [[compact]] rewrites the
+  * accumulated small files every [[CompactEvery]] batches (dynamic
+  * partition overwrite after a localCheckpoint — non-transactional on a
+  * bare local path, a table format would make the rewrite atomic; the
+  * rewrite is content-identical, so a replay repeats it idempotently).
+  * Raw text is never retained. Replayed batches append duplicate
+  * verdicts — dedupe on (doc_id, batch_id) downstream, as with
+  * [[StreamingIngest]].
   *
   * First deployment needs no priming: a missing index directory reads
   * as a typed empty frame ([[readOrEmpty]]) until the first batch
-  * writes it.
+  * writes it. To prime from an existing corpus, write through
+  * [[primePostings]]/[[primeSets]] so the bucket layout matches.
   */
 object StreamingSetJoin {
+
+  /** Probe-key hash buckets per index: bounds both the partition count
+    * of the on-disk layout and the per-batch `isin` pruning set. A
+    * production deployment sizes this to its corpus (buckets of
+    * 100 MB–1 GB, guide §6); the local default keeps spec corpora and
+    * the bench comparable. */
+  val Buckets = 32
+
+  /** Compact the indexes every N batches (small-file bound). */
+  val CompactEvery = 16L
 
   /** Per-doc prefix rows (doc_id, sh, n) under the PLAIN hash order:
     * the first n − ⌈τ·n⌉ + 1 of the doc's sorted shingle hashes. */
@@ -67,12 +81,36 @@ object StreamingSetJoin {
     Dedup.docShingles(docs)
       .select(col("doc_id"), Dedup.hp(col("sh")).as("sh")).distinct()
 
+  /** Append `pref` (doc_id, sh, n) to the postings index, bucketed by
+    * its probe key `sh`. Also the priming path for an existing corpus. */
+  def primePostings(pref: DataFrame, dir: String): Unit =
+    pref.select(col("sh"), col("doc_id"), col("n"),
+        pmod(col("sh"), lit(Buckets)).as("pb"))
+      .write.mode("append").partitionBy("pb").parquet(dir)
+
+  /** Append `sets` (doc_id, shs, n) to the set index, bucketed by its
+    * probe key `doc_id`. Also the priming path for an existing corpus. */
+  def primeSets(sets: DataFrame, dir: String): Unit =
+    sets.select(col("doc_id"), col("shs"), col("n"),
+        pmod(col("doc_id"), lit(Buckets)).as("sb"))
+      .write.mode("append").partitionBy("sb").parquet(dir)
+
+  /** Pruned probe read: the index rows in `buckets` only. On the
+    * partitioned layout the `isin` lands in the scan's PartitionFilters,
+    * so only colliding directories are listed and read (spec-pinned). */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bucketCol: String, buckets: Seq[Long], ddl: String): DataFrame =
+    readOrEmpty(spark, dir, ddl)
+      .filter(col(bucketCol).isin(buckets: _*))
+      .drop(bucketCol)
+
   def start(docs: DataFrame, postingsDir: String, setsDir: String,
       verdictDir: String, checkpoint: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val b = batch.select(col("doc_id").cast("long").as("doc_id"),
           col("text")).localCheckpoint()
         if (!b.isEmpty) {
@@ -81,10 +119,11 @@ object StreamingSetJoin {
             .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
             .localCheckpoint()
           val pref = prefixes(hashed).localCheckpoint()
-          val oldPost = readOrEmpty(spark, postingsDir,
-            "sh BIGINT, doc_id BIGINT, n BIGINT")
-          val oldSets = readOrEmpty(spark, setsDir,
-            "doc_id BIGINT, shs ARRAY<BIGINT>, n BIGINT")
+          // the batch's colliding postings buckets — bounded by Buckets
+          val pb = pref.select(pmod(col("sh"), lit(Buckets)).as("pb"))
+            .distinct().as[Long].collect().toSeq
+          val oldPost = probeIndex(spark, postingsDir, "pb", pb,
+            "sh BIGINT, doc_id BIGINT, n BIGINT, pb INT")
           val lengthOk =
             least(col("n_new"), col("n_old")) * SetJoin.TauDen >=
               greatest(col("n_new"), col("n_old")) * SetJoin.TauNum
@@ -99,6 +138,12 @@ object StreamingSetJoin {
             .select(col("nw.doc_id").as("doc_id"), col("od.doc_id").as("old_id"),
               col("nw.n").as("n_new"), col("od.n").as("n_old"))
           val cand = candOld.unionByName(candIn).filter(lengthOk).distinct()
+            .localCheckpoint() // feeds the bucket collect AND the verify join
+          // the candidates' set-index buckets — bounded by Buckets
+          val sb = cand.select(pmod(col("old_id"), lit(Buckets)).as("sb"))
+            .distinct().as[Long].collect().toSeq
+          val oldSets = probeIndex(spark, setsDir, "sb", sb,
+            "doc_id BIGINT, shs ARRAY<BIGINT>, n BIGINT, sb INT")
           val allSets = oldSets.unionByName(sets)
           val verified = cand
             .join(sets.select(col("doc_id"), col("shs").as("sa")), Seq("doc_id"))
@@ -114,23 +159,58 @@ object StreamingSetJoin {
                 (col("n_new") + col("n_old") - col("n_inter"))).as("jaccard"))
           verified.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(verdictDir)
-          pref.select(col("sh"), col("doc_id"), col("n"))
-            .write.mode("append").parquet(postingsDir)
-          sets.write.mode("append").parquet(setsDir)
+          primePostings(pref, postingsDir)
+          primeSets(sets, setsDir)
+          if (batchId % CompactEvery == CompactEvery - 1) {
+            compact(spark, postingsDir, "pb")
+            compact(spark, setsDir, "sb")
+          }
         }
       }
       .start()
 
+  /** Rewrite a bucketed index with one file per bucket, bounding the
+    * small files that per-batch appends accumulate (one per touched
+    * bucket per batch). The rewrite streams through a staging dir and
+    * swaps by rename — never materializing the index in memory. The
+    * two-rename swap is not atomic on a bare filesystem (a crash
+    * between them loses the live dir until `dir + "_old"` is restored
+    * by hand); a manifest table format would close that window. Content
+    * is unchanged, so a replayed trigger repeats it idempotently. */
+  private[streaming] def compact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bucketCol: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val staging = new org.apache.hadoop.fs.Path(dir + "_compacting")
+      val old = new org.apache.hadoop.fs.Path(dir + "_old")
+      fs.delete(staging, true); fs.delete(old, true)
+      spark.read.parquet(dir).repartition(col(bucketCol))
+        .write.mode("overwrite").partitionBy(bucketCol)
+        .parquet(staging.toString)
+      fs.rename(path, old)
+      fs.rename(staging, path)
+      fs.delete(old, true)
+    }
+  }
+
   /** Read a persistent index, or a typed empty frame when the path does
-    * not exist yet — a fresh deployment's first micro-batch must not
-    * fail on an unseeded index (the DDL pins the exact schema the first
-    * batch then writes). */
+    * not exist yet or holds no parquet files — a fresh deployment's
+    * first micro-batch must not fail on an unseeded index (the DDL pins
+    * the exact schema the first batch then writes). */
   private[streaming] def readOrEmpty(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ddl: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(dir)
+    def hasParquet: Boolean = {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (fs.exists(path) && hasParquet) spark.read.parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }

@@ -71,4 +71,31 @@ class BenchGuardSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1", n = 3, baseDir = dir)
     assert(Files.readString(dir.resolve("BENCH_QUERIES.json")).startsWith(full3))
   }
+
+  test("steady-state refresh with the SAME query count hits the canonical map") {
+    // the round-8 regex counted the "queries": key itself, so existingN was
+    // n+1 and every same-size refresh (the normal case) was diverted — the
+    // warm min-of-2 map never reached the canonical artifact
+    val dir = tempDir()
+    val canonical = dir.resolve("BENCH_QUERIES.json")
+    Files.writeString(canonical, full3)
+    val refreshed =
+      """{"metric":"total","queries":{"qa":0.5,"qb":1.5,"qc":2.5}}"""
+    val wrote = Bench.writeQueryMap(refreshed, fullRegistry = true,
+      sfDir = "/root/testdata/sf0.1", n = 3, baseDir = dir)
+    assert(wrote === "BENCH_QUERIES.json",
+      "same-count full refresh must report the canonical file")
+    assert(Files.readString(canonical).startsWith(refreshed),
+      "same-count full refresh must reach the canonical file")
+  }
+
+  test("writeQueryMap returns the file it actually wrote") {
+    val dir = tempDir()
+    val canonical = dir.resolve("BENCH_QUERIES.json")
+    Files.writeString(canonical, full3)
+    val wrote = Bench.writeQueryMap(sub1, fullRegistry = true,
+      sfDir = "/root/testdata/sf0.1", n = 1, baseDir = dir)
+    assert(wrote === "BENCH_QUERIES_partial.json",
+      "a diverted write must report the partial file, not the canonical name")
+  }
 }

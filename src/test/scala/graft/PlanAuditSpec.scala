@@ -134,6 +134,15 @@ class PlanAuditSpec extends SparkSpec {
       .groupBy(col("sec")).count()
     assert(!PlanAudit.bounded(planOf(seconds)),
       "second-grain grouping must NOT prove bounded")
+    // date_trunc is unit-checked the same way: 'second' is effectively
+    // row-proportional on dense event data and must stay red, while
+    // 'minute' and coarser stay green (mirrors unixDivisorFloor)
+    val truncSec = ev.groupBy(date_trunc("second", col("ts")).as("s")).count()
+    assert(!PlanAudit.bounded(planOf(truncSec)),
+      "date_trunc('second') grouping must NOT prove bounded")
+    val truncMin = ev.groupBy(date_trunc("minute", col("ts")).as("m")).count()
+    assert(PlanAudit.bounded(planOf(truncMin)),
+      "date_trunc('minute') grouping must prove bounded")
     // the planted failure class stays red END TO END: a global window
     // over a day grid is fine, over the raw table it is not
     import org.apache.spark.sql.expressions.Window

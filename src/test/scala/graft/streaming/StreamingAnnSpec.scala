@@ -38,15 +38,11 @@ class StreamingAnnSpec extends SparkSpec {
       .withColumn("cell",
         row_number().over(Window.orderBy(col("hk"), col("vec_id"))) - 1)
       .select(col("cell").cast("long").as("cell"), col("v").as("cv"))
-    val centDir = tmp("anncent"); val indexDir = tmp("annidx")
+    val centDir = tmp("anncent"); val indexDir = tmp("annidx") + "/idx"
     val outDir = tmp("annout")
     cents.write.mode("overwrite").parquet(centDir)
-    // prime the inverted file empty
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("cell", LongType),
-        StructField("v", ArrayType(DoubleType))))).select("vec_id", "cell", "v")
-      .write.mode("overwrite").parquet(indexDir)
+    // the inverted file starts unseeded: readOrEmpty serves the typed
+    // empty frame until the first batch writes the cell-partitioned layout
 
     val probeIds = vecs.take(5).map(_._1)
     def probesDf(ids: Seq[Long]): DataFrame = {

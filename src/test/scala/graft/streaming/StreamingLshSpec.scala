@@ -28,13 +28,9 @@ class StreamingLshSpec extends SparkSpec {
       .collect().map(r => LshDoc(r.getLong(0), r.getString(1)))
       .sortBy(_.doc_id)
 
-    val sigDir = tmp("lshsig"); val verdictDir = tmp("lshver")
-    // prime with an EMPTY signatures frame (the documented contract)
-    Dedup.minhashSignatures(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Tables.documents(spark, sf()).select(col("doc_id").cast("long")
-          .as("doc_id"), col("text")).schema))
-      .write.mode("overwrite").parquet(sigDir)
+    // unseeded index root (the documented contract): readOrEmpty serves
+    // typed empty frames until the first batch writes the partitioned parts
+    val sigDir = tmp("lshsig") + "/idx"; val verdictDir = tmp("lshver")
 
     val mem = MemoryStream[LshDoc](Encoders.product[LshDoc], spark)
     val q = StreamingLsh.start(mem.toDF(), sigDir, verdictDir, tmp("lshckpt"))

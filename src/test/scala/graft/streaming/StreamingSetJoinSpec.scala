@@ -37,16 +37,11 @@ class StreamingSetJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
 
-    // prime empty indexes with the operator's schemas
-    val postingsDir = tmp("setjoin_post"); val setsDir = tmp("setjoin_sets")
+    // unseeded indexes: readOrEmpty serves the typed empty frame until
+    // the first batch writes the bucket-partitioned layout
+    val postingsDir = tmp("setjoin_post") + "/idx"
+    val setsDir = tmp("setjoin_sets") + "/idx"
     val verdictDir = tmp("setjoin_verd")
-    def empty(schema: StructType) = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty(StructType(Seq(StructField("sh", LongType), StructField("doc_id", LongType),
-      StructField("n", LongType)))).write.mode("overwrite").parquet(postingsDir)
-    empty(StructType(Seq(StructField("doc_id", LongType),
-      StructField("shs", ArrayType(LongType)), StructField("n", LongType))))
-      .write.mode("overwrite").parquet(setsDir)
 
     val mem = MemoryStream[SetDoc](Encoders.product[SetDoc], spark)
     val q = StreamingSetJoin.start(mem.toDF(), postingsDir, setsDir,
@@ -75,13 +70,9 @@ class StreamingSetJoinSpec extends SparkSpec {
       SetDoc(3L, "u1 u2 u3 u4 u5"),
       SetDoc(4L, "t1 t2 t3 t4 t5 t6 t7 x1")) // J(1,4) = 5/6 pair; J(2,4) = 4/7 excluded
     def run(chunks: Seq[Seq[SetDoc]]): Set[(Long, Long, Long)] = {
-      val postingsDir = tmp("sj_post"); val setsDir = tmp("sj_sets")
+      val postingsDir = tmp("sj_post") + "/idx"
+      val setsDir = tmp("sj_sets") + "/idx"
       val verdictDir = tmp("sj_verd")
-      Seq(1L).toDF("x").filter(lit(false))
-        .select(lit(0L).as("sh"), lit(0L).as("doc_id"), lit(0L).as("n"))
-        .write.mode("overwrite").parquet(postingsDir)
-      Seq((0L, Seq(0L), 0L)).toDF("doc_id", "shs", "n").filter(lit(false))
-        .write.mode("overwrite").parquet(setsDir)
       val mem = MemoryStream[SetDoc](Encoders.product[SetDoc], spark)
       val q = StreamingSetJoin.start(mem.toDF(), postingsDir, setsDir,
         verdictDir, tmp("sj_ckpt"))
