@@ -316,6 +316,9 @@ object Corpus {
           .select(col("source"),
             concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
           .distinct()
+          // round 9: tot + both self-join sides read this — without the
+          // checkpoint the posexplode+lead window pipeline ran 3×
+          .localCheckpoint()
         val tot = ssh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
         val inter = ssh.as("a").join(ssh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))

@@ -109,6 +109,10 @@ object Corpus2 {
         val w = Window.partitionBy(col("tg"))
         val rt = tri.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+          // round 9: referenced 3× (sizes/containment + both self-join
+          // sides) — without the checkpoint the shingle+df-window
+          // pipeline re-ran per reference
+          .localCheckpoint()
         val sizes = rt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = rt.as("a").join(rt.as("b"),
             col("a.tg") === col("b.tg") && col("a.doc_id") < col("b.doc_id"))
@@ -557,6 +561,10 @@ object Corpus2 {
         val w = Window.partitionBy(col("tg"))
         val rt = tri.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= 20).select(col("doc_id"), col("tg"))
+          // round 9: referenced 3× (sizes/containment + both self-join
+          // sides) — without the checkpoint the shingle+df-window
+          // pipeline re-ran per reference
+          .localCheckpoint()
         val sizes = rt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = rt.as("a").join(rt.as("b"),
             col("a.tg") === col("b.tg") && col("a.doc_id") < col("b.doc_id"))

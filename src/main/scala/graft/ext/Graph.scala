@@ -26,25 +26,21 @@ object Graph {
     * why the bounded backbone is the scale decision. */
   private def backbone(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    // round 9 (guide §2.3/§2.4): per-order supplier SETS + in-task pair
-    // explosion replace the distinct + self-join. The old shape paid an
-    // exchange for the distinct, two sort legs for the SMJ self-join,
-    // and an exchange for the pair count — the new one pays ONE
-    // partial-aggregated exchange on ok (collect_set dedupes map-side)
-    // and one on (u, v); the wedge pairs never touch the network. The
-    // (u < v, shared-order count) multiset is identical by
-    // construction: sort_array makes each order's supplier set an
-    // ascending array, and the indexed transform emits exactly the
-    // x < y pairs the a.sk < b.sk join produced. This feeds all 14
-    // backbone queries, so the ~2× here compounds across the suite.
-    graft.Tables.lineitem(s, d)
+    // round 9 NEGATIVE RESULT, kept as the r8 shape on purpose: a
+    // per-order collect_set + in-task pair explosion (one exchange
+    // fewer, no SMJ sorts) measured ~0.25 s faster per query at sf0.1
+    // but 1.6-2.3× SLOWER at 100× (q119 11.6→18.6 s, q126 13.2→27.2 s)
+    // — Spark's higher-order transform lambdas are CodegenFallback
+    // (interpreted), and at 100× the ~100 M wedge pairs all flow
+    // through them. The codegen'd self-join is the scale-correct wedge
+    // generator; do not re-attempt without a codegen pair-expansion.
+    val ls = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .groupBy(col("ok")).agg(sort_array(collect_set(col("sk"))).as("sks"))
-      .select(explode(expr("""flatten(transform(sks, (x, i) ->
-        transform(slice(sks, i + 2, size(sks)), y ->
-          struct(x AS u, y AS v))))""")).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .distinct()
+    ls.as("a").join(ls.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 3)
       .orderBy(col("n_orders").desc, col("u"), col("v")).limit(5000)
       .select(col("u"), col("v"))
