@@ -92,7 +92,7 @@ object PlanAudit {
 
   private def timeGridAggregate(agg: SparkPlan,
       grouping: Seq[Expression]): Boolean =
-    grouping.nonEmpty && grouping.forall(g => isTimeGrid(g, agg, depth = 4))
+    grouping.nonEmpty && grouping.forall(g => isTimeGrid(g, agg, depth = 6))
 
   /** Minimum literal divisor per unix-time extractor that lands the
     * quotient on (at least) the minute grid — the coarsest unit the r7
@@ -111,16 +111,17 @@ object PlanAudit {
       case c: Cast =>
         c.dataType == org.apache.spark.sql.types.DateType ||
           isTimeGrid(c.child, scope, depth)
-      // unix_*(t) div L: a calendar grid of span/L units when L is a
-      // literal of at least one minute in the extractor's unit
+      // x div L where x is a unix-time quantity OR a DIFFERENCE of two
+      // (lag/gap minutes — the round-10 quantized-grid prover): the
+      // result is a grid of span/L units when L is at least one minute
+      // in x's unit. [[timeScale]] chases x's unit through Subtract,
+      // Min/Max, Lag/Lead and the defining Project/Window/aggregate
+      // aliases, so `min(us − s_us) div 60000000` proves bounded while
+      // a seconds-grain divisor (or an id) stays red.
       case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide =>
-        (d.left, d.right) match {
-          case (l, org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)) =>
-            val base = l match { // unwrap an output-typing cast
-              case c: Cast => c.child
-              case other => other
-            }
-            unixDivisorFloor.get(base.getClass.getSimpleName).exists(v >= _)
+        d.right match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            timeScale(d.left, scope, depth).exists(v >= _)
           case _ => false
         }
       // timestamp truncation is only a bounded grid for minute-or-coarser
@@ -136,18 +137,68 @@ object PlanAudit {
       case other => timeGridClasses.contains(other.getClass.getSimpleName)
     }
 
-  /** The expression an attribute was aliased from, found in a Project
-    * or aggregate result list anywhere in the subtree. */
+  /** The unit of a unix-time-scaled expression, as the minimum literal
+    * divisor that lands its quotient on (at least) the minute grid —
+    * 60000000 for µs quantities, 60000 for ms, 60 for s — or None when
+    * the expression is not provably time-scaled. A DIFFERENCE of two
+    * same-unit time quantities is span-bounded in that unit (lag/gap
+    * histograms: O(span minutes) bins), and Min/Max/Lag/Lead/First/Last
+    * preserve the unit; Sum does NOT (it grows with row count) and is
+    * deliberately absent. */
+  private def timeScale(e: Expression, scope: SparkPlan,
+      depth: Int): Option[Long] = e match {
+    case a: Alias => timeScale(a.child, scope, depth)
+    case c: Cast => timeScale(c.child, scope, depth)
+    case s: org.apache.spark.sql.catalyst.expressions.Subtract =>
+      for {
+        l <- timeScale(s.left, scope, depth)
+        r <- timeScale(s.right, scope, depth)
+      } yield math.max(l, r)
+    case w: org.apache.spark.sql.catalyst.expressions.WindowExpression =>
+      timeScale(w.windowFunction, scope, depth)
+    case o: org.apache.spark.sql.catalyst.expressions.OffsetWindowFunction =>
+      timeScale(o.input, scope, depth) // lag/lead keep the unit
+    case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+      timeScale(ae.aggregateFunction, scope, depth)
+    case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+      timeScale(m.child, scope, depth)
+    case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+      timeScale(m.child, scope, depth)
+    case f: org.apache.spark.sql.catalyst.expressions.aggregate.First =>
+      timeScale(f.child, scope, depth)
+    case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last =>
+      timeScale(l.child, scope, depth)
+    case attr: Attribute if depth > 0 =>
+      definingExpr(scope, attr).flatMap(timeScale(_, scope, depth - 1))
+    case other => unixDivisorFloor.get(other.getClass.getSimpleName)
+  }
+
+  /** The expression an attribute was aliased from, found in a Project,
+    * aggregate result list, aggregate-function result binding, or
+    * window expression list anywhere in the subtree. */
   private def definingExpr(scope: SparkPlan, attr: Attribute): Option[Expression] =
     flatten(scope).iterator.flatMap {
       case pr: ProjectExec => pr.projectList
-      case h: HashAggregateExec => h.resultExpressions ++ h.groupingExpressions
-      case h: ObjectHashAggregateExec => h.resultExpressions ++ h.groupingExpressions
-      case h: SortAggregateExec => h.resultExpressions ++ h.groupingExpressions
+      case h: HashAggregateExec =>
+        h.resultExpressions ++ h.groupingExpressions ++ aggBindings(h.aggregateExpressions)
+      case h: ObjectHashAggregateExec =>
+        h.resultExpressions ++ h.groupingExpressions ++ aggBindings(h.aggregateExpressions)
+      case h: SortAggregateExec =>
+        h.resultExpressions ++ h.groupingExpressions ++ aggBindings(h.aggregateExpressions)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.windowExpression
       case _ => Nil
     }.collectFirst {
       case al: Alias if al.exprId == attr.exprId => al.child
     }
+
+  /** An aggregate's result attribute, re-expressed as an alias of its
+    * aggregate function so [[definingExpr]] can chase through it
+    * (e.g. `lag_us` → `min(us − s_us)`). */
+  private def aggBindings(
+      aggs: Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])
+      : Seq[Alias] =
+    aggs.map(ae => Alias(ae.aggregateFunction, "agg")(exprId = ae.resultAttribute.exprId))
 
   /** One string per plan-shape offence; empty = clean. */
   def violations(df: DataFrame): Seq[String] = {

@@ -34,10 +34,21 @@ object Graph {
     // (interpreted), and at 100× the ~100 M wedge pairs all flow
     // through them. The codegen'd self-join is the scale-correct wedge
     // generator; do not re-attempt without a codegen pair-expansion.
+    //
+    // round 10 (guide §2.4): ONE exchange establishes the wedge-join
+    // partitioning. `repartition(ok)` satisfies the distinct's
+    // ClusteredDistribution(ok, sk) (hash on a subset of the grouping
+    // keys) AND both legs of the self-join on `ok`, so the old chain
+    // of (ok, sk)-exchange + per-leg ok-exchange collapses to one
+    // shuffle of the (ok, sk) pairs; the shuffle_hash hint drops the
+    // two SMJ sort legs (per-partition hash build of the same ≤
+    // per-order supplier lists). The backbone rows are unchanged: the
+    // (n_orders DESC, u, v) TakeOrdered is a total order.
     val ls = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .repartition(col("ok"))
       .distinct()
-    ls.as("a").join(ls.as("b"),
+    ls.as("a").join(ls.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("n_orders"))
@@ -90,11 +101,19 @@ object Graph {
     * modularity joins instead of paying the lineitem self-join twice. */
   private def lpaLabelsFrom(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // round 10 (guide §2.4/§3.1): each round's label frame is consumed
+    // exactly ONCE (by the next round's join), so the per-round
+    // localCheckpoints bought nothing but 4 extra job submissions —
+    // all 4 rounds now build ONE lazy plan, checkpointed once at the
+    // end (callers reference the result twice). The ≤2·5000-row
+    // checkpointed edge list broadcasts (checkpoint scans carry no
+    // stats, so a stats-blind planner would sort-merge both tiny
+    // sides — the q218/q222 lesson); backbone caps keep that
+    // scale-safe forever.
     var lab = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint()
     for (_ <- 1 to 4) {
-      lab = edges
+      lab = broadcast(edges)
         .join(lab.select(col("node").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -103,9 +122,8 @@ object Graph {
             .orderBy(col("c").desc, col("lbl"))))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
-        .localCheckpoint()
     }
-    lab
+    lab.localCheckpoint()
   }
 
   /** DuckDB twin of [[lpaLabels]]: CTE chain ending in `l4(node,
@@ -229,9 +247,14 @@ object Graph {
         // truncation each reference re-evaluates the co-occurrence
         // aggregation (q101's lesson)
         val e = backbone(s, d)
-        val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+        // round 10: the ≤5000-row backbone broadcasts into both legs of
+        // the wedge/closing joins — the checkpoint scan has no stats,
+        // so the planner sort-merged all three legs (2 exchanges + 3
+        // sorts of the same 5000 rows); k-bounded forever, scale-safe
+        val tri = e.as("e1").join(broadcast(e.as("e2")),
+            col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-          .join(e.as("e3"),
+          .join(broadcast(e.as("e3")),
             col("x") === col("e3.u") && col("z") === col("e3.v"))
           .select(col("x"), col("y"), col("z"))
         tri.select(col("x").as("node"))
@@ -269,14 +292,20 @@ object Graph {
       (s, d) => {
         val K = 6
         var e = backbone(s, d)
+        // round 10 (guide §3.1): the keep set is node-bounded (≤ 2·5000)
+        // — broadcast both semi-joins instead of checkpointing it (the
+        // two identical broadcast subtrees dedupe via exchange reuse),
+        // so each round is ONE job (e's checkpoint; e is referenced 3×
+        // by the next round, so its truncation stays)
         for (_ <- 1 to 4) {
           val deg = e.select(col("u").as("node"))
             .unionByName(e.select(col("v").as("node")))
             .groupBy(col("node")).agg(count(lit(1)).as("dg"))
           val keep = deg.filter(col("dg") >= K).select(col("node"))
-            .localCheckpoint()
-          e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          e = e.join(broadcast(keep.withColumnRenamed("node", "u")),
+              Seq("u"), "left_semi")
+            .join(broadcast(keep.withColumnRenamed("node", "v")),
+              Seq("v"), "left_semi")
             .select(col("u"), col("v"))
             .localCheckpoint()
         }
@@ -328,7 +357,7 @@ object Graph {
         val lab = lpaLabels(s, d)
         val sizes = lab.groupBy(col("lbl"))
           .agg(count(lit(1)).as("community_size"))
-        lab.join(sizes, Seq("lbl"))
+        lab.join(broadcast(sizes), Seq("lbl"))
           .select(col("node").as("node_id"),
             col("lbl").cast("long").as("community"),
             col("community_size"))
@@ -365,17 +394,22 @@ object Graph {
           .orderBy(col("deg").desc, col("node")).limit(1)
           .select(col("node"), lit(0).as("dist"))
           .localCheckpoint()
+        // round 10 (guide §3.1): the frontier and visited sets are
+        // node-bounded — broadcast them (checkpoint scans have no
+        // stats; a stats-blind SMJ added two exchange+sort legs per
+        // round), and stop checkpointing `visited`: it is a union of
+        // already-checkpointed frontiers, so re-evaluating it is a
+        // union of in-memory scans (4 fewer jobs per query)
         var visited = seed
         var frontier = seed.select(col("node"))
         for (i <- 1 to 4) {
           frontier = edges
-            .join(frontier.select(col("node").as("a")), Seq("a"))
+            .join(broadcast(frontier.select(col("node").as("a"))), Seq("a"))
             .select(col("b").as("node")).distinct()
-            .join(visited.select(col("node")), Seq("node"), "left_anti")
+            .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
             .localCheckpoint()
           visited = visited
             .unionByName(frontier.withColumn("dist", lit(i)))
-            .localCheckpoint()
         }
         visited.select(col("node").cast("long").as("node_id"),
             col("dist").cast("int").as("hops"))
@@ -434,11 +468,14 @@ object Graph {
           .localCheckpoint()
         val deg = und.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
         // wedge u—w—v (u < v), minus pairs already adjacent
+        // round 10: broadcast the bounded sides (≤4000-row und leg,
+        // ≤2000-row e0, node-bounded deg) — all were stats-blind SMJs
         val wedges = und.select(col("a").as("u"), col("b").as("w"))
-          .join(und.select(col("a").as("w"), col("b").as("v")), Seq("w"))
+          .join(broadcast(und.select(col("a").as("w"), col("b").as("v"))),
+            Seq("w"))
           .filter(col("u") < col("v"))
-          .join(e0, Seq("u", "v"), "left_anti")
-        wedges.join(deg, Seq("w"))
+          .join(broadcast(e0), Seq("u", "v"), "left_anti")
+        wedges.join(broadcast(deg), Seq("w"))
           .filter(col("deg") >= 2) // a degree-1 node cannot bridge a pair
           .select(col("u"), col("v"),
             floor(lit(1e9) / log(col("deg").cast("double")) + lit(0.5))
@@ -496,9 +533,13 @@ object Graph {
           .localCheckpoint() // feeds deg AND the endpoint-pair list
         val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+        // round 10: broadcast the node-bounded degree sides (two
+        // stats-blind SMJ legs re-sorted the ≤10k-row edge list)
         val mom = und
-          .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
-          .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+          .join(broadcast(deg.select(col("node").as("a"), col("deg").as("x"))),
+            Seq("a"))
+          .join(broadcast(deg.select(col("node").as("b"), col("deg").as("y"))),
+            Seq("b"))
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
             sum(col("x") * col("y")).as("sxy"),
@@ -626,6 +667,10 @@ object Graph {
         val seeds = deg.orderBy(col("deg").desc, col("node")).limit(20)
           .select(col("node").as("seed"), col("deg"))
           .localCheckpoint() // bounded 20 rows
+        // round 10: broadcast the (seed × node)-bounded visited side of
+        // the anti-join (was a stats-blind SMJ), and stop checkpointing
+        // `visited` — a union of already-checkpointed frontiers (3
+        // fewer jobs per query)
         var visited = seeds
           .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
           .localCheckpoint()
@@ -636,12 +681,11 @@ object Graph {
           frontier = frontier.select(col("seed"), col("node").as("a"))
             .join(broadcast(edges), Seq("a"))
             .select(col("seed"), col("b").as("node")).distinct()
-            .join(visited.select(col("seed"), col("node")),
+            .join(broadcast(visited.select(col("seed"), col("node"))),
               Seq("seed", "node"), "left_anti")
             .localCheckpoint()
           visited = visited
             .unionByName(frontier.withColumn("dist", lit(i)))
-            .localCheckpoint()
         }
         val reach = visited.filter(col("dist") > 0)
           .groupBy(col("seed"))
@@ -714,9 +758,11 @@ object Graph {
         val und = e.select(col("u").as("a"), col("v").as("b"))
           .unionByName(e.select(col("v").as("a"), col("u").as("b")))
         val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-        val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+        // round 10: same broadcast discipline as q119's wedge joins
+        val tri = e.as("e1").join(broadcast(e.as("e2")),
+            col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-          .join(e.as("e3"),
+          .join(broadcast(e.as("e3")),
             col("x") === col("e3.u") && col("z") === col("e3.v"))
           .select(col("x"), col("y"), col("z"))
         val triPer = tri.select(col("x").as("node"))
@@ -724,7 +770,7 @@ object Graph {
           .unionByName(tri.select(col("z").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
         deg.filter(col("degree") >= 2)
-          .join(triPer, Seq("node"), "left")
+          .join(broadcast(triPer), Seq("node"), "left")
           .na.fill(0L, Seq("n_tri"))
           .select(col("node"), col("degree"), col("n_tri"),
             graft.Num.r6(lit(2.0) * col("n_tri").cast("double") /
@@ -862,12 +908,15 @@ object Graph {
           .select(col("node").as("seed")).localCheckpoint()
         val l0 = seeds.select(col("seed"), col("seed").as("node"),
           lit(1L).as("sigma")).localCheckpoint()
+        // round 10: broadcast the bounded visited/anti side (was a
+        // stats-blind SMJ) and drop the visited checkpoints — unions of
+        // already-checkpointed layers (2 fewer jobs)
         def expand(cur: org.apache.spark.sql.DataFrame,
             visited: org.apache.spark.sql.DataFrame) = cur
           .select(col("seed"), col("node").as("a"), col("sigma"))
           .join(broadcast(edges), Seq("a"))
           .select(col("seed"), col("b").as("node"), col("sigma"))
-          .join(visited.select(col("seed"), col("node")),
+          .join(broadcast(visited.select(col("seed"), col("node"))),
             Seq("seed", "node"), "left_anti")
           .groupBy(col("seed"), col("node"))
           .agg(sum(col("sigma")).as("sigma"))
@@ -875,18 +924,16 @@ object Graph {
         val v0 = l0.select(col("seed"), col("node"))
         val l1 = expand(l0, v0)
         val v1 = v0.unionByName(l1.select(col("seed"), col("node")))
-          .localCheckpoint()
         val l2 = expand(l1, v1)
         val v2 = v1.unionByName(l2.select(col("seed"), col("node")))
-          .localCheckpoint()
         val l3 = expand(l2, v2)
         // backward dependency accumulation over the BFS DAG, δ(L3)=0
         def accumulate(prev: org.apache.spark.sql.DataFrame,
             nextWithDelta: org.apache.spark.sql.DataFrame) = prev
           .select(col("seed"), col("node").as("v"), col("sigma").as("sv"))
           .join(broadcast(edges), col("v") === col("a"))
-          .join(nextWithDelta.select(col("seed"), col("node").as("b"),
-            col("sigma").as("sw"), col("dq")), Seq("seed", "b"))
+          .join(broadcast(nextWithDelta.select(col("seed"), col("node").as("b"),
+            col("sigma").as("sw"), col("dq"))), Seq("seed", "b"))
           .withColumn("term", floor(lit(1e6) *
             (col("sv").cast("double") / col("sw")) *
             (lit(1.0) + col("dq").cast("double") / lit(1e6)) + lit(0.5))
@@ -897,7 +944,7 @@ object Graph {
         val d3 = l3.withColumn("dq", lit(0L))
         val d2raw = accumulate(l2, d3)
         // layer-2 nodes with no layer-3 successors carry δ=0
-        val d2 = l2.join(d2raw, Seq("seed", "node"), "left")
+        val d2 = l2.join(broadcast(d2raw), Seq("seed", "node"), "left")
           .select(col("seed"), col("node"), col("sigma"),
             coalesce(col("dq"), lit(0L)).as("dq"))
         val d1 = accumulate(l1, d2)
@@ -982,14 +1029,16 @@ object Graph {
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
           .localCheckpoint()
         val ks = s.range(1, 6).select(pow(lit(2.0), col("id")).cast("long").as("k"))
+        // round 10: broadcast the node-bounded degree sides of the
+        // endpoint joins (stats-blind SMJs on the checkpointed frames)
         val nk = ks.join(deg, col("deg") > col("k"))
           .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
         val ek = ks.join(
-            e0.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-              .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v"),
+            e0.join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+              .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v"),
             col("du") > col("k") && col("dv") > col("k"))
           .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
-        nk.join(ek, Seq("k"), "left")
+        nk.join(broadcast(ek), Seq("k"), "left")
           .select(col("k"), col("n_nodes"),
             coalesce(col("n_edges"), lit(0L)).as("n_edges"),
             graft.Num.r4(lit(2.0) * coalesce(col("n_edges"), lit(0L)).cast("double") /
@@ -1041,13 +1090,15 @@ object Graph {
           .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
           .localCheckpoint()
         val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        // round 10: broadcast the bounded sides (≤10k-row edge leg,
+        // ≤5000-row e0 anti side, node-bounded deg) — stats-blind SMJs
         val wedges = edges.select(col("a").as("u"), col("b").as("w"))
-          .join(edges.select(col("a").as("w"), col("b").as("v")), "w")
+          .join(broadcast(edges.select(col("a").as("w"), col("b").as("v"))), "w")
           .filter(col("u") < col("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
-        val cand = wedges.join(e0, Seq("u", "v"), "left_anti")
-        cand.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        val cand = wedges.join(broadcast(e0), Seq("u", "v"), "left_anti")
+        cand.join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+          .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
           .select(col("u"), col("v"), col("common"),
             (col("du") * col("dv")).as("pa_score"))
           .orderBy(col("pa_score").desc, col("u"), col("v")).limit(20)
@@ -1092,17 +1143,20 @@ object Graph {
           .select(col("node").as("seed")).localCheckpoint()
         val l0 = seeds.select(col("seed"), col("seed").as("node"))
           .localCheckpoint()
+        // round 10: broadcast the bounded visited/anti side (was a
+        // stats-blind SMJ) and drop the visited checkpoints — unions of
+        // already-checkpointed layers (2 fewer jobs)
         def expand(cur: org.apache.spark.sql.DataFrame,
             visited: org.apache.spark.sql.DataFrame) = cur
           .select(col("seed"), col("node").as("a"))
           .join(broadcast(edges), Seq("a"))
           .select(col("seed"), col("b").as("node")).distinct()
-          .join(visited, Seq("seed", "node"), "left_anti")
+          .join(broadcast(visited), Seq("seed", "node"), "left_anti")
           .localCheckpoint()
         val l1 = expand(l0, l0)
-        val v1 = l0.unionByName(l1).localCheckpoint()
+        val v1 = l0.unionByName(l1)
         val l2 = expand(l1, v1)
-        val v2 = v1.unionByName(l2).localCheckpoint()
+        val v2 = v1.unionByName(l2)
         val l3 = expand(l2, v2)
         val all = l1.withColumn("dist", lit(1L))
           .unionByName(l2.withColumn("dist", lit(2L)))
@@ -1178,11 +1232,16 @@ object Graph {
         var x = nodes.crossJoin(broadcast(nn))
           .select(col("node"), expr(s"$S div n").as("xq"))
           .localCheckpoint()
+        // round 10: the per-round rank frame and neighbour sums are
+        // node-bounded — broadcast both joins (checkpoint scans carry
+        // no stats; the stats-blind planner sort-merged the ≤10k-row
+        // edge list against the ≤5k-row rank frame every round)
         for (_ <- 1 to Iters) {
-          val y = sym.join(x.select(col("node").as("u"), col("xq").as("xu")), Seq("u"))
+          val y = sym.join(broadcast(
+              x.select(col("node").as("u"), col("xq").as("xu"))), Seq("u"))
             .groupBy(col("v").as("node")).agg(sum(col("xu")).as("y"))
           val ty = y.agg(sum(col("y").cast("decimal(38,0)")).as("ty"))
-          x = nodes.join(y, Seq("node"), "left")
+          x = nodes.join(broadcast(y), Seq("node"), "left")
             .crossJoin(broadcast(ty))
             .select(col("node"),
               coalesce(expr(s"cast(cast(y as decimal(38,0)) * $S div ty as bigint)"),

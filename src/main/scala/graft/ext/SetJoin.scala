@@ -119,9 +119,17 @@ object SetJoin {
         // not an exploded pair×shingle join: the candidate set is ~40% of
         // a sf0.1-sized corpus squared in the worst near-dup clusters, and
         // exploding each pair to its shingle rows cost ~10M intermediate
-        // rows where this costs one array_intersect per candidate
-        val sets = hashed.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
-        val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
+        // rows where this costs one merge pass per candidate.
+        // round 10 (guide §1.2 step 2, per-task work): sort each doc's
+        // set ONCE (amortized over all its candidate pairs) and count
+        // the intersection with the codegen'd two-pointer merge —
+        // array_intersect built an OpenHashSet per candidate pair
+        // (allocation + hashing of every element, per pair). Counts are
+        // identical on these duplicate-free sets.
+        val sets = hashed.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("sh"))).as("shs"))
+        val inter = graft.functions.SetFunctions
+          .sortedIntersectCount(col("sa"), col("sb"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))

@@ -42,7 +42,12 @@ object Similarity2 {
           .localCheckpoint() // bounded baseline corpus, reused both sides
         val other = emb.select(col("vec_id").as("j"), col("label").as("lab_j"),
           col("v").as("vj"))
-        val perLabel = emb.crossJoin(other)
+        // round 10 (same fix as q189(b)): the checkpointed capCorpus is
+        // SinglePartition, so without a repartition the whole |corpus|²
+        // cosine pass ran in ONE task; hashing by vec_id also satisfies
+        // the (vec_id, label, lab_j) grouping below, so no extra
+        // exchange appears (AQE sizes the partition count)
+        val perLabel = emb.repartition(col("vec_id")).crossJoin(broadcast(other))
           .filter(col("vec_id") =!= col("j"))
           .select(col("vec_id"), col("label"), col("lab_j"),
             floor(Similarity.cosine(col("v"), col("vj")) * lit(10000.0) +
@@ -99,26 +104,50 @@ object Similarity2 {
     Query(
       "q189_knn_label_noise",
       (s, d) => {
+        // round 10 (guide §1.2/§2.3): the round-9 max(struct(cos, −j,
+        // lab_j)) argmax had a STRUCT aggregation buffer — not an
+        // UnsafeRow-mutable type, so the aggregate fell out of
+        // HashAggregate into SortAggregate with interpreted struct
+        // ordering, and the capCorpus checkpoint is SinglePartition, so
+        // the whole |corpus|² sort ran in ONE task (driver artifact:
+        // 14.0 s at 32 cores, the suite's slowest query). Fix both:
+        //  (a) pack (cosine ticks, tie-break) into ONE long — qc =
+        //      floor(cos·1e4 + 0.500001) ∈ [−10000, 10001] is exactly
+        //      the r4 grid (qc/1e4 = Num.r4(cos), division by a
+        //      positive constant is order-preserving), and idx is the
+        //      dense row number of the ≤4096-row capped corpus (idx
+        //      order ≡ vec_id order), so
+        //        p = (qc + 20000)·8192 + (8191 − jidx)
+        //      has max(p) ≡ lexicographic max of (r4(cos), −j) — the
+        //      identical neighbor, ties to the LOWEST vec_id. A long
+        //      buffer keeps the aggregate in codegen HashAggregate.
+        //  (b) repartition the probe side by vec_id so the cross join
+        //      computes |corpus|²·dim products on all cores instead of
+        //      one (no fixed N: AQE sizes the exchange).
+        // The neighbor label is re-attached by a broadcast join against
+        // the ≤4096-row (idx → label) map. No zero-norm vectors exist
+        // at any SF (checked), so cos is always finite and qc exact.
         val emb = Similarity.capCorpus(Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"),
             Similarity.toDouble(col("embedding")).as("v")))
+          .withColumn("idx", row_number().over(
+            Window.orderBy(col("vec_id"))).cast("long") - lit(1L))
           .localCheckpoint()
-        val other = emb.select(col("vec_id").as("j"), col("label").as("lab_j"),
-          col("v").as("vj"))
-        // round 9 (guide §2.3): the 1-NN argmax is a map-side-combinable
-        // max(struct) — the old row_number window sorted all |corpus|²
-        // candidate pairs (WindowGroupLimit still pays the full sort);
-        // max over (cos, −j) picks the same neighbor (highest r4 cosine,
-        // ties to the LOWEST j), so only per-vector partial maxes reach
-        // the exchange. Same convention as q78's cell argmax.
-        emb.crossJoin(other)
-          .filter(col("vec_id") =!= col("j"))
+        val other = emb.select(col("idx").as("jidx"), col("v").as("vj"))
+        val labels = emb.select(col("idx").as("jidx"), col("label").as("lab_j"))
+        val qc = floor(Similarity.cosine(col("v"), col("vj")) * lit(10000.0) +
+          lit(0.500001)).cast("long")
+        emb.repartition(col("vec_id"))
+          .crossJoin(broadcast(other))
+          .filter(col("idx") =!= col("jidx"))
           .select(col("vec_id"), col("label"),
-            struct(Num.r4(Similarity.cosine(col("v"), col("vj"))).as("cos"),
-              (lit(0L) - col("j")).as("nj"), col("lab_j").as("lab_j")).as("sc"))
+            ((qc + lit(20000L)) * lit(8192L) + (lit(8191L) - col("jidx")))
+              .as("p"))
           .groupBy(col("vec_id"), col("label"))
-          .agg(max(col("sc")).as("m"))
-          .select(col("vec_id"), col("label"), col("m.lab_j").as("lab_j"))
+          .agg(max(col("p")).as("p"))
+          .select(col("label"), (lit(8191L) - pmod(col("p"), lit(8192L)))
+            .as("jidx"))
+          .join(broadcast(labels), Seq("jidx"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_points"),
             count(when(col("lab_j") =!= col("label"), 1)).as("n_flagged"),

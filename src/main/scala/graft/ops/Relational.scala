@@ -249,15 +249,33 @@ object Relational {
     Query(
       "q10_rank_window",
       (s, d) => {
+        // round 10 (guide §2.3/§2.4): the old plan ran TWO full-table
+        // window sorts per supplier (rn by shipdate, rank by quantity)
+        // with the rn <= 5 filter only after both — every lineitem row
+        // paid both sorts. rank() = 1 + #{rows of the supplier with
+        // strictly greater quantity}, which the surviving ≤5 rows can
+        // read off the per-(supplier, quantity) count histogram — a
+        // partial-aggregated ~|suppliers|·|distinct qty| frame — so the
+        // quantity sort disappears, and with the filter directly above
+        // the remaining window Spark's WindowGroupLimit keeps only
+        // top-5 rows per supplier per map task ahead of the one sort.
+        // Identical output: row_number/filter unchanged; rank ties
+        // (equal quantities) get the same 1 + greater-count.
         val wOrd = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        val wQty = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc)
-        Tables.lineitem(s, d)
+        val li = Tables.lineitem(s, d)
+        val top5 = li
           .withColumn("rn", row_number().over(wOrd))
-          .withColumn("qty_rank", rank().over(wQty))
           .filter(col("rn") <= 5)
           .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
-            col("l_linenumber"), col("l_quantity"), col("qty_rank"))
+            col("l_linenumber"), col("l_quantity"))
+        val qhist = li.groupBy(col("l_suppkey"), col("l_quantity").as("q"))
+          .agg(count(lit(1)).as("c"))
+        top5.join(qhist, Seq("l_suppkey"))
+          .groupBy(col("l_suppkey"), col("rn"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+          .agg((lit(1) + sum(when(col("q") > col("l_quantity"), col("c"))
+            .otherwise(0L))).cast("int").as("qty_rank"))
           .orderBy(col("l_suppkey"), col("rn"))
       },
       Some("""

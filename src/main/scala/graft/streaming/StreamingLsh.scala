@@ -71,13 +71,11 @@ object StreamingLsh {
   private val bandsDdl = "doc_id BIGINT, band INT, key BIGINT, bb INT"
 
   /** Append a `minhashSignatures` frame to BOTH partitioned index
-    * parts — also the priming path for an existing corpus. */
+    * parts (under each part's live bucket count) — also the priming
+    * path for an existing corpus. */
   def primeIndex(sigs: DataFrame, root: String): Unit = {
-    sigs.withColumn("db", pmod(col("doc_id"), lit(StreamingSetJoin.Buckets)))
-      .write.mode("append").partitionBy("db").parquet(sigsDir(root))
-    banded(sigs)
-      .withColumn("bb", pmod(col("key"), lit(StreamingSetJoin.Buckets)))
-      .write.mode("append").partitionBy("bb").parquet(bandsDir(root))
+    StreamingSetJoin.appendBucketed(sigs, sigsDir(root), "db", "doc_id")
+    StreamingSetJoin.appendBucketed(banded(sigs), bandsDir(root), "bb", "key")
   }
 
   def start(docs: DataFrame, sigDir: String, verdictDir: String,
@@ -94,9 +92,11 @@ object StreamingLsh {
           // pair-estimate join, and the index append
           val sigs = Dedup.minhashSignatures(b).localCheckpoint()
           val newB = banded(sigs).localCheckpoint()
-          // the batch's colliding band buckets — bounded by Buckets
+          // the batch's colliding band buckets — bounded by the index's
+          // LIVE bucket count (manifest-backed, rescalable)
+          val bandB = StreamingSetJoin.bucketCount(spark, bandsDir(sigDir))
           val bb = newB.select(
-              pmod(col("key"), lit(StreamingSetJoin.Buckets)).as("bb"))
+              pmod(col("key"), lit(bandB.toLong)).as("bb"))
             .distinct().as[Long].collect().toSeq
           val oldBands = StreamingSetJoin.probeIndex(spark,
             bandsDir(sigDir), "bb", bb, bandsDdl)
@@ -112,9 +112,10 @@ object StreamingLsh {
             .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("old_id"))
           val pairs = crossPairs.unionByName(withinPairs).distinct()
             .localCheckpoint() // feeds the bucket collect AND the scoring join
-          // the candidates' signature buckets — bounded by Buckets
+          // the candidates' signature buckets — bounded by the live count
+          val sigB = StreamingSetJoin.bucketCount(spark, sigsDir(sigDir))
           val db = pairs.select(
-              pmod(col("old_id"), lit(StreamingSetJoin.Buckets)).as("db"))
+              pmod(col("old_id"), lit(sigB.toLong)).as("db"))
             .distinct().as[Long].collect().toSeq
           val oldSigs = StreamingSetJoin.probeIndex(spark,
             sigsDir(sigDir), "db", db, sigsDdl)
@@ -135,8 +136,10 @@ object StreamingLsh {
           primeIndex(sigs, sigDir)
           if (batchId % StreamingSetJoin.CompactEvery ==
               StreamingSetJoin.CompactEvery - 1) {
-            StreamingSetJoin.compact(spark, sigsDir(sigDir), "db")
-            StreamingSetJoin.compact(spark, bandsDir(sigDir), "bb")
+            StreamingSetJoin.compact(spark, sigsDir(sigDir), "db",
+              keyCol = Some("doc_id"))
+            StreamingSetJoin.compact(spark, bandsDir(sigDir), "bb",
+              keyCol = Some("key"))
           }
         }
       }
